@@ -1,0 +1,55 @@
+"""Named access to the driver-generated parquet tables.
+
+One parquet file per table (TESTDATA.md). Loads are lazy DataFrames —
+Catalyst prunes columns and pushes filters into the scan, so callers
+should select/filter on the returned frame rather than pre-materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; supplier/part grow slowly vs. facts).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+class Catalog:
+    """``Catalog(spark, sf_dir)[name]`` → DataFrame for that table."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name == "events":
+            # ts is stored as TIMESTAMP(NANOS) → read as long nanos
+            # (session.py sets nanosAsLong); surface as a micros timestamp.
+            from pyspark.sql import functions as F
+
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+        return df
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql queries."""
+        for name in TABLES:
+            self[name].createOrReplaceTempView(name)

@@ -1,0 +1,26 @@
+"""Operator families (SURVEY.md §2). Importing registers queries."""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    from mister_spark.operators import (  # noqa: F401
+        mapreduce,
+        tpch,
+        windows,
+        joins_sets,
+        stats,
+        events,
+        textstats,
+        dedup,
+        similarity,
+        multimodal,
+        streaming_queries,
+    )
+
+    _LOADED = True

@@ -1,0 +1,44 @@
+"""Shared expression helpers + cross-engine determinism rules.
+
+Rules (SURVEY.md §4): money sums → round(x, 2); ratios/avgs → round(x, 4);
+counts stay bigint; timestamps truncated with date_trunc; every computed
+column aliased identically in the Spark plan and the DuckDB oracle; any
+top-k sorts on the *rounded* measure plus explicit tiebreak keys so both
+engines select the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from mister_spark.catalog import Catalog
+
+
+def money(col: Column) -> Column:
+    return F.round(col, 2)
+
+
+def ratio(col: Column) -> Column:
+    return F.round(col, 4)
+
+
+def ts(lit: str) -> Column:
+    """Timestamp literal (tables store dates as timestamps)."""
+    return F.lit(lit).cast("timestamp")
+
+
+def revenue() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens, empties dropped — mirrors DUCK_TOKENS exactly."""
+    return F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
+
+
+# DuckDB fragment mirroring tokens() — substitute into oracle SQL.
+DUCK_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def cat(spark, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)
