@@ -44,9 +44,9 @@ class Catalog:
             from pyspark.sql import functions as F
 
             if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+                # integer div: float division rounds at ~1e15 and can be
+                # 1 µs off vs DuckDB's truncating epoch_us
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
 
     def register_views(self) -> None:
