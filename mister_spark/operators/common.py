@@ -14,12 +14,26 @@ from pyspark.sql import Column, functions as F
 from mister_spark.catalog import Catalog
 
 
+def rnd(col: Column, n: int) -> Column:
+    """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n.
+
+    Spark's round() (BigDecimal HALF_UP on the shortest decimal repr)
+    and DuckDB's round() (float math) disagree on values that land
+    exactly on a half — common for row-level products of 2-decimal
+    inputs and small-denominator ratios. The floor form is identical
+    double arithmetic in both engines, so results match bit-for-bit.
+    Mirror in SQL as FLOOR((x) * 10^n + 0.5) / 10^n.
+    """
+    m = 10**n
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
 def money(col: Column) -> Column:
-    return F.round(col, 2)
+    return rnd(col, 2)
 
 
 def ratio(col: Column) -> Column:
-    return F.round(col, 4)
+    return rnd(col, 4)
 
 
 def ts(lit: str) -> Column:

@@ -1,1 +1,291 @@
-"""Placeholder — filled in this round."""
+"""Deduplication suite: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design (SURVEY.md §6): candidate generation is always an EQUI-join
+(hash bucket, LSH band, SimHash chunk) — never an unbucketed self-cross
+join — so the shuffle is linear in input size; the expensive exact
+similarity is only computed on candidates. The exact-Jaccard query caps
+shingle document-frequency (hot-shingle cap) the way a production
+pipeline drops stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import DUCK_TOKENS, cat, tokens, rnd
+from mister_spark.registry import query
+
+HOT_SHINGLE_CAP = 100  # drop shingles appearing in more docs than this
+JACCARD_T = 0.5
+COSINE_T = 0.4
+MINHASH_K = 64
+# 16 bands x 4 rows: candidate probability 1-(1-s^4)^16 ≈ 0.64 at s=0.5,
+# ≈ 0.9998 at s=0.8 — tuned for the ≥0.5 Jaccard near-dup threshold.
+LSH_BANDS = 16
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct token 3-grams (space-joined).
+
+    Built with slice + zip_with, NOT element_at(toks, i) inside a
+    transform lambda: higher-order lambdas re-evaluate the array
+    argument per element (no cross-lambda CSE in Catalyst), which turns
+    tokenization into O(n²) per document — measured 10x slower."""
+    n = F.size(toks)
+    s1 = F.slice(toks, 1, n - 2)
+    s2 = F.slice(toks, 2, n - 2)
+    s3 = F.slice(toks, 3, n - 2)
+    tri = F.zip_with(
+        F.zip_with(s1, s2, lambda x, y: F.concat_ws(" ", x, y)),
+        s3,
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    return F.array_distinct(
+        F.when(n >= 3, tri).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = cat(spark, sf_dir)["documents"]
+    return docs.select("doc_id", _shingles(tokens()).alias("sh"))
+
+
+@query(
+    "dd_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup. Groups on xxhash64(text) so the shuffle carries 8
+    bytes per doc instead of the full text (equivalent to grouping by
+    text modulo 2^-64 collision odds — the oracle groups by text)."""
+    docs = cat(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id", F.xxhash64("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+DD_NGRAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {HOT_SHINGLE_CAP}),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold USING (s)),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           FLOOR((i / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE FLOOR((i / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= {JACCARD_T}
+"""
+
+
+@query("dd_ngram_jaccard", oracle=DD_NGRAM_ORACLE)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index:
+    explode → drop hot shingles (bounded fan-out) → self equi-join on
+    shingle → per-pair intersection counts → Jaccard."""
+    ds = _doc_shingles(spark, sf_dir)
+    sh = ds.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cold = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= HOT_SHINGLE_CAP
+    )
+    shc = sh.join(cold.select("s"), "s")
+    a = shc.select(F.col("doc_id").alias("doc_a"), "s")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = rnd(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _minhash_sigs(ds: DataFrame) -> DataFrame:
+    """k=64 MinHash signatures. Shape matters for speed: hash each
+    shingle to a long once, EXPLODE to slim (doc_id, h) rows, then one
+    hash-aggregate with 64 `min(xxhash64(h, seed_i))` columns — fully
+    vectorized codegen, no per-row array allocations (64 array_min/
+    transform expressions were ~10x slower), map-side partial mins."""
+    hashed = ds.filter(F.size("sh") > 0).select(
+        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(MINHASH_K)]
+    )
+
+
+@query("dd_minhash_lsh")  # hash-based -> rows-only; pytest checks recall
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, the 100 TB dedup path:
+    signatures are JVM hash-min expressions over the shingle array (no
+    shuffle), banding explodes to 16 slim (doc_id, band, band_hash)
+    rows per doc, candidates come from an equi-join on the band hash
+    carrying ONLY doc ids, and exact Jaccard is verified on the deduped
+    candidate pairs after re-joining the shingle arrays. Keeping the
+    band join array-free is what makes the shuffle linear in doc count
+    rather than corpus bytes.
+
+    vs. dd_ngram_jaccard (exact): same >=0.5 pairs modulo LSH recall;
+    tests/test_llm_ops.py measures recall against the exact query."""
+    ds = _doc_shingles(spark, sf_dir)
+    sigs = _minhash_sigs(ds)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(bands).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    cand = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), ["band", "bh"])
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = ds.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = ds.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", rnd(inter / union, 4))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("dd_simhash")  # hash-based → rows-only; pytest checks on planted dups
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs. Per doc: explode tokens, hash,
+    64 conditional-sum aggregates (one per bit) → sign → packed BIGINT.
+    Candidates: pigeonhole on four 16-bit chunks (hamming ≤ 3 ⇒ at
+    least one chunk equal) — equi-join per chunk, then exact hamming
+    via bit_count(xor) ≤ 3."""
+    docs = cat(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
+    counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counted.select("doc_id", "cnt", F.xxhash64("t").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(0xFFFF).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "chunk", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "chunk", "cv"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dd_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR((list_cosine_similarity(a.v, b.v)) * 10000 + 0.5) / 10000 AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE FLOOR((list_cosine_similarity(a.v, b.v)) * 10000 + 0.5) / 10000 >= {COSINE_T}
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ 0.4. Exact all-pairs here
+    (the oracle needs exactness); dot products via zip_with/aggregate in
+    codegen. The 100 TB path is sim_ivf-style bucketing first — all-pairs
+    is O(n²) and intentionally the *verify* step, not the candidate step."""
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    e = emb.withColumn("nrm", norm)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", rnd(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= COSINE_T)
+        .select("vec_a", "vec_b", "cosine")
+    )

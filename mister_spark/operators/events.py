@@ -30,7 +30,7 @@ def _ev(spark, sf_dir):
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type, COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total, ROUND(AVG(value), 4) AS avg_value
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total, FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -261,7 +261,7 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_json_extract",
     oracle="""
     SELECT event_type,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           FLOOR((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000 + 0.5) / 10000 AS avg_k,
            COUNT(json_extract_string(props, '$.k')) AS n_with_k
     FROM events GROUP BY event_type
     """,

@@ -100,7 +100,7 @@ def sq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sq_correlated",
     oracle="""
-    SELECT ROUND(SUM(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT FLOOR((SUM(l1.l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
     FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)

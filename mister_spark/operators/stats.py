@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mister_spark.operators.common import cat, money
+from mister_spark.operators.common import cat, money, rnd
 from mister_spark.registry import query
 
 
@@ -12,9 +12,9 @@ from mister_spark.registry import query
     "stat_percentiles",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+           FLOOR((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100  AS p50,
+           FLOOR((quantile_cont(o_totalprice, 0.9)) * 100 + 0.5) / 100  AS p90,
+           FLOOR((quantile_cont(o_totalprice, 0.99)) * 100 + 0.5) / 100 AS p99
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -34,7 +34,7 @@ def stat_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stat_histogram",
     oracle="""
     SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+           COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
     FROM events GROUP BY 1
     """,
 )
@@ -50,16 +50,16 @@ def stat_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stat_corr",
     oracle="""
-    SELECT ROUND(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 1) AS covar_qty_price,
-           ROUND(stddev_samp(l_quantity), 3) AS sd_qty
+    SELECT FLOOR((corr(l_quantity, l_extendedprice)) * 1000 + 0.5) / 1000 AS corr_qty_price,
+           FLOOR((covar_samp(l_quantity, l_extendedprice)) * 10 + 0.5) / 10 AS covar_qty_price,
+           FLOOR((stddev_samp(l_quantity)) * 1000 + 0.5) / 1000 AS sd_qty
     FROM lineitem
     """,
 )
 def stat_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat(spark, sf_dir)["lineitem"]
     return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
-        F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
+        rnd(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
+        rnd(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
     )

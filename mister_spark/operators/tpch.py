@@ -21,13 +21,13 @@ from mister_spark.registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100                                    AS sum_qty,
+           FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100                               AS sum_base_price,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100            AS sum_disc_price,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+           FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000                                    AS avg_qty,
+           FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000                               AS avg_price,
+           FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000                                    AS avg_disc,
            COUNT(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -57,7 +57,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS rev,
            strftime(o_orderdate, '%Y-%m-%d') AS odate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -123,7 +123,7 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    SELECT n_name, FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS rev
     FROM customer JOIN orders   ON c_custkey  = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey  = s_suppkey
@@ -169,7 +169,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS rev
+    SELECT FLOOR((SUM(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS rev
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -196,15 +196,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
-           ROUND(c_acctbal, 2) AS acctbal, n_name
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS rev,
+           FLOOR((c_acctbal) * 100 + 0.5) / 100 AS acctbal, n_name
     FROM customer JOIN orders   ON c_custkey  = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN nation   ON c_nationkey = n_nationkey
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate <  TIMESTAMP '1997-04-01'
       AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, ROUND(c_acctbal, 2), n_name
+    GROUP BY c_custkey, c_name, FLOOR((c_acctbal) * 100 + 0.5) / 100, n_name
     ORDER BY rev DESC, c_custkey
     LIMIT 20
     """,
@@ -231,10 +231,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    SELECT FLOOR((100.0 * SUM(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+                 / SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -280,7 +280,7 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
-           ROUND(o_totalprice, 2) AS total, ROUND(big.sum_qty, 2) AS sum_qty
+           FLOOR((o_totalprice) * 100 + 0.5) / 100 AS total, FLOOR((big.sum_qty) * 100 + 0.5) / 100 AS sum_qty
     FROM orders
     JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
@@ -314,7 +314,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_join",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    SELECT FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS rev
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)

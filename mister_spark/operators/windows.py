@@ -11,7 +11,7 @@ from mister_spark.registry import query
 @query(
     "w_topn_per_group",
     oracle="""
-    SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price, rn
+    SELECT p_brand, p_partkey, FLOOR((p_retailprice) * 100 + 0.5) / 100 AS price, rn
     FROM (SELECT p_brand, p_partkey, p_retailprice,
                  ROW_NUMBER() OVER (PARTITION BY p_brand
                                     ORDER BY p_retailprice DESC, p_partkey) AS rn
@@ -34,9 +34,9 @@ def w_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+           FLOOR((SUM(o_totalprice) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS UNBOUNDED PRECEDING), 2) AS running
+                                         ROWS UNBOUNDED PRECEDING)) * 100 + 0.5) / 100 AS running
     FROM orders
     """,
 )
@@ -58,9 +58,9 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
-             ROUND(SUM(o_totalprice), 2) AS rev
+             FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS rev
       FROM orders GROUP BY 1)
-    SELECT day, rev, ROUND(rev - LAG(rev) OVER (ORDER BY day), 2) AS delta
+    SELECT day, rev, FLOOR((rev - LAG(rev) OVER (ORDER BY day)) * 100 + 0.5) / 100 AS delta
     FROM daily
     """,
 )
@@ -80,7 +80,7 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_rollup",
     oracle="""
-    SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS total, COUNT(*) AS n
+    SELECT r_name, n_name, FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS total, COUNT(*) AS n
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
@@ -102,7 +102,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -117,7 +117,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_grouping_sets",
     oracle="""
-    SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS total
+    SELECT r_name, n_name, FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS total
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name))
@@ -131,7 +131,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c["region"].createOrReplaceTempView("gs_region")
     return spark.sql(
         """
-        SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS total
+        SELECT r_name, n_name, FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS total
         FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
                          JOIN gs_region ON n_regionkey = r_regionkey
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name))
