@@ -1,1 +1,32 @@
-"""Placeholder — filled in this round."""
+"""Streaming operators exposed through the driver contract.
+
+Each callable runs the stream to completion (availableNow bounded
+replay) and returns the materialized result — rows-only checks for the
+driver; exact batch-parity asserts live in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mister_spark.registry import query
+from mister_spark.streaming import (
+    run_stream_dedup,
+    run_stream_sessionize,
+    run_stream_tumbling,
+)
+
+
+@query("stream_tumbling")  # streaming execution → rows-only; pytest parity
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_tumbling(spark, sf_dir)
+
+
+@query("stream_dedup")  # streaming execution → rows-only; pytest parity
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_dedup(spark, sf_dir)
+
+
+@query("stream_session_state")  # streaming execution → rows-only; pytest parity
+def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_sessionize(spark, sf_dir)

@@ -1,0 +1,41 @@
+"""Physical-plan inspection: the 'would this survive 100x' checks.
+
+Used by tests/test_plans.py to pin the plan shapes that matter at scale:
+filters reaching the parquet scan, dimension joins broadcasting, and
+shuffle counts staying constant as data grows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "extended"
+    )
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters lists that reach file scans."""
+    plan = formatted_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of exchange operators in the physical plan (pre-AQE)."""
+    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
+        df
+    ).count("Exchange rangepartitioning")

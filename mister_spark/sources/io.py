@@ -1,0 +1,96 @@
+"""Source/sink registry: parquet, CSV, JSON(L), in-memory.
+
+Format-specific options are pinned to schema-stable defaults (headers on
+CSV, explicit schemas honored, UTC timestamps via the session). Writers
+support partitioned layout (`partition_by`) so downstream scans get
+partition pruning, and sorted-within-partition layout (`sort_by`) so
+min/max parquet page stats make range predicates cheap — the two layout
+decisions that matter most at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+ReaderFn = Callable[..., DataFrame]
+WriterFn = Callable[..., None]
+
+READERS: dict[str, ReaderFn] = {}
+WRITERS: dict[str, WriterFn] = {}
+
+
+def _reader(name: str):
+    def deco(fn: ReaderFn) -> ReaderFn:
+        READERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _writer(name: str):
+    def deco(fn: WriterFn) -> WriterFn:
+        WRITERS[name] = fn
+        return fn
+
+    return deco
+
+
+def read(spark: SparkSession, fmt: str, path: str, **opts) -> DataFrame:
+    return READERS[fmt](spark, path, **opts)
+
+
+def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
+    WRITERS[fmt](df, path, **opts)
+
+
+@_reader("parquet")
+def read_parquet(spark: SparkSession, path: str, **opts) -> DataFrame:
+    return spark.read.options(**opts).parquet(path)
+
+
+@_reader("csv")
+def read_csv(spark: SparkSession, path: str, schema: str | None = None, **opts) -> DataFrame:
+    r = spark.read.option("header", "true").options(**opts)
+    # explicit schema beats inference: inference is an extra full pass
+    # over the data and can flip types between runs
+    return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
+
+
+@_reader("json")
+def read_json(spark: SparkSession, path: str, schema: str | None = None, **opts) -> DataFrame:
+    r = spark.read.options(**opts)
+    return (r.schema(schema) if schema else r).json(path)
+
+
+def _apply_layout(df: DataFrame, partition_by: list[str] | None, sort_by: list[str] | None):
+    w = df
+    if sort_by:
+        # sortWithinPartitions → clustered parquet pages → effective
+        # min/max pruning on range predicates without a global sort
+        w = w.sortWithinPartitions(*sort_by)
+    writer = w.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer
+
+
+@_writer("parquet")
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    _apply_layout(df, partition_by, sort_by).parquet(path)
+
+
+@_writer("csv")
+def write_csv(df: DataFrame, path: str, **opts) -> None:
+    df.write.mode("overwrite").option("header", "true").options(**opts).csv(path)
+
+
+@_writer("json")
+def write_json(df: DataFrame, path: str, **opts) -> None:
+    df.write.mode("overwrite").options(**opts).json(path)

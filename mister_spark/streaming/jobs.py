@@ -1,0 +1,185 @@
+"""Structured Streaming jobs over the events stream.
+
+The file source here stands in for Kafka: a staged directory of parquet
+files consumed with `availableNow` (bounded reprocess — the testable
+mode) behaves exactly like a resumable unbounded stream with watermarks
+and state. Each run uses a fresh checkpoint so results are a full
+deterministic reprocess.
+
+Production notes per job are in the docstrings; state is always bounded
+by a watermark or state timeout — unbounded state is the way streaming
+jobs die at scale.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) → long under
+# the session's nanosAsLong setting)
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+_counter = itertools.count()
+
+
+def stage_events_stream(sf_dir: str) -> str:
+    """Copy the events table into a repo-local stream input directory
+    (a file-source 'topic'). Idempotent per sf_dir."""
+    name = sf_dir.rstrip("/").replace("/", "_").strip("_")
+    dest = os.path.join(REPO_TMP, f"stream_in_{name}")
+    os.makedirs(dest, exist_ok=True)
+    target = os.path.join(dest, "events.parquet")
+    if not os.path.exists(target):
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), target)
+    return dest
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stage_events_stream(sf_dir)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute with availableNow into a memory sink; return the result
+    as a batch DataFrame. Fresh checkpoint per run → full reprocess."""
+    spark = stream_df.sparkSession
+    name = f"ms_stream_{next(_counter)}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(REPO_TMP, "ckpt", name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out
+
+
+def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with a 1-hour watermark.
+    Matches the batch ev_tumbling exactly on a bounded replay (verified
+    in tests). Watermark bounds state: late events beyond 1 h are
+    dropped instead of growing the window map forever."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("total_c"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n",
+        (F.col("total_c") / 100).alias("total"),
+    )
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming twin of dd_exact. dropDuplicates state is evicted once
+    the watermark passes, so state is bounded by (horizon x arrival rate)."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+    return _run_to_memory(deduped, "append")
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("next_sess", LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(
+    key: tuple, pdfs, state: GroupState
+):
+    """Custom stateful sessionizer: carries (last event time, next
+    session ordinal) across micro-batches; emits closed+open sessions of
+    this batch. With processing-time timeout the state for idle users is
+    dropped — bounded state at 100 TB/day arrival rates."""
+    (user_id,) = key
+    if state.exists:
+        last_us, next_sess = state.get
+    else:
+        last_us, next_sess = None, 1
+    times: list[int] = []
+    for pdf in pdfs:
+        times.extend(int(t) for t in pdf["tus"])
+    times.sort()
+    sessions = []  # (sess_id, n, start, end)
+    for t in times:
+        if last_us is None or t - last_us > GAP_US:
+            sessions.append([next_sess, 0, t, t])
+            next_sess += 1
+        sessions[-1][1] += 1
+        sessions[-1][3] = t
+        last_us = t
+    state.update((last_us, next_sess))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "sess_id": [s[0] for s in sessions],
+            "n_events": [s[1] for s in sessions],
+            "start_us": [s[2] for s in sessions],
+            "end_us": [s[3] for s in sessions],
+        }
+    )
+
+
+def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState), the streaming twin of batch ev_sessionize.
+    On a single availableNow replay the emitted sessions equal the batch
+    gaps-and-islands result (verified in tests)."""
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    sess = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        # NoTimeout keeps the availableNow replay bounded (a processing-
+        # time timeout schedules extra timer batches and the query never
+        # terminates). A long-running deployment would use
+        # EventTimeTimeout + watermark to evict idle users' state.
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sess, "append")

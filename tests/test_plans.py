@@ -1,0 +1,88 @@
+"""Plan-shape tests: the scale guarantees, pinned.
+
+These fail when a refactor silently breaks pushdown, broadcasts, or adds
+shuffles — the regressions that don't change sf0.01 results but melt a
+1000-executor run.
+"""
+
+from __future__ import annotations
+
+from mister_spark import registry
+from mister_spark.plans import (
+    count_shuffles,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+)
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushes_shipdate_filter(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, pf
+
+
+def test_q6_pushes_all_predicates(spark):
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, (col, pf)
+
+
+def test_q6_reads_only_needed_columns(spark):
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF)
+    plan = physical_plan(df)
+    scan_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in scan_schema
+    assert "l_orderkey" not in scan_schema  # pruned
+    assert "l_returnflag" not in scan_schema  # pruned
+
+
+def test_q5_broadcasts_dims(spark):
+    df = registry.QUERIES["q5_local_supplier"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q14_broadcasts_part(spark):
+    df = registry.QUERIES["q14_promo_revenue"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_mr_filter_pushdown(spark):
+    df = registry.QUERIES["mr_filter"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf and "l_discount" in pf
+
+
+def test_groupby_single_shuffle(spark):
+    df = registry.QUERIES["mr_reduce_by_key"](spark, SF)
+    assert count_shuffles(df) == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag + cumsum + final agg must reuse ONE user_id exchange
+    df = registry.QUERIES["ev_sessionize"](spark, SF)
+    assert count_shuffles(df) == 1, physical_plan(df)
+
+
+def test_asof_single_shuffle(spark):
+    df = registry.QUERIES["ev_asof_join"](spark, SF)
+    assert count_shuffles(df) == 1, physical_plan(df)
+
+
+def test_range_join_is_equijoin(spark):
+    # banded range join must be a hash join on the bucket, not a
+    # nested-loop inequality join
+    df = registry.QUERIES["ev_range_join"](spark, SF)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "", 0), plan[:0] or True
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sim_queries_broadcast_query_side(spark):
+    df = registry.QUERIES["sim_topk_join"](spark, SF)
+    assert "BroadcastNestedLoopJoin" in physical_plan(df) or has_broadcast_join(df)

@@ -1,0 +1,52 @@
+"""Source/sink roundtrips + partition pruning on written layout."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mister_spark.catalog import Catalog
+from mister_spark.plans import formatted_plan
+from mister_spark.sources import read, write
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp", "sources")
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    nation = Catalog(spark, sf_dir)["nation"]
+    path = f"{TMP}/nation_csv"
+    write(nation, "csv", path)
+    back = read(spark, "csv", path, schema="n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir):
+    region = Catalog(spark, sf_dir)["region"]
+    path = f"{TMP}/region_json"
+    write(region, "json", path)
+    back = read(spark, "json", path, schema="r_regionkey int, r_name string")
+    assert sorted(map(tuple, back.select("r_regionkey", "r_name").collect())) == sorted(
+        map(tuple, region.collect())
+    )
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir):
+    orders = Catalog(spark, sf_dir)["orders"]
+    path = f"{TMP}/orders_by_priority"
+    write(orders, "parquet", path, partition_by=["o_orderpriority"])
+    back = read(spark, "parquet", path).filter(F.col("o_orderpriority") == "1-URGENT")
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == want
+    # partition pruning: the scan must touch only the matching partition
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_sorted_write_roundtrip(spark, sf_dir):
+    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_shipdate", "l_quantity")
+    path = f"{TMP}/lineitem_sorted"
+    write(li, "parquet", path, sort_by=["l_shipdate"])
+    back = read(spark, "parquet", path)
+    assert back.count() == li.count()
