@@ -12,6 +12,7 @@ def load() -> None:
     from mister_spark.operators import (  # noqa: F401
         mapreduce,
         tpch,
+        tpch2,
         windows,
         joins_sets,
         stats,

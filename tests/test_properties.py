@@ -1,0 +1,86 @@
+"""Property tests (hypothesis): cross-engine function parity on
+ADVERSARIAL generated inputs, not just the driver's synthetic corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from mister_spark.operators.common import tokens
+
+# strings with spaces, doubles-spaces, unicode, empties, punctuation
+TEXT = st.text(
+    alphabet=st.sampled_from(list("ab cd  éü!.,\t") + ["x", " "]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_tokenizer_cross_engine(spark, texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in sdf.select("doc_id", tokens().alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') FROM d"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=30), min_size=1, max_size=20))
+def test_fingerprint_cross_engine(spark, texts):
+    from mister_spark.operators.textstats import tx_fingerprint
+    from mister_spark import registry
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("prop_docs")
+    # reuse the registered fingerprint expression over this frame
+    codes = F.transform(
+        tokens(), lambda x: (F.ascii(x) * 131 + F.length(x)).cast("long")
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 1000003 + x) % 2147483647
+    )
+    got = {r["doc_id"]: r["fp"] for r in sdf.select("doc_id", fp.alias("fp")).collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(registry.ORACLES["tx_fingerprint"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.sampled_from(["a b", "b c", "a a a", "", "c"]), min_size=1, max_size=15))
+def test_mrjob_wordcount_matches_declarative(spark, texts):
+    from mister_spark.operators.mapreduce import WordCountJob
+
+    pdf = pd.DataFrame({"text": texts})
+    sdf = spark.createDataFrame(pdf)
+    via_job = {
+        (r["token"], r["n"]) for r in WordCountJob().run(spark, sdf).collect()
+    }
+    declarative = {
+        (r["token"], r["n"])
+        for r in sdf.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert via_job == declarative
