@@ -13,6 +13,7 @@ def load() -> None:
         mapreduce,
         tpch,
         tpch2,
+        extras,
         windows,
         joins_sets,
         stats,

@@ -45,13 +45,8 @@ def revenue() -> Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-def tokens(col: str = "text") -> Column:
-    """Whitespace tokens, empties dropped — mirrors DUCK_TOKENS exactly."""
-    return F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
-
-
-# DuckDB fragment mirroring tokens() — substitute into oracle SQL.
-DUCK_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+# canonical definitions live in the public function library
+from mister_spark.functions.text import DUCK_TOKENS, tokens  # noqa: E402,F401
 
 
 def cat(spark, sf_dir: str) -> Catalog:

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from mister_spark.functions.hashing import minhash_signatures
+from mister_spark.functions.text import shingles
 from mister_spark.operators.common import DUCK_TOKENS, cat, tokens, rnd
 from mister_spark.registry import query
 
@@ -25,30 +27,9 @@ MINHASH_K = 64
 LSH_BANDS = 16
 
 
-def _shingles(toks: Column) -> Column:
-    """Distinct token 3-grams (space-joined).
-
-    Built with slice + zip_with, NOT element_at(toks, i) inside a
-    transform lambda: higher-order lambdas re-evaluate the array
-    argument per element (no cross-lambda CSE in Catalyst), which turns
-    tokenization into O(n²) per document — measured 10x slower."""
-    n = F.size(toks)
-    s1 = F.slice(toks, 1, n - 2)
-    s2 = F.slice(toks, 2, n - 2)
-    s3 = F.slice(toks, 3, n - 2)
-    tri = F.zip_with(
-        F.zip_with(s1, s2, lambda x, y: F.concat_ws(" ", x, y)),
-        s3,
-        lambda xy, z: F.concat_ws(" ", xy, z),
-    )
-    return F.array_distinct(
-        F.when(n >= 3, tri).otherwise(F.array().cast("array<string>"))
-    )
-
-
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat(spark, sf_dir)["documents"]
-    return docs.select("doc_id", _shingles(tokens()).alias("sh"))
+    return docs.select("doc_id", shingles(tokens()).alias("sh"))
 
 
 @query(
@@ -123,17 +104,12 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(ds: DataFrame) -> DataFrame:
-    """k=64 MinHash signatures. Shape matters for speed: hash each
-    shingle to a long once, EXPLODE to slim (doc_id, h) rows, then one
-    hash-aggregate with 64 `min(xxhash64(h, seed_i))` columns — fully
-    vectorized codegen, no per-row array allocations (64 array_min/
-    transform expressions were ~10x slower), map-side partial mins."""
+    """k=64 MinHash signatures via functions.hashing (explode + k
+    vectorized min() aggregates; see PERF.md for why not array_min)."""
     hashed = ds.filter(F.size("sh") > 0).select(
         "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h")
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(MINHASH_K)]
-    )
+    return minhash_signatures(hashed, MINHASH_K)
 
 
 @query("dd_minhash_lsh")  # hash-based -> rows-only; pytest checks recall

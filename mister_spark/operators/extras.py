@@ -1,0 +1,169 @@
+"""Third wave: sampling, regex tokenization, sliding windows, approx
+percentiles, and iterative PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import cat, money, rnd
+from mister_spark.registry import query
+
+
+@query(
+    "mr_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def mr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% systematic sample on the key. Production would
+    hash first (`xxhash64(key) % 10`) for key-uniformity; plain modulo
+    is used here because the oracle must reproduce the exact row set
+    cross-engine. Same plan shape either way: narrow filter, pushed to
+    the scan."""
+    orders = cat(spark, sf_dir)["orders"]
+    return orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "tx_token_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+             AS n_rtokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numeric
+    FROM documents
+    """,
+)
+def tx_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digit runs / single
+    punctuation as separate tokens). The character-class-only pattern is
+    chosen to behave identically under Java regex (Spark) and RE2
+    (DuckDB)."""
+    docs = cat(spark, sf_dir)["documents"]
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_rtokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_numeric"),
+    )
+
+
+SLIDE_US = 30 * 60 * 1_000_000  # 30-min slide, 1-h length
+
+
+@query(
+    "ev_sliding",
+    oracle=f"""
+    WITH t AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
+    w AS (SELECT event_type, value,
+                 unnest([((tus // {SLIDE_US}) - 1) * {SLIDE_US},
+                         (tus // {SLIDE_US}) * {SLIDE_US}]) AS wstart_us
+          FROM t)
+    SELECT wstart_us, event_type, COUNT(*) AS n,
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
+    FROM w GROUP BY 1, 2
+    """,
+)
+def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregate (1 h length, 30 min slide) via Spark's
+    native window() — each event lands in exactly two epoch-aligned
+    windows; the oracle reproduces the assignment arithmetically."""
+    ev = cat(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum("value")).alias("total"))
+        .select(
+            F.unix_micros("w.start").alias("wstart_us"), "event_type", "n", "total"
+        )
+    )
+
+
+@query("stat_approx_percentiles")  # sketch-based → rows-only; pytest bounds err
+def stat_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles — the 100 TB path where the
+    exact `percentile` would shuffle every value. Accuracy vs the exact
+    stat_percentiles is bounded in tests (≤2% relative error)."""
+    orders = cat(spark, sf_dir)["orders"]
+    return orders.groupBy("o_orderpriority").agg(
+        money(F.percentile_approx("o_totalprice", 0.5, 10000)).alias("p50a"),
+        money(F.percentile_approx("o_totalprice", 0.9, 10000)).alias("p90a"),
+    )
+
+
+PAGERANK_ITERS = 5
+DAMPING = 0.85
+
+
+@query("mr_pagerank")  # iterative → rows-only; pytest checks invariants
+def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph (supplier nation →
+    customer nation, edge weight = lineitem count), the canonical
+    iterative-MapReduce workload, as a fixed 5-iteration DataFrame loop.
+
+    Scale notes: ranks and out-degrees live in DataFrames keyed by node;
+    each iteration is one join + one aggregate (two shuffles) over the
+    EDGE list — never a driver-side collect. For big graphs the edge
+    list would be pre-partitioned by src so the join side stays local
+    (GraphX's partitioning strategy; see PAPERS.md GraphX, OSDI'14)."""
+    c = cat(spark, sf_dir)
+    sup = c["supplier"].select("s_suppkey", F.col("s_nationkey").alias("src"))
+    cus = c["customer"].select("c_custkey", F.col("c_nationkey").alias("dst"))
+    li = c["lineitem"].select("l_suppkey", "l_orderkey")
+    orders = c["orders"].select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        # materialize once: every iteration re-reads the edge list
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select("dst")
+    ).distinct()
+    n_nodes = nodes.count()  # small driver scalar (node universe, not data)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    src_nodes = out_w.select(F.col("src").alias("node"))
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(out_w, "src")
+            .join(ranks, F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        # dangling-node mass (no out-edges) is redistributed uniformly —
+        # without this, rank mass drains every iteration
+        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1 - DAMPING) / n_nodes
+                    + DAMPING
+                    * (
+                        F.coalesce(F.col("in_rank"), F.lit(0.0))
+                        + F.col("dang") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            # truncate lineage: ranks feeds two branches next iteration
+            # (contribs + dangling), so the un-checkpointed plan doubles
+            # per iteration (2^iters blowup; 68s -> ~5s at sf0.001)
+            .localCheckpoint()
+        )
+    return ranks.select("node", rnd(F.col("rank"), 6).alias("rank"))

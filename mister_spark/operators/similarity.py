@@ -9,8 +9,9 @@ turns an O(n) scan per query into O(n * nprobe / nlist).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.vectors import dot as _dot, norm as _norm
 from mister_spark.operators.common import cat, rnd
 from mister_spark.registry import query
 
@@ -24,16 +25,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a, b) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
 
-
-def _norm(a) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
 
 
 @query(

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from mister_spark.functions.hashing import rolling_fingerprint
+from mister_spark.functions.text import bigrams as _bigrams
 from mister_spark.operators.common import DUCK_TOKENS, cat, tokens, rnd
 from mister_spark.registry import query
 
@@ -127,15 +129,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-only arithmetic (token code = ascii(first char)*131 + len),
     mod 2^31-1, so both engines produce identical BIGINTs."""
     docs = cat(spark, sf_dir)["documents"]
-    codes = F.transform(
-        tokens(), lambda x: (F.ascii(x) * 131 + F.length(x)).cast("long")
-    )
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 1000003 + x) % 2147483647,
-    )
-    return docs.select("doc_id", fp.alias("fp"))
+    return docs.select("doc_id", rolling_fingerprint(tokens()).alias("fp"))
 
 
 @query(
@@ -156,17 +150,7 @@ def tx_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines pick the same rows."""
     docs = cat(spark, sf_dir)["documents"]
     toks = tokens()
-    # slice+zip_with, not element_at-in-lambda (re-evaluates the token
-    # array per element — see dedup._shingles)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bigrams(toks)
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

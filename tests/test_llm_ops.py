@@ -104,3 +104,25 @@ def test_mr_class_api_matches_declarative(spark):
         (r["token"], r["n"]) for r in registry.QUERIES["mr_class_api"](spark, SF).collect()
     }
     assert a == b
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"])
+        for r in registry.QUERIES["stat_percentiles"](spark, SF).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: (r["p50a"], r["p90a"])
+        for r in registry.QUERIES["stat_approx_percentiles"](spark, SF).collect()
+    }
+    for k, (p50, p90) in exact.items():
+        assert abs(approx[k][0] - p50) / p50 <= 0.02
+        assert abs(approx[k][1] - p90) / p90 <= 0.02
+
+
+def test_pagerank_invariants(spark):
+    rows = registry.QUERIES["mr_pagerank"](spark, SF).collect()
+    assert rows
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 0.05, total  # rank mass ≈ 1 (sink leakage small)
+    assert all(r["rank"] > 0 for r in rows)
