@@ -237,31 +237,69 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by cosine ≥ 0.4. Exact all-pairs here
-    (the oracle needs exactness); dot products via zip_with/aggregate in
-    codegen. The 100 TB path is sim_ivf-style bucketing first — all-pairs
-    is O(n²) and intentionally the *verify* step, not the candidate step."""
+    """Embedding near-dup pairs by cosine >= 0.4, exact all-pairs via
+    BLOCK-PARTITIONED matrix multiply: vectors are grouped into B row
+    blocks, the B*(B+1)/2 block pairs are enumerated with a tiny self
+    join, and each block pair runs one numpy/BLAS matmul inside
+    mapInPandas. Replaces the per-pair codegen loop (12.5M zip_with
+    allocations, 19 s at sf0.1) with 36 dense GEMMs (~1 s).
+
+    Scale: shuffle volume is B x corpus (each block meets B others);
+    pick B so a block fits executor memory. The LSH/IVF candidate path
+    still applies first at 100 TB - this is the exact verify kernel."""
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = 8
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
         )
     )
-    e = emb.withColumn("nrm", norm)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("va")
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vb")
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", rnd(dot / (F.col("na") * F.col("nb")), 4))
-        .filter(F.col("cosine") >= COSINE_T)
-        .select("vec_a", "vec_b", "cosine")
+    pairs = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+
+    thresh = COSINE_T
+
+    def _block_cosine(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                ma = np.asarray([np.asarray(x) for x in row["va"]])
+                mb = np.asarray([np.asarray(x) for x in row["vb"]])
+                ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+                mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = ma @ mb.T  # one BLAS GEMM per block pair
+                cos = np.floor(cos * 10000 + 0.5) / 10000
+                ia, ib = np.nonzero(cos >= thresh)
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal block: strict upper triangle
+                    keep = ids_a[ia] < ids_b[ib]
+                    lo, hi = ids_a[ia][keep], ids_b[ib][keep]
+                    ia, ib = ia[keep], ib[keep]
+                else:
+                    # off-diagonal: ids interleave across blocks, so
+                    # canonicalize orientation instead of filtering
+                    lo = np.minimum(ids_a[ia], ids_b[ib])
+                    hi = np.maximum(ids_a[ia], ids_b[ib])
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_c.extend(cos[ia, ib])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
+    return pairs.mapInPandas(
+        _block_cosine, schema="vec_a long, vec_b long, cosine double"
     )
