@@ -23,15 +23,19 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q13_order_distribution",
     "q18_large_orders",
     "w_topn_per_group",
     "ev_sessionize",
     "ev_asof_join",
+    "ev_range_join",
     "dd_exact",
     "dd_minhash_lsh",
+    "dd_embedding_cosine",
     "sim_topk_join",
     "tx_quality",
     "mr_wordcount",
+    "mr_pagerank",
 ]
 
 

@@ -31,6 +31,9 @@ class Catalog:
     """``Catalog(spark, sf_dir)[name]`` → DataFrame for that table."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
+        from mister_spark.session import ensure_runtime_confs
+
+        ensure_runtime_confs(spark)
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
 

@@ -91,7 +91,7 @@ def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", "cosine", "rn")
     )

@@ -24,7 +24,7 @@ def w_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = cat(spark, sf_dir)["part"]
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
     return (
-        part.withColumn("rn", F.row_number().over(w))
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", money(F.col("p_retailprice")).alias("price"), "rn")
     )

@@ -14,6 +14,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Defensively apply the runtime-settable confs correctness depends
+    on, for sessions WE didn't build (e.g. the driver's): nanos
+    timestamps read as long (events.parquet is TIMESTAMP(NANOS)) and
+    UTC formatting so date strings match the DuckDB oracle regardless
+    of the host timezone."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def get_session(
     app_name: str = "mister_spark",
     cpus: int | None = None,

@@ -52,6 +52,9 @@ def stage_events_stream(sf_dir: str) -> str:
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mister_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     src = stage_events_stream(sf_dir)
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -183,3 +186,26 @@ def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(sess, "append")
+
+
+def run_stream_foreach_batch(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """foreachBatch sink: per-micro-batch custom writer (the hook for
+    idempotent upserts / multi-sink fan-out that format sinks can't
+    express). Writes each batch as parquet keyed by batch id; returns
+    the number of batches written."""
+    ev = _read_events_stream(spark, sf_dir)
+    batches: list[int] = []
+
+    def _write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        batches.append(batch_id)
+
+    name = f"ms_stream_fb_{next(_counter)}_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", os.path.join(REPO_TMP, "ckpt", name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(batches)

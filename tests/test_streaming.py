@@ -45,3 +45,17 @@ def test_stream_sessionize_matches_batch(spark):
         for r in stream.collect()
     }
     assert b == s
+
+
+def test_stream_foreach_batch_sink(spark):
+    import os
+
+    from mister_spark.streaming.jobs import REPO_TMP, run_stream_foreach_batch
+
+    out = os.path.join(REPO_TMP, "fb_out")
+    n_batches = run_stream_foreach_batch(spark, SF, out)
+    assert n_batches >= 1
+    written = spark.read.parquet(out)
+    from mister_spark.catalog import Catalog
+
+    assert written.count() == Catalog(spark, SF)["events"].count()
