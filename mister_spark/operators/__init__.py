@@ -14,6 +14,7 @@ def load() -> None:
         tpch,
         tpch2,
         extras,
+        extras2,
         windows,
         joins_sets,
         stats,

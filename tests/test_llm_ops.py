@@ -126,3 +126,34 @@ def test_pagerank_invariants(spark):
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) < 0.05, total  # rank mass ≈ 1 (sink leakage small)
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_dd_clusters_match_union_find(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["dd_ngram_jaccard"](spark, SF).collect()
+    ]
+    assert pairs
+    # reference union-find on the driver
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["dd_clusters"](spark, SF).collect()
+    }
+    assert got == want
