@@ -13,6 +13,7 @@ def load() -> None:
         mapreduce,
         tpch,
         tpch2,
+        tpch3,
         extras,
         extras2,
         windows,

@@ -1,0 +1,266 @@
+"""Third relational wave: the last TPC-H queries, adapted to the driver
+schema (no partsupp table, no l_shipmode / l_receiptdate / l_commitdate /
+p_container columns). Each keeps the original's join topology and
+analytical intent; absent columns are replaced by documented proxies.
+With these, all 22 TPC-H queries have a (possibly adapted) counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mister_spark.operators.common import cat, money, revenue, ts
+from mister_spark.registry import query
+
+
+@query(
+    "q2_best_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size = 15),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    ranked AS (
+      SELECT l_partkey AS p_partkey, s_name, s_acctbal, n_name,
+             MAX(s_acctbal) OVER (PARTITION BY l_partkey) AS mx
+      FROM ps JOIN eu ON s_suppkey = l_suppkey)
+    SELECT p_partkey, s_name, n_name, s_acctbal
+    FROM ranked WHERE s_acctbal = mx
+    """,
+)
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-adapted (no partsupp: part↔supplier pairs come from shipped
+    lineitems; min supplycost proxied by max account balance): for each
+    size-15 part, the best EUROPE supplier(s) that ever shipped it.
+
+    Scale: part filter broadcast into the lineitem scan, pair-distinct
+    is one shuffle on (partkey, suppkey), supplier side broadcast — the
+    window runs on the already-reduced distinct pairs.
+    """
+    c = cat(spark, sf_dir)
+    parts = c["part"].filter(F.col("p_size") == 15).select("p_partkey")
+    pairs = (
+        c["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "l_suppkey")
+        .distinct()
+    )
+    eu = (
+        c["supplier"]
+        .join(F.broadcast(c["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ranked = pairs.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    mx = F.max("s_acctbal").over(W.partitionBy("p_partkey"))
+    return (
+        ranked.withColumn("mx", mx)
+        .filter(F.col("s_acctbal") == F.col("mx"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(l_quantity * p_retailprice) AS pval
+      FROM lineitem JOIN supplier ON s_suppkey  = l_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+                    JOIN part     ON p_partkey  = l_partkey
+      WHERE n_name = 'GERMANY'
+      GROUP BY 1)
+    SELECT p_partkey, FLOOR(pval * 100 + 0.5) / 100 AS part_value
+    FROM val WHERE pval > 0.001 * (SELECT SUM(pval) FROM val)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-adapted (no partsupp: stock value proxied by shipped
+    quantity × retail price): parts holding an outsized share of
+    GERMANY suppliers' shipped value (> 0.1% of the national total).
+
+    Scale: one keyed shuffle builds per-part values; the global total is
+    a scalar broadcast back over the (already aggregated) per-part rows,
+    not a second scan of the fact table.
+    """
+    c = cat(spark, sf_dir)
+    de = (
+        c["supplier"]
+        .join(F.broadcast(c["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "GERMANY")
+        .select("s_suppkey")
+    )
+    val = (
+        c["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(de), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c["part"].select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("pval"))
+    )
+    total = val.agg(F.sum("pval").alias("t"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("pval") > 0.001 * F.col("t"))
+        .select("p_partkey", money(F.col("pval")).alias("part_value"))
+    )
+
+
+@query(
+    "q12_lateness_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+                ELSE 'slow' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-adapted (no l_shipmode/l_receiptdate: shipmode classes
+    replaced by order→ship lateness buckets): high- vs low-priority
+    line counts per lateness bucket for one ship year.
+
+    Scale: ship-date range pushed to the parquet scan; single shuffle on
+    orderkey, then a 3-group aggregate with map-side partials.
+    """
+    c = cat(spark, sf_dir)
+    li = c["lineitem"].filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    lateness = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lateness <= 30, "fast").when(lateness <= 90, "medium").otherwise("slow")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            c["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-adapted (no p_container: brand filter only): average yearly
+    revenue lost if small-quantity orders (below half the part's mean
+    quantity) of one brand were not taken.
+
+    Scale: the correlated subquery decorrelates into a per-part average
+    (one shuffle over only (partkey, quantity)) broadcast-joined back —
+    no repeated scans per outer row.
+    """
+    c = cat(spark, sf_dir)
+    brand = c["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = c["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_blocking_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    g AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS mx,
+             COUNT(DISTINCT l_suppkey) AS nsupp
+      FROM li GROUP BY 1),
+    last AS (
+      SELECT li.l_orderkey, MIN(li.l_suppkey) AS the_supp,
+             COUNT(DISTINCT li.l_suppkey) AS nlast, MIN(g.nsupp) AS nsupp
+      FROM li JOIN g ON li.l_orderkey = g.l_orderkey AND li.l_shipdate = g.mx
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM last JOIN supplier ON s_suppkey = the_supp
+    WHERE nlast = 1 AND nsupp >= 2
+    GROUP BY 1, 2
+    """,
+)
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-adapted (no l_receiptdate/l_commitdate: 'kept waiting'
+    proxied by ship order): suppliers who were the unique LAST shipper
+    in finished multi-supplier orders, with how many orders they held up.
+
+    Scale: both aggregates shuffle on l_orderkey, so AQE plans the
+    g↔li join shuffle-free; supplier lookup broadcasts.
+    """
+    c = cat(spark, sf_dir)
+    li = (
+        c["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            c["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    last = (
+        li.join(
+            g.select(F.col("l_orderkey").alias("g_ok"), "mx", "nsupp"),
+            (F.col("l_orderkey") == F.col("g_ok")) & (F.col("l_shipdate") == F.col("mx")),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("the_supp"),
+            F.countDistinct("l_suppkey").alias("nlast"),
+            F.min("nsupp").alias("nsupp"),
+        )
+    )
+    return (
+        last.filter((F.col("nlast") == 1) & (F.col("nsupp") >= 2))
+        .join(
+            F.broadcast(c["supplier"].select("s_suppkey", "s_name")),
+            F.col("the_supp") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
