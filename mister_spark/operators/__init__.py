@@ -16,6 +16,7 @@ def load() -> None:
         tpch3,
         extras,
         extras2,
+        pipeline,
         windows,
         joins_sets,
         stats,

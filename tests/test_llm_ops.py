@@ -157,3 +157,17 @@ def test_dd_clusters_match_union_find(spark):
         for r in registry.QUERIES["dd_clusters"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_sim_rp_lsh_recall(spark):
+    true = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["dd_embedding_cosine"](spark, SF).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["sim_rp_lsh"](spark, SF).collect()
+    }
+    assert true
+    assert got <= true  # exact-verified: no false positives
+    assert len(got & true) / len(true) >= 0.8  # measured 0.94 @ sf0.001
