@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from mister_spark.registry import query
 from mister_spark.streaming import (
     run_stream_dedup,
+    run_stream_enrich,
     run_stream_sessionize,
+    run_stream_sliding,
     run_stream_tumbling,
 )
 
@@ -30,3 +32,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_session_state")  # streaming execution → rows-only; pytest parity
 def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_sessionize(spark, sf_dir)
+
+
+@query("stream_sliding")  # streaming execution → rows-only; pytest parity
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_sliding(spark, sf_dir)
+
+
+@query("stream_enrich")  # streaming execution → rows-only; pytest parity
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_enrich(spark, sf_dir)

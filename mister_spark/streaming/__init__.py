@@ -1,13 +1,25 @@
 from mister_spark.streaming.jobs import (
     run_stream_dedup,
+    run_stream_enrich,
     run_stream_sessionize,
+    run_stream_sliding,
     run_stream_tumbling,
     stage_events_stream,
+)
+from mister_spark.streaming.kafka import (
+    kafka_sink_options,
+    kafka_source_options,
+    read_kafka_stream,
 )
 
 __all__ = [
     "run_stream_dedup",
+    "run_stream_enrich",
     "run_stream_sessionize",
+    "run_stream_sliding",
     "run_stream_tumbling",
     "stage_events_stream",
+    "kafka_sink_options",
+    "kafka_source_options",
+    "read_kafka_stream",
 ]

@@ -209,3 +209,49 @@ def run_stream_foreach_batch(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     )
     q.awaitTermination()
     return len(batches)
+
+
+def run_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h length / 30 min slide) with a
+    1-hour watermark — the streaming twin of batch ev_sliding, same
+    output contract (wstart_us, event_type, n, total).
+
+    State per key is bounded to (watermark horizon / slide) open windows;
+    each event feeds exactly two windows so state growth is linear in
+    the key space, not the event rate."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("total_c"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("wstart_us"),
+        "event_type",
+        "n",
+        (F.col("total_c") / 100).alias("total"),
+    )
+
+
+def run_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (user_id -> c_custkey) and aggregate value per market
+    segment. The static side is broadcast into every micro-batch — the
+    canonical Kafka-stream x dimension-table pattern; the dim is re-read
+    per batch, so slowly-changing dimensions pick up updates for free."""
+    from mister_spark.catalog import Catalog
+
+    ev = _read_events_stream(spark, sf_dir)
+    cust = Catalog(spark, sf_dir)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("total_c"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select("c_mktsegment", "n", (F.col("total_c") / 100).alias("total"))

@@ -59,3 +59,56 @@ def test_stream_foreach_batch_sink(spark):
     from mister_spark.catalog import Catalog
 
     assert written.count() == Catalog(spark, SF)["events"].count()
+
+
+def test_stream_sliding_matches_batch(spark):
+    batch = registry.QUERIES["ev_sliding"](spark, SF)
+    stream = registry.QUERIES["stream_sliding"](spark, SF)
+    b = {
+        (r["wstart_us"], r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    s = {
+        (r["wstart_us"], r["event_type"]): (r["n"], r["total"])
+        for r in stream.collect()
+    }
+    assert b == s
+
+
+def test_stream_enrich_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from mister_spark.catalog import Catalog
+
+    c = Catalog(spark, SF)
+    batch = (
+        c["events"]
+        .join(
+            c["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total"),
+        )
+    )
+    stream = registry.QUERIES["stream_enrich"](spark, SF)
+    b = {r["c_mktsegment"]: (r["n"], r["total"]) for r in batch.collect()}
+    s = {r["c_mktsegment"]: (r["n"], r["total"]) for r in stream.collect()}
+    assert b == s
+
+
+def test_kafka_surface(spark):
+    import pytest as _pytest
+
+    from mister_spark.streaming import kafka_source_options, read_kafka_stream
+
+    opts = kafka_source_options("broker:9092", "events")
+    assert opts["subscribe"] == "events"
+    assert opts["failOnDataLoss"] == "true"
+    assert int(opts["maxOffsetsPerTrigger"]) > 0
+    # no connector jar in this container: the reader must fail loudly
+    # with submit guidance, not silently degrade
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "broker:9092", "events")
