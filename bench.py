@@ -33,9 +33,14 @@ HEADLINE = [
     "dd_minhash_lsh",
     "dd_embedding_cosine",
     "sim_topk_join",
+    "sim_rp_lsh",
     "tx_quality",
+    "tx_repetition",
+    "tx_gopher_quality",
     "mr_wordcount",
     "mr_pagerank",
+    "q9_profit_proxy",
+    "q21_blocking_supplier",
 ]
 
 
