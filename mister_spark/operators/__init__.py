@@ -17,6 +17,7 @@ def load() -> None:
         extras,
         extras2,
         pipeline,
+        pipeline2,
         windows,
         joins_sets,
         stats,
