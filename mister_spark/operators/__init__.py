@@ -16,6 +16,7 @@ def load() -> None:
         tpch3,
         extras,
         extras2,
+        extras3,
         pipeline,
         pipeline2,
         windows,
