@@ -15,6 +15,7 @@ from mister_spark.streaming import (
     run_stream_enrich,
     run_stream_sessionize,
     run_stream_sliding,
+    run_stream_stream_join,
     run_stream_tumbling,
 )
 
@@ -42,3 +43,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_enrich")  # streaming execution → rows-only; pytest parity
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_enrich(spark, sf_dir)
+
+
+@query("stream_stream_join")  # streaming execution → rows-only; pytest parity
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_stream_join(spark, sf_dir)

@@ -255,3 +255,46 @@ def run_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.select("c_mktsegment", "n", (F.col("total_c") / 100).alias("total"))
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases x errors for the same
+    user with the error inside (purchase, purchase + 5 min] — the
+    streaming twin of batch ev_range_join (operators/events.py), same
+    output contract (purchase_id, error_id).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions, so Spark can prove when a row can no
+    longer match and evict it: per-side state is the last
+    watermark + band worth of rows, not the whole stream. An inner
+    interval join in append mode emits each pair exactly once, as soon
+    as both rows have arrived. This is the canonical clickstream
+    attribution join (impression x conversion within N minutes)."""
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    errors = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + interval 5 minutes"
+        ),
+    )
+    out = _run_to_memory(joined.select("purchase_id", "error_id"), "append")
+    return out

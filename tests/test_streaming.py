@@ -112,3 +112,15 @@ def test_kafka_surface(spark):
     # with submit guidance, not silently degrade
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "broker:9092", "events")
+
+
+def test_stream_stream_join_matches_batch(spark):
+    # sf0.001 has zero qualifying pairs (sparse stream); use sf0.01 so
+    # the parity assert is non-vacuous.
+    sf = "/root/testdata/sf0.01"
+    batch = registry.QUERIES["ev_range_join"](spark, sf)
+    stream = registry.QUERIES["stream_stream_join"](spark, sf)
+    b = {(r["purchase_id"], r["error_id"]) for r in batch.collect()}
+    s = {(r["purchase_id"], r["error_id"]) for r in stream.collect()}
+    assert len(b) > 0
+    assert b == s
