@@ -15,7 +15,10 @@ import json
 import os
 import time
 
+import shutil
+
 from mister_spark import get_session, registry
+from mister_spark.catalog import Catalog
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -41,6 +44,10 @@ HEADLINE = [
     "mr_pagerank",
     "q9_profit_proxy",
     "q21_blocking_supplier",
+    "tx_tfidf",
+    "ds_pack",
+    "ds_contamination",
+    "scd2_upsert",
 ]
 
 
@@ -57,6 +64,32 @@ def main() -> None:
         fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # Write-path benchmarks, reported separately (NOT in "value" so the
+    # headline total stays comparable across rounds): steady-state
+    # parquet write of the largest fact table, plain and partitioned.
+    out_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_write")
+    li = Catalog(spark, sf_dir)["lineitem"]
+    li.count()  # warm input page cache
+    writes: dict[str, float] = {}
+
+    def timed_write(name: str, write) -> None:
+        dest = os.path.join(out_root, name)
+        shutil.rmtree(dest, ignore_errors=True)
+        t0 = time.perf_counter()
+        write(dest)
+        writes[name] = round(time.perf_counter() - t0, 3)
+
+    timed_write(
+        "lineitem_parquet", lambda d: li.write.mode("overwrite").parquet(d)
+    )
+    timed_write(
+        "lineitem_parquet_by_flag",
+        lambda d: li.repartition("l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(d),
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -64,6 +97,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "writes": writes,
                 "sf": sf,
             }
         )
