@@ -409,3 +409,60 @@ def scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint").alias("is_current"),
     )
     return unchanged.unionAll(closed).unionAll(opened)
+
+
+@query(
+    "w_percent_rank",
+    oracle="""
+    WITH s AS (SELECT c_custkey AS custkey, c_mktsegment AS segment,
+                      FLOOR(c_acctbal * 100 + 0.5) / 100 AS bal
+               FROM customer)
+    SELECT custkey, segment, bal,
+           FLOOR(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+           FLOOR(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+    FROM s WINDOW w AS (PARTITION BY segment ORDER BY bal, custkey)
+    """,
+)
+def w_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every customer's balance inside its market
+    segment: percent_rank (share strictly below) and cume_dist (share at
+    or below), ordered on the rounded balance with a custkey tiebreak so
+    tie handling is identical cross-engine.
+
+    Scale: one shuffle partitioned by segment; each partition sorts
+    independently. Low segment cardinality → few fat partitions, so at
+    100 TB the scale path is range-partitioning within segment and
+    computing ranks from per-range counts (two narrow passes)."""
+    cust = cat(spark, sf_dir)["customer"]
+    s = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        money(F.col("c_acctbal")).alias("bal"),
+    )
+    w = Window.partitionBy("segment").orderBy("bal", "custkey")
+    return s.select(
+        "custkey",
+        "segment",
+        "bal",
+        ratio(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@query("stat_freq_items")  # sketch output → rows-only; pytest superset gate
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via DataFrame.stat.freqItems (Karp/Misra-Gries
+    style single-pass sketch): items covering ≥10% of events, exploded
+    to one row per candidate. The sketch guarantees a SUPERSET of the
+    truly frequent items (false positives possible, never false
+    negatives) — the pytest gate asserts exactly that contract against
+    an exact count.
+
+    Scale: constant memory per partition (k=1/support counters) and a
+    single narrow pass + tiny merge — the classic streaming answer when
+    an exact groupBy's key cardinality would blow the shuffle."""
+    ev = cat(spark, sf_dir)["events"]
+    out = ev.stat.freqItems(["event_type"], support=0.1)
+    return out.select(
+        F.explode(F.col("event_type_freqItems")).alias("item")
+    )

@@ -1,4 +1,4 @@
-"""Source/sink registry: parquet, CSV, JSON(L), in-memory.
+"""Source/sink registry: parquet, ORC, CSV, JSON(L), text, in-memory.
 
 Format-specific options are pinned to schema-stable defaults (headers on
 CSV, explicit schemas honored, UTC timestamps via the session). Writers
@@ -84,6 +84,34 @@ def write_parquet(
     sort_by: list[str] | None = None,
 ) -> None:
     _apply_layout(df, partition_by, sort_by).parquet(path)
+
+
+@_reader("orc")
+def read_orc(spark: SparkSession, path: str, **opts) -> DataFrame:
+    return spark.read.options(**opts).orc(path)
+
+
+@_writer("orc")
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    # ORC gets the same layout controls as parquet: partition pruning +
+    # clustered stripes (ORC keeps min/max stripe stats like parquet pages)
+    _apply_layout(df, partition_by, sort_by).orc(path)
+
+
+@_reader("text")
+def read_text(spark: SparkSession, path: str, **opts) -> DataFrame:
+    """One string column `value` per line — the raw-corpus entry point."""
+    return spark.read.options(**opts).text(path)
+
+
+@_writer("text")
+def write_text(df: DataFrame, path: str, **opts) -> None:
+    df.write.mode("overwrite").options(**opts).text(path)
 
 
 @_writer("csv")

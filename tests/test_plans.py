@@ -86,3 +86,37 @@ def test_range_join_is_equijoin(spark):
 def test_sim_queries_broadcast_query_side(spark):
     df = registry.QUERIES["sim_topk_join"](spark, SF)
     assert "BroadcastNestedLoopJoin" in physical_plan(df) or has_broadcast_join(df)
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    df = registry.QUERIES["tx_tfidf"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_contamination_broadcasts_bench_set(spark):
+    df = registry.QUERIES["ds_contamination"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_gap_fill_broadcasts_grid(spark):
+    df = registry.QUERIES["ev_gap_fill"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_freq_items_superset_of_exact(spark):
+    """freqItems must return a superset of the truly-frequent items."""
+    from pyspark.sql import functions as F
+
+    from mister_spark.catalog import Catalog
+
+    got = {r["item"] for r in registry.QUERIES["stat_freq_items"](spark, SF).collect()}
+    ev = Catalog(spark, SF)["events"]
+    total = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.1 * total)
+        .collect()
+    }
+    assert exact <= got, (exact, got)

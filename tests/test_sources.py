@@ -50,3 +50,33 @@ def test_sorted_write_roundtrip(spark, sf_dir):
     write(li, "parquet", path, sort_by=["l_shipdate"])
     back = read(spark, "parquet", path)
     assert back.count() == li.count()
+
+
+def test_orc_roundtrip(spark, sf_dir):
+    supplier = Catalog(spark, sf_dir)["supplier"]
+    path = f"{TMP}/supplier_orc"
+    write(supplier, "orc", path)
+    back = read(spark, "orc", path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, supplier.collect()))
+
+
+def test_orc_partitioned_prunes(spark, sf_dir):
+    orders = Catalog(spark, sf_dir)["orders"]
+    path = f"{TMP}/orders_orc_by_status"
+    write(orders, "orc", path, partition_by=["o_orderstatus"])
+    back = read(spark, "orc", path).filter(F.col("o_orderstatus") == "F")
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_text_roundtrip(spark, sf_dir):
+    docs = Catalog(spark, sf_dir)["documents"].select("text")
+    path = f"{TMP}/docs_text"
+    write(docs, "text", path)
+    back = read(spark, "text", path)
+    # line-oriented: one row per line, content preserved (docs are single-line)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )
