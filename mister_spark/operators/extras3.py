@@ -466,3 +466,140 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.explode(F.col("event_type_freqItems")).alias("item")
     )
+
+
+@query(
+    "tx_inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+               WHERE len({DUCK_TOKENS}) >= 1),
+    ex AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM ex GROUP BY term
+    """,
+)
+def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → sorted doc-id posting list (emitted
+    as a comma-joined string so both engines serialize identically).
+    The core IR/search structure, and the batch shape of every
+    search-index bootstrap job.
+
+    Scale: explode + per-doc distinct, then ONE shuffle on term;
+    posting lists are built with collect_list + sort_array inside the
+    aggregate — per-term memory is the posting list itself, which is
+    exactly the output row. For web-scale terms (stopword-like df)
+    you'd cap or shard postings (term, shard) — same plan with a salt
+    column."""
+    docs = cat(spark, sf_dir)["documents"]
+    t = docs.select("doc_id", tokens().alias("toks")).filter(F.size("toks") >= 1)
+    ex = t.select(F.explode(F.array_distinct("toks")).alias("term"), "doc_id")
+    return ex.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@query(
+    "ev_forward_fill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    hr AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                  FLOOR(SUM(value) * 100 + 0.5) / 100 AS total
+           FROM events GROUP BY 1, 2),
+    grid AS (SELECT g.h, ty.event_type, hr.total
+             FROM g CROSS JOIN ty
+             LEFT JOIN hr ON hr.h = g.h AND hr.event_type = ty.event_type)
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, event_type,
+           CAST(total IS NOT NULL AS BIGINT) AS observed,
+           COALESCE(last_value(total IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY h
+                            ROWS UNBOUNDED PRECEDING), 0.0) AS filled_total
+    FROM grid
+    """,
+)
+def ev_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) over the dense
+    hourly grid: empty (hour, type) cells inherit the most recent
+    observed hourly total, 0.0 before the first observation — the
+    standard imputation for sensor/metric series feeding models that
+    can't take NULLs.
+
+    Scale: same broadcast-grid left join as ev_gap_fill, then one
+    window partitioned by type ordered by hour — the fill never looks
+    across keys, so it parallelizes per key; at high key cardinality
+    this is embarrassingly parallel after one shuffle."""
+    ev = cat(spark, sf_dir)["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        money(F.sum("value")).alias("total")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    full = F.broadcast(grid.crossJoin(types)).join(
+        hourly, ["h", "event_type"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return full.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        F.col("total").isNotNull().cast("bigint").alias("observed"),
+        F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "filled_total"
+        ),
+    )
+
+
+@query(
+    "ds_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(FLOOR(log2(n_tokens)) AS BIGINT) AS bucket
+          FROM t WHERE n_tokens >= 1)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def ds_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: assign every document to a power-of-2
+    token-length bucket (floor(log2(n))) and profile each bucket — how
+    training pipelines group samples of similar length so batches pad
+    minimally (padding waste is bounded by 2× within a bucket).
+
+    Scale: pure map + one partial-agg shuffle on a ~log-cardinality
+    key; this is the cheapest possible profile of a 100 TB corpus. The
+    bucket id doubles as the batching partition key downstream
+    (repartition('bucket') → length-homogeneous executor batches)."""
+    docs = cat(spark, sf_dir)["documents"]
+    t = docs.select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    b = t.withColumn("bucket", F.floor(F.log2("n_tokens")).cast("bigint"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
