@@ -28,6 +28,8 @@ def load() -> None:
         similarity,
         multimodal,
         streaming_queries,
+        ml,
+        sql_api,
     )
 
     _LOADED = True

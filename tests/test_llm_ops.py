@@ -171,3 +171,16 @@ def test_sim_rp_lsh_recall(spark):
     assert true
     assert got <= true  # exact-verified: no false positives
     assert len(got & true) / len(true) >= 0.8  # measured 0.94 @ sf0.001
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    from mister_spark.catalog import Catalog
+    from mister_spark.operators.ml import kmeans
+
+    profile, history = kmeans(spark, sf_dir, k=5, iters=3)
+    rows = profile.collect()
+    n_total = Catalog(spark, sf_dir)["embeddings"].count()
+    assert sum(r["n"] for r in rows) == n_total  # every vector assigned
+    assert len(rows) <= 5
+    # Lloyd's iterations never increase total inertia
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:])), history

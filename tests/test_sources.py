@@ -80,3 +80,19 @@ def test_text_roundtrip(spark, sf_dir):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         r["text"] for r in docs.collect()
     )
+
+
+def test_compaction(spark, sf_dir):
+    import glob
+
+    from mister_spark.sources import compact
+
+    nation = Catalog(spark, sf_dir)["nation"]
+    path = f"{TMP}/nation_fragmented"
+    nation.repartition(50).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) > 10  # genuinely fragmented
+    n = compact(spark, path, target_mb=128)
+    assert n == 1
+    assert len(glob.glob(f"{path}/part-*")) == 1
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
