@@ -17,6 +17,7 @@ def load() -> None:
         extras,
         extras2,
         extras3,
+        extras4,
         pipeline,
         pipeline2,
         windows,

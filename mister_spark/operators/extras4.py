@@ -1,0 +1,193 @@
+"""Relational wave 4: MapReduce secondary sort, unpivot/melt, full
+outer reconciliation, per-group mode, and calendar heatmap.
+
+Small, ubiquitous shapes that complete the surface: ordered per-key
+folds (the classic MR "secondary sort"), wide→long reshaping, the
+both-sides-preserved reconciliation join, deterministic mode, and the
+dow×hour activity matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mister_spark.operators.common import cat, money, ratio
+from mister_spark.registry import query
+
+
+@query(
+    "mr_secondary_sort",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date,
+           string_agg(o_orderkey, ',' ORDER BY o_orderdate, o_orderkey)
+             AS order_seq
+    FROM orders GROUP BY 1
+    """,
+)
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapReduce 'secondary sort' pattern: per key, a fold over
+    values in a defined order (each customer's order ids in date order)
+    — what classic MR does with composite keys + grouping comparators,
+    expressed here as sort_array(collect_list(struct(sortkey, value))).
+
+    Scale: ONE shuffle on the grouping key; ordering happens inside
+    each aggregate buffer (struct sort), never as a global sort. The
+    per-key list is the output payload itself, so memory is bounded by
+    the largest group — the same bound classic MR secondary sort has."""
+    orders = cat(spark, sf_dir)["orders"]
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+            lambda s: s["o_orderkey"].cast("string"),
+        ),
+        ",",
+    )
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+        seq.alias("order_seq"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS views,
+                      CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                        AS purchases
+               FROM events GROUP BY 1)
+    SELECT day, 'views' AS metric, views AS n FROM w
+    UNION ALL SELECT day, 'clicks', clicks FROM w
+    UNION ALL SELECT day, 'purchases', purchases FROM w
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): a conditional-aggregate wide table
+    (one column per metric) unpivoted back to (day, metric, value)
+    rows via DataFrame.unpivot — the inverse of agg_pivot.
+
+    Scale: unpivot is a zero-shuffle map-side explode (k output rows
+    per input row); the only shuffle is the upstream day aggregate."""
+    ev = cat(spark, sf_dir)["events"]
+    w = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    return w.unpivot("day", ["views", "clicks", "purchases"], "metric", "n")
+
+
+@query(
+    "j_full_outer",
+    oracle="""
+    WITH dim AS (SELECT c_custkey, FLOOR(c_acctbal * 100 + 0.5) / 100 AS bal
+                 FROM customer WHERE c_acctbal > 9000),
+    fact AS (SELECT o_custkey, FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             GROUP BY 1)
+    SELECT CAST(COALESCE(dim.c_custkey, fact.o_custkey) AS BIGINT) AS custkey,
+           CAST(dim.c_custkey IS NOT NULL AS BIGINT) AS in_dim,
+           CAST(fact.o_custkey IS NOT NULL AS BIGINT) AS in_fact,
+           COALESCE(dim.bal, 0.0) AS bal,
+           COALESCE(fact.total, 0.0) AS total
+    FROM dim FULL OUTER JOIN fact ON dim.c_custkey = fact.o_custkey
+    """,
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: high-balance customers vs customers
+    with 1998 order volume, preserving unmatched rows on BOTH sides
+    with presence flags — the audit/diff join (which dim rows have no
+    activity, which activity has no dim row).
+
+    Scale: full outer forces a shuffle join (no broadcast path
+    preserves both unmatched sides); both inputs are pre-filtered and
+    pre-aggregated so the shuffle carries reduced keys only, and AQE
+    handles any residual skew."""
+    c = cat(spark, sf_dir)
+    dim = (
+        c["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", money(F.col("c_acctbal")).alias("bal"))
+    )
+    fact = (
+        c["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(money(F.sum("o_totalprice")).alias("total"))
+    )
+    j = dim.join(fact, dim.c_custkey == fact.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").cast("bigint").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("bigint").alias("in_dim"),
+        F.col("o_custkey").isNotNull().cast("bigint").alias("in_fact"),
+        F.coalesce("bal", F.lit(0.0)).alias("bal"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@query(
+    "stat_mode",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM
+      (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY n DESC, o_orderpriority) AS rk
+       FROM c) WHERE rk = 1
+    """,
+)
+def stat_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent order priority per status) with a
+    deterministic lexicographic tiebreak — built as count + top-1
+    window rather than an engine mode() aggregate, whose tie behavior
+    is engine-defined.
+
+    Scale: the count collapses to |status × priority| rows before the
+    window, so the rank runs on a dimension-sized frame."""
+    orders = cat(spark, sf_dir)["orders"]
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@query(
+    "ev_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count and value by ISO day-of-week ×
+    hour — the usage-pattern matrix behind every ops dashboard. Spark's
+    dayofweek is Sunday=1, so it is remapped to ISO (Mon=1..Sun=7) to
+    match DuckDB's isodow.
+
+    Scale: pure partial-aggregable groupBy on a 7×24-key space — the
+    shuffle moves at most 168 rows per map task."""
+    ev = cat(spark, sf_dir)["events"]
+    iso = ((F.dayofweek("ts") + 5) % 7) + 1
+    return ev.groupBy(
+        iso.cast("bigint").alias("dow"), F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        money(F.sum("value")).alias("total"),
+    )
