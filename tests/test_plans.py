@@ -120,3 +120,22 @@ def test_freq_items_superset_of_exact(spark):
         .collect()
     }
     assert exact <= got, (exact, got)
+
+
+def test_single_shuffle_ops(spark):
+    """Ops whose scale story is 'ONE shuffle' must keep planning one."""
+    for name in (
+        "ds_pack",
+        "ds_global_shuffle",
+        "mr_secondary_sort",
+        "ev_heatmap",
+        "agg_unpivot",
+        "w_rolling_range",
+        "stat_regression",
+        "tx_inverted_index",
+        "ds_length_buckets",
+        "w_percent_rank",
+        "sql_portable",
+    ):
+        df = registry.QUERIES[name](spark, SF)
+        assert count_shuffles(df) == 1, (name, physical_plan(df))
