@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from mister_spark.operators.common import cat, money, ratio
+from mister_spark.operators.common import cat, money, ratio, rnd
 from mister_spark.registry import query
 
 
@@ -190,4 +190,78 @@ def ev_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         money(F.sum("value")).alias("total"),
+    )
+
+
+@query(
+    "ev_rollup_reuse",
+    oracle="""
+    WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2)
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           SUM(cents) / 100.0 AS total
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def ev_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup reuse: daily totals
+    computed FROM the hourly rollup rather than the raw stream —
+    the continuous-aggregate pattern (TimescaleDB/Druid): maintain the
+    finest rollup incrementally, derive coarser grains from it. Hourly
+    sums are kept as integer cents so the re-aggregation is
+    order-independent and exact at any level.
+
+    Scale: the daily query touches |hours × types| rows instead of the
+    raw fact table — at 100 TB that's the difference between a scan
+    and a lookup. The hourly rollup itself is one partial-agg shuffle
+    and is exactly what stream_tumbling maintains incrementally; both
+    levels share grouping keys, so AQE coalesces the second exchange
+    into a near-no-op."""
+    ev = cat(spark, sf_dir)["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        (F.sum("cents") / 100.0).alias("total"),
+    )
+
+
+@query("w_ntile_approx")  # approximate boundaries → rows-only; pytest vs exact
+def w_ntile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles via approx_percentile boundaries — the
+    documented scale path for w_ntile_deciles. Instead of one global
+    sorted window (single-partition at 100 TB), compute the 9 decile
+    boundaries with a mergeable t-digest, broadcast them, and bucket
+    each row map-side: full parallelism, no global sort, at the cost
+    of approximate tile edges (pytest pins ≤1 decile drift and ≥80%
+    exact agreement vs the exact window).
+
+    Scale: one partial-agg shuffle for spend, one 1-row sketch
+    aggregate, zero shuffles for the bucketing itself."""
+    orders = cat(spark, sf_dir)["orders"]
+    s = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        rnd(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    bounds = s.agg(
+        F.percentile_approx(
+            "spend", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("bs")
+    )
+    below = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("spend") > b, 1).otherwise(0),
+    )
+    return s.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "spend",
+        (F.lit(10) - below).cast("bigint").alias("decile"),
     )

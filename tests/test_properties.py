@@ -84,3 +84,23 @@ def test_mrjob_wordcount_matches_declarative(spark, texts):
         .collect()
     }
     assert via_job == declarative
+
+
+def test_ntile_approx_tracks_exact(spark):
+    """Approx-boundary deciles: ≤1 tile drift, ≥80% exact agreement."""
+    from mister_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["custkey"]: r["decile"]
+        for r in registry.QUERIES["w_ntile_deciles"](spark, sf).collect()
+    }
+    approx = {
+        r["custkey"]: r["decile"]
+        for r in registry.QUERIES["w_ntile_approx"](spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    drift = [abs(exact[k] - approx[k]) for k in exact]
+    assert max(drift) <= 1, max(drift)
+    assert sum(d == 0 for d in drift) / len(drift) >= 0.8
