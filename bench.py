@@ -48,6 +48,7 @@ HEADLINE = [
     "ds_pack",
     "ds_contamination",
     "scd2_upsert",
+    "ds_curate",
 ]
 
 

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from mister_spark.functions.text import DUCK_TOKENS, tokens, trigrams
+from mister_spark.functions.text import DUCK_TOKENS, bigrams, tokens, trigrams
+from mister_spark.operators.pipeline import STOPWORDS
 from mister_spark.operators.common import cat, ratio, rnd
 from mister_spark.registry import query
 
@@ -202,4 +203,175 @@ def ds_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         hits.alias("hits"),
         ratio(hits.cast("double") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+REP_SHARE_MAX = 0.1  # top-bigram share gate
+REP_DUP_MAX = 0.05  # duplicate-trigram ratio gate
+
+
+@query(
+    "ds_curate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents),
+    base AS (SELECT doc_id, text, toks,
+                    CAST(len(toks) AS BIGINT) AS n,
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(toks, x -> len(x))), (a, b) -> a + b)
+                         AS DOUBLE) / len(toks) AS mean_len,
+                    len(list_filter(toks,
+                          x -> list_contains(['the','a','of','and','to','in'], x)))
+                      AS stop_hits
+             FROM t WHERE len(toks) >= 1),
+    big AS (SELECT doc_id,
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tg
+            FROM base WHERE n >= 3),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS bigram FROM big) GROUP BY 1, 2),
+    rep AS (SELECT cnt.doc_id,
+                   CAST(MAX(cnt.c) AS DOUBLE) / SUM(cnt.c) AS share,
+                   ANY_VALUE(d.dup) AS dup
+            FROM cnt JOIN (SELECT doc_id,
+                                  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                                    / len(tg) AS dup
+                           FROM big) d ON cnt.doc_id = d.doc_id
+            GROUP BY 1),
+    sh AS (SELECT doc_id, list_distinct(tg) AS gs FROM big),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+    hit AS (SELECT ex.doc_id, COUNT(*) AS hits
+            FROM ex JOIN bench USING (g)
+            WHERE ex.doc_id % {BENCH_MOD} <> 0 GROUP BY 1),
+    dd AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+           FROM base)
+    SELECT base.doc_id, base.n AS n_tokens,
+           CAST(CASE WHEN base.n BETWEEN 30 AND 50000
+                      AND base.mean_len BETWEEN 2 AND 12
+                      AND base.stop_hits >= 1 THEN 1 ELSE 0 END AS INTEGER)
+             AS g_quality,
+           CAST(CASE WHEN base.n < 3 OR (rep.share < {REP_SHARE_MAX}
+                      AND rep.dup < {REP_DUP_MAX}) THEN 1 ELSE 0 END AS INTEGER)
+             AS g_rep,
+           CAST(CASE WHEN dd.keep_id = base.doc_id THEN 1 ELSE 0 END AS INTEGER)
+             AS g_dedup,
+           CAST(CASE WHEN COALESCE(hit.hits, 0) = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS g_decontam,
+           CAST(CASE WHEN base.doc_id % {BENCH_MOD} = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_bench,
+           CAST(CASE WHEN base.n BETWEEN 30 AND 50000
+                      AND base.mean_len BETWEEN 2 AND 12
+                      AND base.stop_hits >= 1
+                      AND (base.n < 3 OR (rep.share < {REP_SHARE_MAX}
+                           AND rep.dup < {REP_DUP_MAX}))
+                      AND dd.keep_id = base.doc_id
+                      AND COALESCE(hit.hits, 0) = 0
+                      AND base.doc_id % {BENCH_MOD} <> 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM base
+    LEFT JOIN rep ON base.doc_id = rep.doc_id
+    LEFT JOIN hit ON base.doc_id = hit.doc_id
+    JOIN dd ON base.doc_id = dd.doc_id
+    """,
+)
+def ds_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE declarative plan:
+    Gopher-style quality gate ∧ repetition gate ∧ exact-dedup
+    canonicalization ∧ benchmark decontamination, emitted as per-gate
+    bits + the final keep decision for every document. This is the
+    flagship composition — each gate is the same logic as its
+    standalone operator (tx_gopher_quality, tx_repetition, dd_exact,
+    ds_contamination), fused so Catalyst shares the single corpus scan
+    and schedules the gates' shuffles independently.
+
+    Scale: per-row gates (quality) are pure codegen; repetition
+    shuffles on (doc_id, bigram); dedup canonicalizes with a window
+    over the text key (at 100 TB: xxhash64(text) — 8-byte shuffle
+    rows, same plan); decontamination broadcasts the eval-set shingle
+    index. No gate blocks another — the plan is a DAG of independent
+    branches joined back on doc_id, so the critical path is the
+    slowest gate, not the sum."""
+    docs = cat(spark, sf_dir)["documents"]
+    base = (
+        docs.select("doc_id", "text", tokens().alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            "toks",
+            F.size("toks").cast("bigint").alias("n"),
+            (
+                F.aggregate(
+                    F.transform(F.col("toks"), F.length),
+                    F.lit(0).cast("bigint"),
+                    lambda a, b: a + b,
+                ).cast("double")
+                / F.size("toks")
+            ).alias("mean_len"),
+            F.size(
+                F.filter(
+                    F.col("toks"),
+                    lambda x: F.array_contains(
+                        F.array(*[F.lit(w) for w in STOPWORDS]), x
+                    ),
+                )
+            ).alias("stop_hits"),
+        )
+    )
+    big = base.filter(F.col("n") >= 3).select(
+        "doc_id", bigrams(F.col("toks")).alias("bg"), trigrams(F.col("toks")).alias("tg")
+    )
+    rep = (
+        big.select("doc_id", F.explode("bg").alias("bigram"),
+                   ((F.size("tg") - F.size(F.array_distinct("tg"))).cast("double")
+                    / F.size("tg")).alias("dup"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("dup").alias("dup"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("share"),
+            F.first("dup").alias("dup"),
+        )
+    )
+    ex = big.select("doc_id", F.explode(F.array_distinct("tg")).alias("g"))
+    is_bench_ex = F.col("doc_id") % BENCH_MOD == 0
+    bench = ex.filter(is_bench_ex).select("g").distinct()
+    hit = (
+        ex.filter(~is_bench_ex)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    keep_id = F.min("doc_id").over(Window.partitionBy("text"))
+    dd = base.select("doc_id", keep_id.alias("keep_id"))
+    j = (
+        base.join(rep, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .join(dd, "doc_id")
+    )
+    as_int = lambda c: F.when(c, 1).otherwise(0).cast("int")  # noqa: E731
+    g_quality = (
+        F.col("n").between(30, 50000)
+        & F.col("mean_len").between(2, 12)
+        & (F.col("stop_hits") >= 1)
+    )
+    g_rep = (F.col("n") < 3) | (
+        (F.col("share") < REP_SHARE_MAX) & (F.col("dup") < REP_DUP_MAX)
+    )
+    g_dedup = F.col("keep_id") == F.col("doc_id")
+    g_decontam = F.coalesce(F.col("hits"), F.lit(0)) == 0
+    not_bench = F.col("doc_id") % BENCH_MOD != 0
+    return j.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        as_int(g_quality).alias("g_quality"),
+        as_int(g_rep).alias("g_rep"),
+        as_int(g_dedup).alias("g_dedup"),
+        as_int(g_decontam).alias("g_decontam"),
+        as_int(~not_bench).alias("is_bench"),
+        as_int(g_quality & g_rep & g_dedup & g_decontam & not_bench).alias("keep"),
     )
