@@ -265,3 +265,83 @@ def w_ntile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend",
         (F.lit(10) - below).cast("bigint").alias("decile"),
     )
+
+
+_PROFILE_COLS = [
+    # (name, portable expression producing a string-typed value)
+    ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice_cents", "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@query(
+    "stat_profile",
+    oracle="""
+    WITH s AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+                      CAST(o_custkey AS VARCHAR) AS o_custkey,
+                      o_orderstatus,
+                      CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR) AS o_totalprice_cents,
+                      o_orderpriority
+               FROM orders)
+    SELECT 'o_orderkey' AS col, CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           MIN(o_orderkey) AS min_v, MAX(o_orderkey) AS max_v FROM s
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           MIN(o_custkey), MAX(o_custkey) FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus) FROM s
+    UNION ALL
+    SELECT 'o_totalprice_cents', CAST(COUNT(*) - COUNT(o_totalprice_cents) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice_cents) AS BIGINT),
+           MIN(o_totalprice_cents), MAX(o_totalprice_cents) FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority) FROM s
+    """,
+)
+def stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (df.summary()-style, but deterministic and
+    cross-engine): per column — null count, distinct count, min, max,
+    all as strings so heterogeneous columns stack into one long frame.
+    Numeric min/max are profiled on integer cents to dodge
+    engine-specific float-to-string formatting.
+
+    Scale: ONE pass over the table computing every column's aggregates
+    together (5 columns × 4 aggs in a single partial-aggregable agg),
+    then a map-side unpivot of the 1-row result — never k scans for k
+    columns. COUNT(DISTINCT) multi-column rewrites to expand; for very
+    wide tables swap in approx_count_distinct (one pass, no expand)."""
+    orders = cat(spark, sf_dir)["orders"]
+    s = orders.selectExpr(*[f"{expr} AS {name}" for name, expr in _PROFILE_COLS])
+    aggs = []
+    for name, _ in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).cast("bigint").alias(f"{name}__nulls"),
+            F.countDistinct(name).cast("bigint").alias(f"{name}__distinct"),
+            F.min(name).alias(f"{name}__min"),
+            F.max(name).alias(f"{name}__max"),
+        ]
+    wide = s.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(name).alias("col"),
+            F.col(f"{name}__nulls").alias("n_nulls"),
+            F.col(f"{name}__distinct").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_v"),
+            F.col(f"{name}__max").alias("max_v"),
+        )
+        for name, _ in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

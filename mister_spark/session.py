@@ -51,6 +51,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter pruning for selective fact-fact shuffle
+        # joins; a no-op below its size thresholds (i.e. at local test
+        # SF) but the correct default on a 100 TB cluster
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as long and convert in Catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
