@@ -345,3 +345,51 @@ def stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "mr_cogroup",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS spend
+               FROM orders GROUP BY 1),
+    e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 FLOOR(SUM(value) * 100 + 0.5) / 100 AS ev_value
+          FROM events GROUP BY 1)
+    SELECT CAST(COALESCE(o.k, e.k) AS BIGINT) AS key,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(o.spend, 0.0) AS spend,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(e.ev_value, 0.0) AS ev_value
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapReduce cogroup primitive: two keyed sources (orders by
+    customer, events by user) reduced independently, then aligned
+    per key with both sides' groups present — zeros where a source has
+    no rows for the key. RDD cogroup re-expressed as
+    aggregate-then-full-outer, which is both leaner (groups collapse
+    BEFORE the join) and AQE-optimizable.
+
+    Scale: each source partial-aggregates to its key space before the
+    join, so the full-outer shuffle carries one row per key per source
+    — never the raw fact rows. With both aggs sharing the same key,
+    the join reuses their shuffle partitioning (zero extra exchange)."""
+    c = cat(spark, sf_dir)
+    o = c["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("spend"),
+    )
+    e = c["events"].groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        money(F.sum("value")).alias("ev_value"),
+    )
+    j = o.join(e, o.k == e.k, "full_outer")
+    return j.select(
+        F.coalesce(o.k, e.k).cast("bigint").alias("key"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("ev_value", F.lit(0.0)).alias("ev_value"),
+    )
