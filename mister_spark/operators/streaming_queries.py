@@ -16,6 +16,7 @@ from mister_spark.streaming import (
     run_stream_sessionize,
     run_stream_sliding,
     run_stream_stream_join,
+    run_stream_stream_left_join,
     run_stream_tumbling,
 )
 
@@ -48,3 +49,8 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_stream_join")  # streaming execution → rows-only; pytest parity
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
+
+
+@query("stream_stream_left_join")  # streaming execution → rows-only; pytest parity
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_stream_left_join(spark, sf_dir)

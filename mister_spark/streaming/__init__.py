@@ -4,6 +4,7 @@ from mister_spark.streaming.jobs import (
     run_stream_sessionize,
     run_stream_sliding,
     run_stream_stream_join,
+    run_stream_stream_left_join,
     run_stream_tumbling,
     stage_events_stream,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "run_stream_sessionize",
     "run_stream_sliding",
     "run_stream_stream_join",
+    "run_stream_stream_left_join",
     "run_stream_tumbling",
     "stage_events_stream",
     "kafka_sink_options",

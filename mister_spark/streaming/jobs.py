@@ -298,3 +298,46 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(joined.select("purchase_id", "error_id"), "append")
     return out
+
+
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits,
+    matched to errors in its 5-minute window or with a NULL error_id
+    once the watermark proves no match can still arrive. The outer side
+    is the attribution case the inner join can't answer: "which
+    purchases had NO nearby error?"
+
+    Outer results cannot stream out eagerly — a purchase is only
+    provably unmatched when the watermark passes its window end, so
+    emission latency is the watermark delay; purchases whose window
+    extends past the FINAL watermark (the stream's tail) correctly
+    remain in state, still awaiting proof. The parity test accounts
+    for exactly that tail window."""
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    errors = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + interval 5 minutes"
+        ),
+        "leftOuter",
+    )
+    return _run_to_memory(joined.select("purchase_id", "error_id"), "append")

@@ -124,3 +124,57 @@ def test_stream_stream_join_matches_batch(spark):
     s = {(r["purchase_id"], r["error_id"]) for r in stream.collect()}
     assert len(b) > 0
     assert b == s
+
+
+def test_stream_stream_left_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    stream = registry.QUERIES["stream_stream_left_join"](spark, sf)
+    s = {(r["purchase_id"], r["error_id"]) for r in stream.collect()}
+    # batch twin: every purchase exactly once unless matched
+    from mister_spark.catalog import Catalog
+
+    ev = Catalog(spark, sf)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pt"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("eu"),
+        F.col("ts").alias("et"),
+    )
+    b = p.join(
+        e,
+        (F.col("pu") == F.col("eu"))
+        & (F.col("et") > F.col("pt"))
+        & (F.col("et") <= F.col("pt") + F.expr("interval 5 minutes")),
+        "left",
+    ).select("purchase_id", "error_id")
+    bset = {(r["purchase_id"], r["error_id"]) for r in b.collect()}
+    assert len(s) > 0
+    # matched pairs must agree exactly
+    assert {x for x in s if x[1] is not None} == {
+        x for x in bset if x[1] is not None
+    }
+    # unmatched (NULL) rows: streaming may legitimately withhold
+    # purchases whose join window extends past the final watermark
+    # (tail of the stream) — everything else must agree
+    assert {x for x in s if x[1] is None} <= {x for x in bset if x[1] is None}
+    missing = {x[0] for x in bset if x[1] is None} - {x[0] for x in s}
+    if missing:
+        max_p = p.agg(F.max("pt")).collect()[0][0]
+        max_e = e.agg(F.max("et")).collect()[0][0]
+        import datetime
+
+        final_wm = min(max_p, max_e) - datetime.timedelta(minutes=10)
+        tail = {
+            r["purchase_id"]
+            for r in p.filter(
+                F.col("pt") + F.expr("interval 5 minutes")
+                >= F.lit(final_wm)
+            ).collect()
+        }
+        assert missing <= tail, (missing - tail, final_wm)
