@@ -96,3 +96,45 @@ def test_compaction(spark, sf_dir):
     assert len(glob.glob(f"{path}/part-*")) == 1
     back = spark.read.parquet(path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_zorder_clusters_both_columns(spark):
+    """Z-ordered files must keep BOTH key columns partially clustered,
+    beating a single-column sort on the secondary column."""
+    import glob
+
+    from mister_spark.sources import write_zordered
+
+    sf = "/root/testdata/sf0.01"  # enough rows for 8 meaningful files
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    path = f"{TMP}/lineitem_zorder"
+    write_zordered(li, path, "l_partkey", "l_suppkey", n_files=8)
+
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    tot_p, tot_s = g[1] - g[0], g[3] - g[2]
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == 8
+    sp_p, sp_s = [], []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_partkey"),
+                F.max("l_partkey"),
+                F.min("l_suppkey"),
+                F.max("l_suppkey"),
+            )
+            .collect()[0]
+        )
+        sp_p.append((r[1] - r[0]) / tot_p)
+        sp_s.append((r[3] - r[2]) / tot_s)
+    # measured ≈0.36 / 0.57; generous margins against sampling variance
+    assert sum(sp_p) / len(sp_p) < 0.8
+    assert sum(sp_s) / len(sp_s) < 0.8
+    # data intact
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
