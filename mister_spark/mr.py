@@ -45,11 +45,23 @@ class MrJob:
     map_schema: str | None = None
     reduce_keys: tuple[str, ...] = ()
     reduce_schema: str | None = None
+    #: classic MR knobs — None keeps Spark/AQE defaults
+    map_partitions: int | None = None  #: prepare(): input-split count
+    reduce_partitions: int | None = None  #: numReduceTasks equivalent
 
     # -- map phase -------------------------------------------------------
     def map(self, batch: pd.DataFrame) -> pd.DataFrame:  # noqa: A003
         """Transform one Arrow batch; default identity."""
         return batch
+
+    # -- combine phase ---------------------------------------------------
+    def combine(self, group: pd.DataFrame) -> pd.DataFrame:
+        """Optional map-side combiner: partial-reduce one key group
+        WITHIN a map batch before the shuffle (same contract as
+        ``reduce``). Spark's declarative aggregates combine
+        automatically; this hook restores that for imperative reduces,
+        shrinking shuffle volume from rows to keys-per-batch."""
+        raise NotImplementedError
 
     # -- reduce phase ----------------------------------------------------
     def reduce_exprs(self) -> list[Column] | None:
@@ -61,18 +73,37 @@ class MrJob:
         raise NotImplementedError
 
     # -- driver ----------------------------------------------------------
+    def _has_combiner(self) -> bool:
+        return type(self).combine is not MrJob.combine
+
     def run(self, spark: SparkSession, source: DataFrame) -> DataFrame:
         df = source
-        if self.map_schema is not None:
+        if self.map_partitions:
+            # mister's prepare(count): control the input-split count
+            df = df.repartition(self.map_partitions)
+        if self.map_schema is not None or self._has_combiner():
             job = self
+            keys = list(self.reduce_keys)
 
             def _map_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for batch in it:
-                    yield job.map(batch)
+                    out = job.map(batch)
+                    if job._has_combiner() and keys and len(out):
+                        parts = [
+                            job.combine(g.reset_index(drop=True))
+                            for _, g in out.groupby(keys, sort=False)
+                        ]
+                        out = pd.concat(parts, ignore_index=True)
+                    yield out
 
-            df = df.mapInPandas(_map_batches, schema=self.map_schema)
+            schema = self.map_schema or self.reduce_schema
+            if schema is None:
+                raise ValueError("combiner needs map_schema or reduce_schema")
+            df = df.mapInPandas(_map_batches, schema=schema)
         if not self.reduce_keys:
             return df
+        if self.reduce_partitions:
+            df = df.repartition(self.reduce_partitions, *self.reduce_keys)
         grouped = df.groupBy(*self.reduce_keys)
         exprs = self.reduce_exprs()
         if exprs is not None:

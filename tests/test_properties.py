@@ -104,3 +104,53 @@ def test_ntile_approx_tracks_exact(spark):
     drift = [abs(exact[k] - approx[k]) for k in exact]
     assert max(drift) <= 1, max(drift)
     assert sum(d == 0 for d in drift) / len(drift) >= 0.8
+
+
+def test_mrjob_combiner_and_knobs(spark):
+    """Imperative MrJob with a combiner must equal the declarative
+    wordcount, with reduce parallelism pinned by the knob."""
+    import pandas as pd
+
+    from mister_spark.catalog import Catalog
+    from mister_spark.mr import MrJob
+
+    class WordCount(MrJob):
+        map_schema = "token string, n long"
+        reduce_keys = ("token",)
+        reduce_schema = "token string, n long"
+        map_partitions = 4
+        reduce_partitions = 8
+
+        def map(self, batch):
+            toks = (
+                batch["text"].str.split(" ").explode().replace("", pd.NA).dropna()
+            )
+            return pd.DataFrame({"token": toks, "n": 1})
+
+        def combine(self, group):
+            return pd.DataFrame(
+                {"token": [group["token"].iloc[0]], "n": [group["n"].sum()]}
+            )
+
+        def reduce(self, group):
+            return pd.DataFrame(
+                {"token": [group["token"].iloc[0]], "n": [group["n"].sum()]}
+            )
+
+    sf = "/root/testdata/sf0.001"
+    docs = Catalog(spark, sf)["documents"].select("text")
+    got = {r["token"]: r["n"] for r in WordCount().run(spark, docs).collect()}
+
+    from pyspark.sql import functions as F
+
+    want = {
+        r["token"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
