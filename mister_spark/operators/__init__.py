@@ -31,6 +31,7 @@ def load() -> None:
         streaming_queries,
         ml,
         sql_api,
+        bpe,
     )
 
     _LOADED = True

@@ -1,0 +1,120 @@
+"""BPE (byte-pair-encoding) vocabulary training, Spark-native.
+
+The tokenizer-training step of a pretraining pipeline (Sennrich et al.
+2016): start from characters, repeatedly merge the most frequent
+adjacent symbol pair. The corpus statistics are distributed (pair
+counting is a partial-agg shuffle over the word-type table); only the
+argmax pair — one row — comes back to the driver per merge, mirroring
+how the k-means model loop works (model driver-sized, data
+distributed).
+
+The merge rewrite is genuinely imperative (left-to-right greedy
+within each word), so it runs as an Arrow-batched mapInPandas over the
+word-type table — NOT over the corpus: BPE statistics only need
+(distinct word, frequency), which is Zipf-small relative to raw text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.functions.text import tokens
+from mister_spark.operators.common import cat
+from mister_spark.registry import query
+
+N_MERGES = 10
+
+
+def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, syms) — the distinct-word table with char symbols."""
+    docs = cat(spark, sf_dir)["documents"]
+    words = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = F.filter(F.split("word", ""), lambda s: s != F.lit(""))
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    n = F.size("syms")
+    pairs = F.arrays_zip(
+        F.slice("syms", 1, n - 1).alias("l"), F.slice("syms", 2, n - 1).alias("r")
+    )
+    return (
+        wt.filter(n >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+
+
+def _merge_batch(left: str, right: str):
+    def fn(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "syms": out}
+            )
+
+    return fn
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[str, str, int]]:
+    """Run `n_merges` BPE merge steps; returns [(left, right, freq)].
+    Ties break on lexicographically smallest (left, right) so the merge
+    sequence is fully deterministic.
+
+    Scale: each step = one partial-agg shuffle over word TYPES (not
+    corpus tokens) + a 1-row argmax to the driver + a map-side Arrow
+    rewrite. localCheckpoint truncates lineage so 50k merges don't
+    stack 50k plans."""
+    wt = _word_types(spark, sf_dir).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(wt)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((l, r, c))
+        wt = wt.mapInPandas(
+            _merge_batch(l, r), schema="word string, freq long, syms array<string>"
+        ).localCheckpoint()
+    return merges
+
+
+@query("ds_bpe_merges")  # iterative/imperative → rows-only; pytest vs python ref
+def ds_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (step, left, right, freq) — the
+    artifact a tokenizer ships. Verified in pytest against a pure-
+    Python reference implementation on the same corpus."""
+    merges = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "step long, left string, right string, freq long",
+    )

@@ -184,3 +184,44 @@ def test_kmeans_invariants(spark, sf_dir):
     assert len(rows) <= 5
     # Lloyd's iterations never increase total inertia
     assert all(b <= a + 1e-9 for a, b in zip(history, history[1:])), history
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from mister_spark.operators.bpe import bpe_train
+
+    got = bpe_train(spark, sf_dir, n_merges=6)
+
+    # pure-python reference on the same corpus
+    from mister_spark.catalog import Catalog
+
+    texts = [r["text"] for r in Catalog(spark, sf_dir)["documents"].collect()]
+    freqs = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freqs[w] += 1
+    words = {w: list(w) for w in freqs}
+    want = []
+    for _ in range(6):
+        pc = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((l, r, c))
+        for w, syms in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = merged
+    assert got == want, (got, want)
