@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mister_spark.functions.text import tokens
 from mister_spark.operators.common import cat, money, ratio, rnd
 from mister_spark.registry import query
 
@@ -392,4 +393,120 @@ def mr_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("spend", F.lit(0.0)).alias("spend"),
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.coalesce("ev_value", F.lit(0.0)).alias("ev_value"),
+    )
+
+
+@query(
+    "mm_text_embed_join",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS BIGINT) AS n_tokens
+               FROM documents),
+    e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+    SELECT t.doc_id, t.lang, t.n_tokens, e.label,
+           FLOOR(sqrt(list_dot_product(e.v, e.v)) * 10000 + 0.5) / 10000
+             AS l2_norm
+    FROM t JOIN e ON t.doc_id = e.vec_id
+    """,
+)
+def mm_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal alignment join: the text table and its embedding
+    table joined on id, emitting per-document text stats alongside
+    vector stats — the shape of every text+vector curation step (and
+    of image/audio tables joined to their feature columns).
+
+    Scale: both sides are keyed by the same id; co-partitioned (or
+    bucketed, sources/bucketed.py) storage makes this a zero-exchange
+    merge. Norms are codegen array folds — the vectors never leave the
+    JVM."""
+    from mister_spark.functions.vectors import norm as _norm
+
+    c = cat(spark, sf_dir)
+    t = c["documents"].select(
+        "doc_id", "lang", F.size(tokens()).cast("bigint").alias("n_tokens")
+    )
+    e = c["embeddings"].select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return t.join(e, t.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_tokens", "label", ratio(_norm(F.col("v"))).alias("l2_norm")
+    )
+
+
+@query(
+    "ev_rfm",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    base AS (SELECT o_custkey AS custkey,
+                    CAST(date_diff('day', MAX(o_orderdate), ANY_VALUE(mx.mxd))
+                         AS BIGINT) AS recency_days,
+                    CAST(COUNT(*) AS BIGINT) AS frequency,
+                    FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS monetary
+             FROM orders, mx GROUP BY 1),
+    sc AS (SELECT *,
+                  CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS BIGINT)
+                    AS r_score,
+                  CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT)
+                    AS f_score,
+                  CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+                    AS m_score
+           FROM base)
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM sc
+    """,
+)
+def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation: each
+    customer scored 1-5 on each axis by ntile quintile (1 = most
+    recent / most frequent / highest spend; custkey tiebreaks make the
+    cuts deterministic), concatenated into the classic 'RFM cell'
+    marketing segment.
+
+    Scale: the base aggregate is one shuffle; the three ntiles are
+    global sorted windows — fine at dimension (customer) cardinality,
+    and the documented scale path swaps in approx-percentile boundary
+    bucketing exactly as w_ntile_approx does."""
+    orders = cat(spark, sf_dir)["orders"]
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("mxd"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            money(F.sum("o_totalprice")).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.desc("frequency"), "custkey")
+    wm = Window.orderBy(F.desc("monetary"), "custkey")
+    sc = base.select(
+        "*",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )
+    return sc.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
     )

@@ -103,6 +103,33 @@ def write_orc(
     _apply_layout(df, partition_by, sort_by).orc(path)
 
 
+_AVRO_HINT = (
+    "Avro support needs the spark-avro connector jar, which is not in this "
+    "environment. Submit with: spark-submit --packages "
+    "org.apache.spark:spark-avro_2.13:<spark-version> (read/write via "
+    "format('avro') then works unchanged)."
+)
+
+
+@_reader("avro")
+def read_avro(spark: SparkSession, path: str, **opts) -> DataFrame:
+    """Avro read surface. The external spark-avro module is absent
+    here, so this fails loudly with submit guidance (tests pin the
+    message) — the call shape is production-correct."""
+    try:
+        return spark.read.options(**opts).format("avro").load(path)
+    except Exception as e:  # connector jar absent → actionable error
+        raise RuntimeError(_AVRO_HINT) from e
+
+
+@_writer("avro")
+def write_avro(df: DataFrame, path: str, **opts) -> None:
+    try:
+        df.write.mode("overwrite").options(**opts).format("avro").save(path)
+    except Exception as e:
+        raise RuntimeError(_AVRO_HINT) from e
+
+
 @_reader("text")
 def read_text(spark: SparkSession, path: str, **opts) -> DataFrame:
     """One string column `value` per line — the raw-corpus entry point."""

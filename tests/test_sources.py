@@ -138,3 +138,13 @@ def test_zorder_clusters_both_columns(spark):
     # data intact
     back = spark.read.parquet(path)
     assert back.count() == li.count()
+
+
+def test_avro_surface_fails_loudly(spark, sf_dir):
+    import pytest
+
+    nation = Catalog(spark, sf_dir)["nation"]
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write(nation, "avro", f"{TMP}/nation_avro")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read(spark, "avro", f"{TMP}/nation_avro")
