@@ -510,3 +510,85 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+@query(
+    "cdc_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id,
+           epoch_us(ts) AS last_ts_us, event_type AS last_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events) WHERE rk = 1
+    """,
+)
+def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (SCD type-1 / latest-row-wins): collapse a
+    change stream to each key's most recent record, with event_id as
+    the deterministic same-timestamp tiebreak — how a change-data feed
+    becomes a queryable current-state table.
+
+    Scale: one shuffle on the key; row_number scans each key's rows
+    once. For heavy keys the max_by/struct-max form (an aggregate, so
+    map-side partial) is the drop-in alternative — same result, chosen
+    here as the window form since rank>1 rows are also useful (history
+    depth N)."""
+    ev = cat(spark, sf_dir)["events"]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+@query(
+    "ev_sliding_distinct",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     date_trunc('day', ts)) AS BIGINT) AS day
+               FROM events),
+    contrib AS (SELECT user_id, day + w AS win_day
+                FROM d, unnest(generate_series(0, 6)) AS t(w)),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT c.win_day AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM contrib c JOIN days ON c.win_day = days.day
+    GROUP BY 1
+    """,
+)
+def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (the DAU/WAU family).
+    Distinct counts don't merge across windows, so the scalable exact
+    form EXPLODES each (user, day) into the 7 window-days it
+    contributes to, then counts distinct per window — shuffle volume
+    is 7× the deduped (user, day) table, NOT 7× the event stream.
+
+    Scale: the per-day dedup partial-aggregates map-side first; beyond
+    that, swap COUNT(DISTINCT) for HLL sketches (approx_count_distinct
+    per day + union-merge) when 7× dedup volume is still too big —
+    same plan shape, mergeable state."""
+    ev = cat(spark, sf_dir)["events"]
+    d = ev.select(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    contrib = d.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day")
+    )
+    days = d.select("day").distinct()
+    return (
+        contrib.join(F.broadcast(days), contrib.win_day == days.day)
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
