@@ -592,3 +592,180 @@ def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("win_day").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
     )
+
+
+@query(
+    "ev_markov",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS next_type
+               FROM events),
+    t AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           FLOOR(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type) * 10000 + 0.5) / 10000
+             AS p
+    FROM t
+    """,
+)
+def ev_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (event_type → next event_type) pair, the transition count and
+    probability. The user-journey model behind next-action prediction
+    and funnel-leak analysis.
+
+    Scale: lead() shuffles once on user_id (same exchange the session
+    ops use); the transition count then collapses to |types|² rows
+    map-side, and the row-normalization window runs on that tiny
+    matrix."""
+    ev = cat(spark, sf_dir)["events"]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wn = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        ratio(F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
+    )
+
+
+@query(
+    "graph_degree",
+    oracle="""
+    WITH e AS (SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS lo,
+                               greatest(c.c_nationkey, s.s_nationkey) AS hi
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               WHERE c.c_nationkey <> s.s_nationkey),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT lo AS x FROM e UNION ALL SELECT hi FROM e)
+            GROUP BY 1)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the nation trade graph — the first
+    diagnostic of any graph workload (skew in degree = skew in every
+    downstream shuffle; a power-law tail here is why salting and
+    degree-ordered triangle counting exist).
+
+    Scale: degrees are one groupBy over the doubled edge list; the
+    histogram is a second tiny aggregate. Edge derivation dominates
+    and is shared with graph_triangles (broadcast dims, one fact
+    scan)."""
+    c = cat(spark, sf_dir)
+    li, orders = c["lineitem"], c["orders"]
+    cust, supp = c["customer"], c["supplier"]
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("lo"),
+            F.greatest("c_nationkey", "s_nationkey").alias("hi"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("x"))
+        .unionAll(e.select("hi"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+ATTR_US = 60 * 60 * 1_000_000  # 1-hour attribution window
+
+
+@query(
+    "ev_attribution",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS tid, user_id, event_type, epoch_us(ts) AS tus
+          FROM events WHERE event_type IN ('view', 'click')),
+    touch AS (SELECT p.pid, t.event_type
+              FROM p JOIN t ON p.user_id = t.user_id
+                          AND t.tus < p.pus AND t.tus >= p.pus - {ATTR_US}),
+    sized AS (SELECT pid, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS k,
+                     SUM(COUNT(*)) OVER (PARTITION BY pid) AS n_touch
+              FROM touch GROUP BY 1, 2)
+    SELECT event_type AS channel,
+           CAST(SUM(k) AS BIGINT) AS n_touches,
+           FLOOR(SUM(CAST(k AS DOUBLE) / n_touch) * 10000 + 0.5) / 10000
+             AS credit
+    FROM sized GROUP BY 1
+    """,
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the hour
+    before a purchase shares that purchase's credit equally; summed
+    per channel. The marketing-analytics staple the as-of join (last
+    touch) can't express.
+
+    Scale: the purchase×touch pairing reuses ev_range_join's
+    time-bucket explode (equi-join on (user, bucket), probe side
+    doubled) — never an inequality nested loop; credit normalization
+    is a window over per-purchase channel counts, keyed by purchase."""
+    ev = cat(spark, sf_dir)["events"]
+    with_us = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = (
+        with_us.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("p_user"),
+            F.col("us").alias("pus"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("pus") / ATTR_US) - 1,
+                    F.floor(F.col("pus") / ATTR_US),
+                )
+            ),
+        )
+    )
+    t = with_us.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        F.col("us").alias("tus"),
+        F.floor(F.col("us") / ATTR_US).alias("bucket"),
+    )
+    touch = p.join(t, ["bucket"]).filter(
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - ATTR_US)
+    )
+    from pyspark.sql import Window as W
+
+    sized = touch.groupBy("pid", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    sized = sized.withColumn("n_touch", F.sum("k").over(W.partitionBy("pid")))
+    return sized.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum("k").cast("bigint").alias("n_touches"),
+        ratio(F.sum(F.col("k").cast("double") / F.col("n_touch"))).alias("credit"),
+    )
