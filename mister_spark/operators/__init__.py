@@ -18,6 +18,7 @@ def load() -> None:
         extras2,
         extras3,
         extras4,
+        extras5,
         pipeline,
         pipeline2,
         windows,

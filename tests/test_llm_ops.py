@@ -225,3 +225,39 @@ def test_bpe_matches_python_reference(spark, sf_dir):
                     i += 1
             words[w] = merged
     assert got == want, (got, want)
+
+
+def test_hll_rollup_merge_consistent_and_close(spark):
+    """Union-of-daily-sketches must equal the one-shot sketch exactly
+    (HLL register-max is partition-invariant) and sit within 5% of the
+    exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from mister_spark.catalog import Catalog
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.QUERIES["sketch_hll_rollup"](spark, SF).collect()
+    }
+    ev = Catalog(spark, SF)["events"]
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == oneshot, (got, oneshot)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n), (k, n, got[k])
+
+
+def test_cms_never_underestimates(spark):
+    rows = registry.QUERIES["sketch_cms_topk"](spark, SF).collect()
+    assert rows
+    assert all(r["est_n"] >= r["true_n"] for r in rows)
