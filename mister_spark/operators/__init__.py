@@ -19,6 +19,7 @@ def load() -> None:
         extras3,
         extras4,
         extras5,
+        extras6,
         pipeline,
         pipeline2,
         windows,

@@ -52,8 +52,12 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime bloom-filter pruning for selective fact-fact shuffle
-        # joins; a no-op below its size thresholds (i.e. at local test
-        # SF) but the correct default on a 100 TB cluster
+        # joins. Injection requires the probe-side scan to exceed
+        # applicationSideScanSizeThreshold (10 GB default) and the
+        # build side to fit creationSideThreshold (10 MB) — so it is a
+        # no-op at local test SF but fires on any real fact table
+        # (tests/test_plans.py::test_runtime_bloom_filter_injection
+        # proves the injection with the scan gate lowered)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as long and convert in Catalog.

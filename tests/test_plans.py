@@ -139,3 +139,37 @@ def test_single_shuffle_ops(spark):
     ):
         df = registry.QUERIES[name](spark, SF)
         assert count_shuffles(df) == 1, (name, physical_plan(df))
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """The runtime bloom-filter path (session.py enables it) must fire
+    once its preconditions hold. Locally it is gated by
+    applicationSideScanSizeThreshold (default 10 GB — the right
+    production default; a 100 TB fact scan clears it trivially), so
+    this test lowers ONLY that gate and a broadcast gate, and asserts
+    Spark injects a bloom_filter_agg build on the selective side and a
+    might_contain probe into the fact scan side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = SF
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
