@@ -261,3 +261,9 @@ def test_cms_never_underestimates(spark):
     rows = registry.QUERIES["sketch_cms_topk"](spark, SF).collect()
     assert rows
     assert all(r["est_n"] >= r["true_n"] for r in rows)
+
+
+def test_pq_recall_vs_exact(spark):
+    pq = _pairs(registry.QUERIES["sim_pq"](spark, SF), "q_id", "vec_id")
+    exact = _pairs(registry.QUERIES["sim_topk_join"](spark, SF), "q_id", "vec_id")
+    assert len(pq & exact) / len(exact) >= 0.8, (len(pq & exact), len(exact))
