@@ -76,16 +76,22 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN supplier ON s_suppkey  = l_suppkey
                     JOIN nation   ON s_nationkey = n_nationkey
                     JOIN part     ON p_partkey  = l_partkey
-      WHERE n_name = 'GERMANY'
+      WHERE n_name = 'NATION_19'
       GROUP BY 1)
     SELECT p_partkey, FLOOR(pval * 100 + 0.5) / 100 AS part_value
-    FROM val WHERE pval > 0.001 * (SELECT SUM(pval) FROM val)
+    FROM val
+    WHERE FLOOR(pval * 100 + 0.5) / 100
+        > FLOOR(0.001 * (SELECT SUM(pval) FROM val) * 100 + 0.5) / 100
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11-adapted (no partsupp: stock value proxied by shipped
     quantity × retail price): parts holding an outsized share of
-    GERMANY suppliers' shipped value (> 0.1% of the national total).
+    NATION_19 suppliers' shipped value (> 0.1% of the national total).
+    NATION_19 has suppliers at every testdata SF so the result is
+    non-empty at both the local sf0.001 gate and the driver sf0.01 gate; both sides of the threshold
+    comparison are floor-rounded to cents so partial-sum ordering
+    differences between engines cannot flip boundary rows.
 
     Scale: one keyed shuffle builds per-part values; the global total is
     a scalar broadcast back over the (already aggregated) per-part rows,
@@ -95,7 +101,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = (
         c["supplier"]
         .join(F.broadcast(c["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name") == "GERMANY")
+        .filter(F.col("n_name") == "NATION_19")
         .select("s_suppkey")
     )
     val = (
@@ -112,7 +118,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = val.agg(F.sum("pval").alias("t"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("pval") > 0.001 * F.col("t"))
+        .filter(money(F.col("pval")) > money(0.001 * F.col("t")))
         .select("p_partkey", money(F.col("pval")).alias("part_value"))
     )
 
