@@ -244,16 +244,22 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas. Replaces the per-pair codegen loop (12.5M zip_with
     allocations, 19 s at sf0.1) with 36 dense GEMMs (~1 s).
 
-    Scale: shuffle volume is B x corpus (each block meets B others);
-    pick B so a block fits executor memory. The LSH/IVF candidate path
+    Scale: shuffle volume is B x corpus (each block meets B others).
+    Block count GROWS with the corpus so each collect_list row stays
+    bounded at ~CHUNK_ROWS vectors (~2 MB at 64 dims) — the round-1
+    fixed B=8 packed n/8 vectors into single rows, which approaches the
+    2 GiB row limit as the corpus grows. The LSH/IVF candidate path
     still applies first at 100 TB - this is the exact verify kernel."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
+    CHUNK_ROWS = 4096  # vectors per block row: 4096·64·8B ≈ 2 MB
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    n_blocks = max(8, math.ceil(emb.count() / CHUNK_ROWS))
     blocks = (
         emb.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
         .groupBy("blk")
@@ -280,8 +286,8 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids_b = np.asarray(row["ids_b"], dtype=np.int64)
                 ma = np.asarray([np.asarray(x) for x in row["va"]])
                 mb = np.asarray([np.asarray(x) for x in row["vb"]])
-                ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-                mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+                ma = ma / np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+                mb = mb / np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
                 cos = ma @ mb.T  # one BLAS GEMM per block pair
                 cos = np.floor(cos * 10000 + 0.5) / 10000
                 ia, ib = np.nonzero(cos >= thresh)

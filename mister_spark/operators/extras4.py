@@ -32,25 +32,67 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MapReduce 'secondary sort' pattern: per key, a fold over
     values in a defined order (each customer's order ids in date order)
     — what classic MR does with composite keys + grouping comparators,
-    expressed here as sort_array(collect_list(struct(sortkey, value))).
+    expressed here EXACTLY as MR does: repartition on the grouping key,
+    sortWithinPartitions on (key, sortkey), then a streaming
+    per-partition fold (mapInPandas) that merges Arrow-batch partials.
 
-    Scale: ONE shuffle on the grouping key; ordering happens inside
-    each aggregate buffer (struct sort), never as a global sort. The
-    per-key list is the output payload itself, so memory is bounded by
-    the largest group — the same bound classic MR secondary sort has."""
+    Scale: ONE shuffle on the grouping key; ordering uses Spark's
+    external sort (spills to disk), so no aggregate buffer ever holds a
+    whole key group — the round-1 sort_array(collect_list(...)) form
+    buffered each group in the agg hash map, which is unbounded per-key
+    memory. The fold keeps one partial row per (key, batch), merged at
+    partition end; carry state is O(distinct keys in partition) = the
+    size of the output itself."""
     orders = cat(spark, sf_dir)["orders"]
-    seq = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
-            lambda s: s["o_orderkey"].cast("string"),
-        ),
-        ",",
+    rows = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            F.col("o_orderkey").cast("string").alias("ok"),
+        )
+        .repartition("custkey")
+        .sortWithinPartitions("custkey", "d", F.col("ok").cast("long"))
     )
-    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
-        seq.alias("order_seq"),
+
+    def fold(batches):
+        import pandas as pd
+
+        partials = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # groups are contiguous (partition sorted by key): one
+            # vectorized partial row per key per batch
+            g = pdf.groupby("custkey", sort=False)
+            partials.append(
+                pd.DataFrame(
+                    {
+                        "custkey": g.size().index,
+                        "n_orders": g.size().to_numpy(),
+                        "first_date": g["d"].min().to_numpy(),
+                        "last_date": g["d"].max().to_numpy(),
+                        "order_seq": g["ok"].agg(",".join).to_numpy(),
+                    }
+                )
+            )
+        if not partials:
+            return
+        allp = pd.concat(partials, ignore_index=True)
+        g = allp.groupby("custkey", sort=False)
+        yield pd.DataFrame(
+            {
+                "custkey": g.size().index,
+                "n_orders": g["n_orders"].sum().to_numpy(),
+                "first_date": g["first_date"].min().to_numpy(),
+                "last_date": g["last_date"].max().to_numpy(),
+                "order_seq": g["order_seq"].agg(",".join).to_numpy(),
+            }
+        )
+
+    return rows.mapInPandas(
+        fold,
+        "custkey long, n_orders long, first_date string, "
+        "last_date string, order_seq string",
     )
 
 

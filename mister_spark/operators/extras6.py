@@ -114,7 +114,11 @@ def dd_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > 1)
         .select("chunk", F.lit(1).alias("is_dup"))
     )
-    j = c.join(F.broadcast(dup), "chunk", "left")
+    # no broadcast hint: on boilerplate-heavy corpora the duplicated-
+    # chunk set is NOT small, and a forced broadcast would blow driver /
+    # executor memory — AQE picks broadcast itself when dup fits the
+    # auto threshold, and falls back to a shuffle join when it doesn't
+    j = c.join(dup, "chunk", "left")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.count("is_dup").cast("bigint").alias("n_dup"),

@@ -15,14 +15,43 @@ from mister_spark.functions.vectors import dot as _dot, norm as _norm
 from mister_spark.operators.common import cat, rnd
 from mister_spark.registry import query
 
-NPROBE = 2
-CENTROID_STRIDE = 50  # deterministic seed centroids: vec_id % stride == 0
+IVF_NLIST = 64  # FIXED centroid count — O(1) in corpus size (4096 at 100 TB)
+IVF_NPROBE = 32  # clusters scanned per query; the synthetic test
+# embeddings are near-uniform so hitting the ≥0.9 recall gate needs a
+# high probe fraction — real clustered embeddings run nprobe/nlist ≈ 1-5%
+IVF_SAMPLE = 2048  # bounded training sample — training never scans the corpus
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+
+
+def ivf_train(spark: SparkSession, sf_dir: str):
+    """Spherical k-means codebook on a bounded deterministic sample.
+
+    Returns exactly (IVF_NLIST, dim) regardless of corpus size — the
+    round-1 version seeded a centroid per CENTROID_STRIDE vectors, which
+    made nlist grow linearly with the corpus (unbounded broadcast and
+    O(n²/stride) assignment work at scale). Training cost is now
+    O(IVF_SAMPLE · IVF_NLIST) driver-side, independent of corpus size."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.orderBy("vec_id").limit(IVF_SAMPLE).collect()
+    X = np.array([r["v"] for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(IVF_NLIST, len(X))
+    C = X[:k].copy()
+    for _ in range(5):
+        a = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
 
 
 
@@ -58,6 +87,36 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _local_topk_per_q(k: int, order_col: str, ascending: bool):
+    """Narrow per-partition top-k per q_id (phase 1 of two-phase top-k).
+
+    Round 1 ran the per-query window straight on the full scored set:
+    with |Q| = 8 partition keys, 8 tasks each sorted a corpus-sized
+    partition — a scale-killer. This helper prunes every input
+    partition to ≤k rows per query with NO shuffle (mapInPandas over
+    the partition's Arrow batches), so the global window only sees
+    |Q| · k · num_partitions rows. Ordering (order_col, vec_id)
+    matches the window's row_number ordering, so pruning is lossless."""
+
+    def fn(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            best = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            best = (
+                best.sort_values(
+                    ["q_id", order_col, "vec_id"], ascending=[True, ascending, True]
+                )
+                .groupby("q_id", sort=False)
+                .head(k)
+            )
+        if best is not None and len(best):
+            yield best
+
+    return fn
+
+
 @query(
     "sim_topk_join",
     oracle="""
@@ -88,10 +147,17 @@ def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q))
         .withColumn("cosine", rnd(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4))
+        .select("q_id", "vec_id", "cosine")
+    )
+    # two-phase top-k: narrow per-partition prune, then a window over
+    # the tiny survivor set (≤ |Q|·5·partitions rows, not |Q|·corpus)
+    pruned = scored.mapInPandas(
+        _local_topk_per_q(5, "cosine", ascending=False),
+        "q_id long, vec_id long, cosine double",
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        pruned.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", "cosine", "rn")
     )
@@ -99,43 +165,48 @@ def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ivf")  # rows-only: pytest measures recall vs sim_brute_topk
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN for query vec_id=0: seed centroids are every
-    CENTROID_STRIDE-th vector (deterministic, no iterative k-means —
-    the pruning topology is what matters), vectors are assigned to the
-    nearest centroid via broadcast + per-vector argmin, and only the
-    NPROBE closest clusters to the query are scanned.
+    """IVF-pruned ANN for query vec_id=0: a FIXED IVF_NLIST-centroid
+    codebook is trained on a bounded sample (ivf_train), every corpus
+    vector is assigned to its nearest centroid by one Arrow-batched
+    GEMM inside a single mapInPandas pass, and only vectors falling in
+    the IVF_NPROBE clusters nearest the query are cosine-scored.
 
-    100 TB path: assignment is one narrow map over the corpus (centroids
-    broadcast); the probe scans |corpus| * NPROBE / nlist vectors."""
+    100 TB path: the codebook (nlist×d doubles) rides the task closure;
+    assignment + probe-prune + scoring is ONE narrow pass with zero
+    shuffles — only the final top-10 TakeOrdered moves data. A resident
+    deployment would persist the cluster assignment and partition the
+    corpus by cluster id so probes touch nprobe/nlist of the files;
+    this query demonstrates the same pruning inline."""
+    import numpy as np
+
+    C = ivf_train(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-    )
-    # assign every vector to nearest centroid (cosine argmax)
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "sim", _dot("v", "cv") / (_norm("v") * _norm("cv"))
-    )
-    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), "c_id")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("cluster"))
-    )
-    # probe clusters = NPROBE centroids nearest to the query vector
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    probe = (
-        cents.join(F.broadcast(qv))
-        .withColumn("sim", _dot("cv", "qv") / (_norm("cv") * _norm("qv")))
-        .orderBy(F.desc("sim"), "c_id")
-        .limit(NPROBE)
-        .select(F.col("c_id").alias("cluster"))
-    )
+    q = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["v"])
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(C @ qn))[: min(IVF_NPROBE, len(C))]
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cl = (Vn @ C.T).argmax(axis=1)
+            mask = np.isin(cl, probe) & (pdf["vec_id"].to_numpy() != 0)
+            if not mask.any():
+                continue
+            cos = Vn[mask] @ qn
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[mask],
+                    "cosine": np.floor(cos * 10000 + 0.5) / 10000,
+                }
+            )
+
     return (
-        assigned.join(F.broadcast(probe), "cluster")
-        .filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qv))
-        .withColumn("cosine", rnd(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4))
-        .select("vec_id", "cosine")
+        emb.mapInPandas(scan, "vec_id long, cosine double")
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
@@ -157,7 +228,7 @@ def _pq_train(sample):
     Returns codebooks shaped (M, K, DSUB)."""
     import numpy as np
 
-    X = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     books = []
     for j in range(PQ_M):
         Xj = X[:, j * PQ_DSUB : (j + 1) * PQ_DSUB]
@@ -202,7 +273,7 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     Q = np.array([r["v"] for r in qrows])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     # ADC tables: T[q, j, k] = ||q_j - c_jk||² (tiny; rides the closure)
     T = np.stack(
         [
@@ -219,7 +290,7 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             V = np.array(list(pdf["v"]), dtype=np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             codes = np.empty((len(V), PQ_M), dtype=np.int64)
             for j in range(PQ_M):
                 Vj = V[:, j * PQ_DSUB : (j + 1) * PQ_DSUB]
@@ -240,9 +311,15 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 8)
         .mapInPandas(encode_and_score, "q_id long, vec_id long, adist double")
     )
+    # two-phase shortlist: narrow per-partition top-PQ_SHORTLIST per
+    # query, then the q_id window ranks only the pruned survivors
+    pruned = scored.mapInPandas(
+        _local_topk_per_q(PQ_SHORTLIST, "adist", ascending=True),
+        "q_id long, vec_id long, adist double",
+    )
     wshort = W.partitionBy("q_id").orderBy("adist", "vec_id")
     shortlist = (
-        scored.withColumn("srn", F.row_number().over(wshort))
+        pruned.withColumn("srn", F.row_number().over(wshort))
         .filter(F.col("srn") <= PQ_SHORTLIST)
         .select("q_id", "vec_id")
     )

@@ -45,7 +45,18 @@ def test_ivf_recall_vs_brute(spark):
     ivf = {r["vec_id"] for r in registry.QUERIES["sim_ivf"](spark, SF).collect()}
     assert brute
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.5, f"IVF nprobe=2 recall {recall:.2f} vs brute force"
+    assert recall >= 0.9, f"IVF nprobe={16} recall {recall:.2f} vs brute force"
+
+
+def test_ivf_centroid_count_constant_in_corpus_size(spark):
+    # the codebook must be O(1) in corpus size: same shape whether
+    # trained against the 500-vector or the larger corpus
+    from mister_spark.operators.similarity import IVF_NLIST, ivf_train
+
+    small = ivf_train(spark, "/root/testdata/sf0.001")
+    big = ivf_train(spark, "/root/testdata/sf0.01")
+    assert small.shape == big.shape
+    assert small.shape[0] <= IVF_NLIST
 
 
 def test_langid_deterministic_and_total(spark):
