@@ -37,6 +37,8 @@ HEADLINE = [
     "dd_embedding_cosine",
     "sim_topk_join",
     "sim_rp_lsh",
+    "sim_ivf",
+    "sim_pq",
     "tx_quality",
     "tx_repetition",
     "tx_gopher_quality",

@@ -20,6 +20,7 @@ def load() -> None:
         extras4,
         extras5,
         extras6,
+        extras7,
         pipeline,
         pipeline2,
         windows,
