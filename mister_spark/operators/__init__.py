@@ -21,6 +21,7 @@ def load() -> None:
         extras5,
         extras6,
         extras7,
+        extras8,
         pipeline,
         pipeline2,
         windows,

@@ -118,3 +118,67 @@ def ds_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "step long, left string, right string, freq long",
     )
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with an ordered merge list: apply each learned
+    merge fully (left-to-right greedy) in rank order — the same rewrite
+    rule training uses, so training and inference tokenize alike."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+@query("ds_tokenize_apply")  # imperative greedy merge loop → rows-only; pytest
+def ds_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus: per document, the
+    word count and the encoded subword-token count — the pretraining
+    "tokenize everything" pass that turns a curated corpus into model
+    input (token counts are also what the data mixture is budgeted in).
+
+    Scale: the merge table is driver-trained (model-sized) and rides
+    the task closure. Encoding runs once per distinct WORD TYPE
+    (Zipf-small), not per corpus token: an Arrow-batched mapInPandas
+    over the word-type table produces (word → n_subtokens), which joins
+    back to per-doc word counts — AQE broadcasts the type table when it
+    fits. The corpus-sized steps are the two partial-agg shuffles.
+    Verified in pytest against a pure-Python encode of the same docs."""
+    merges = [(l, r) for l, r, _ in bpe_train(spark, sf_dir)]
+    docs = cat(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    per_doc_word = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wt = per_doc_word.select("word").distinct()
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_sub": [
+                        len(bpe_encode_word(w, merges)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    lens = wt.mapInPandas(encode, schema="word string, n_sub long")
+    return (
+        per_doc_word.join(lens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub")).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -18,12 +18,18 @@ from mister_spark.streaming import (
     run_stream_stream_join,
     run_stream_stream_left_join,
     run_stream_tumbling,
+    run_stream_tumbling_append,
 )
 
 
 @query("stream_tumbling")  # streaming execution → rows-only; pytest parity
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_tumbling(spark, sf_dir)
+
+
+@query("stream_tumbling_append")  # streaming execution → rows-only; pytest parity
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_tumbling_append(spark, sf_dir)
 
 
 @query("stream_dedup")  # streaming execution → rows-only; pytest parity

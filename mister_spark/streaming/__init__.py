@@ -6,6 +6,7 @@ from mister_spark.streaming.jobs import (
     run_stream_stream_join,
     run_stream_stream_left_join,
     run_stream_tumbling,
+    run_stream_tumbling_append,
     stage_events_stream,
 )
 from mister_spark.streaming.kafka import (
@@ -22,6 +23,7 @@ __all__ = [
     "run_stream_stream_join",
     "run_stream_stream_left_join",
     "run_stream_tumbling",
+    "run_stream_tumbling_append",
     "stage_events_stream",
     "kafka_sink_options",
     "kafka_source_options",

@@ -115,6 +115,33 @@ def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode tumbling aggregate — the production configuration of
+    run_stream_tumbling: each 1-hour window is emitted exactly once,
+    when the watermark (max event time − 1 h) passes its end, and its
+    state is then EVICTED. State is therefore bounded by (watermark
+    horizon / window size) open windows per key regardless of stream
+    lifetime — the property complete mode lacks. The trade-off is that
+    windows the final watermark never passed (the stream's tail) are
+    still open at shutdown and unemitted; pytest pins exact parity with
+    the batch query on every closed window."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("total_c"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n",
+        (F.col("total_c") / 100).alias("total"),
+    )
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     the streaming twin of dd_exact. dropDuplicates state is evicted once

@@ -278,3 +278,30 @@ def test_pq_recall_vs_exact(spark):
     pq = _pairs(registry.QUERIES["sim_pq"](spark, SF), "q_id", "vec_id")
     exact = _pairs(registry.QUERIES["sim_topk_join"](spark, SF), "q_id", "vec_id")
     assert len(pq & exact) / len(exact) >= 0.8, (len(pq & exact), len(exact))
+
+
+def test_tokenize_apply_matches_python_reference(spark, sf_dir):
+    from mister_spark.catalog import Catalog
+    from mister_spark.operators.bpe import bpe_encode_word, bpe_train
+
+    merges = [(l, r) for l, r, _ in bpe_train(spark, sf_dir)]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in registry.QUERIES["ds_tokenize_apply"](spark, sf_dir).collect()
+    }
+    docs = Catalog(spark, sf_dir)["documents"].collect()
+    assert len(got) == sum(1 for d in docs if [w for w in d["text"].split(" ") if w])
+    for d in docs:
+        words = [w for w in d["text"].split(" ") if w]
+        if not words:
+            continue
+        want = (
+            len(words),
+            sum(len(bpe_encode_word(w, merges)) for w in words),
+        )
+        assert got[d["doc_id"]] == want, d["doc_id"]
+    # encoding never produces more subtokens than characters, nor fewer
+    # than 1 per word — and merges strictly shrink the corpus
+    total_words = sum(len([w for w in d["text"].split(" ") if w]) for d in docs)
+    total_tokens = sum(v[1] for v in got.values())
+    assert total_tokens >= total_words

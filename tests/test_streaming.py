@@ -178,3 +178,35 @@ def test_stream_stream_left_join_matches_batch(spark):
             ).collect()
         }
         assert missing <= tail, (missing - tail, final_wm)
+
+
+def test_stream_tumbling_append_emits_exactly_closed_windows(spark):
+    """Append mode must emit a window exactly once when the final
+    watermark (max event time - 1 h) passes its end, with values equal
+    to batch, and must NOT emit still-open tail windows."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from mister_spark.catalog import Catalog
+
+    batch = {
+        (r["hour"], r["event_type"]): (r["n"], r["total"])
+        for r in registry.QUERIES["ev_tumbling"](spark, SF).collect()
+    }
+    stream = {
+        (r["hour"], r["event_type"]): (r["n"], r["total"])
+        for r in registry.QUERIES["stream_tumbling_append"](spark, SF).collect()
+    }
+    wm = Catalog(spark, SF)["events"].agg(F.max("ts")).collect()[0][0] - timedelta(
+        hours=1
+    )
+    expected = {
+        k: v
+        for k, v in batch.items()
+        if __import__("datetime").datetime.strptime(k[0], "%Y-%m-%d %H:%M")
+        + timedelta(hours=1)
+        <= wm
+    }
+    assert stream == expected
+    assert set(batch) - set(stream), "tail windows should remain unemitted"
