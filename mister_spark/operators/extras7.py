@@ -63,14 +63,27 @@ def ev_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = keyed.withColumn("ra", F.row_number().over(wa)).withColumn(
         "rd", F.row_number().over(wd)
     )
-    return r.groupBy(
-        "event_type", F.date_format("hts", "yyyy-MM-dd HH:00").alias("hr")
-    ).agg(
-        ratio(F.max(F.when(F.col("ra") == 1, F.col("value")))).alias("open"),
-        ratio(F.max("value")).alias("high"),
-        ratio(F.min("value")).alias("low"),
-        ratio(F.max(F.when(F.col("rd") == 1, F.col("value")))).alias("close"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # group on the RAW window key (hts), formatting only in the final
+    # select: grouping on date_format(hts) is a derived key Catalyst
+    # can't prove co-partitioned, which would add a second exchange
+    return (
+        r.groupBy("event_type", "hts")
+        .agg(
+            ratio(F.max(F.when(F.col("ra") == 1, F.col("value")))).alias("open"),
+            ratio(F.max("value")).alias("high"),
+            ratio(F.min("value")).alias("low"),
+            ratio(F.max(F.when(F.col("rd") == 1, F.col("value")))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hts", "yyyy-MM-dd HH:00").alias("hr"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
     )
 
 
@@ -221,10 +234,13 @@ def ds_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines — no engine hash function in the contract.
 
     Scale: order is defined PER SHARD (each data-parallel trainer reads
-    one shard), so there is no global sort anywhere: one window keyed
-    (shard, source), one keyed shard — the second reuses the first's
-    exchange prefix. Weights here derive from the source id; a real
-    pipeline would join a tiny weights dim instead."""
+    one shard), so there is no global sort anywhere. The explicit
+    repartition on shard makes BOTH windows run off ONE exchange:
+    hash(shard) satisfies the (shard, source) window's clustering (the
+    subset rule), whereas letting the first window hash on
+    (shard, source) would split each shard across partitions and force
+    a second shuffle for the shard window. Weights here derive from the
+    source id; a real pipeline would join a tiny weights dim instead."""
     docs = cat(spark, sf_dir)["documents"]
     s = docs.select(
         "doc_id",
@@ -232,7 +248,7 @@ def ds_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % INTERLEAVE_SHARDS).alias("shard"),
         (F.substring("source", 4, 10).cast("int") % 3 + 1).alias("w"),
         ((F.col("doc_id") * 2654435761) % 1000000007).alias("h"),
-    )
+    ).repartition("shard")
     w_rn = W.partitionBy("shard", "source").orderBy("h", "doc_id")
     r = s.withColumn("rn", F.row_number().over(w_rn))
     w_pos = W.partitionBy("shard").orderBy(

@@ -136,6 +136,13 @@ def test_single_shuffle_ops(spark):
         "ds_length_buckets",
         "w_percent_rank",
         "sql_portable",
+        # wave 7/8: twin-window OHLC groups on the raw window key,
+        # interleave pre-partitions on shard so both windows share one
+        # exchange (subset rule), interval merge shares one user_id
+        # exchange across two windows + two aggregations
+        "ev_ohlc_resample",
+        "ds_interleave",
+        "ev_interval_merge",
     ):
         df = registry.QUERIES[name](spark, SF)
         assert count_shuffles(df) == 1, (name, physical_plan(df))
