@@ -22,6 +22,7 @@ def load() -> None:
         extras6,
         extras7,
         extras8,
+        extras9,
         pipeline,
         pipeline2,
         windows,

@@ -93,3 +93,196 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus — see kmeans() for the scale design."""
     profile, _ = kmeans(spark, sf_dir)
     return profile
+
+
+PCA_TOP = 8
+
+
+def pca_train(spark: SparkSession, sf_dir: str):
+    """Distributed PCA via sufficient statistics: one Arrow-batched pass
+    emits per-batch partials (n, Σx, XᵀX flattened); the driver merges
+    the ~num_partitions partial rows into the d×d covariance and runs
+    the eigendecomposition there. The collected state is O(d²) per
+    partition — model-sized, never data-sized — the same split MLlib's
+    RowMatrix.computePrincipalComponents makes.
+
+    Returns (eigvals desc, components[d, k] column-orthonormal, total_var)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = emb.mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    cov = (ss - np.outer(s, s) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals)
+    evals, evecs = evals[order], evecs[:, order]
+    return evals, evecs, float(evals.sum())
+
+
+@query("ml_pca")  # eigendecomposition of driver-merged partials → rows-only
+def ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PCA_TOP} principal components of the embedding corpus:
+    per-component eigenvalue, explained-variance ratio, and the
+    cumulative ratio — the dimensionality screen before choosing an
+    ANN index or a projection size. pytest pins agreement with
+    numpy.cov on the collected corpus plus orthonormality/ordering
+    invariants."""
+    import numpy as np
+
+    evals, _, total = pca_train(spark, sf_dir)
+    k = min(PCA_TOP, len(evals))
+    cum = 0.0
+    out = []
+    for i in range(k):
+        cum += float(evals[i]) / total
+        out.append(
+            (
+                i,
+                float(np.floor(evals[i] * 1e6 + 0.5) / 1e6),
+                float(np.floor(evals[i] / total * 1e4 + 0.5) / 1e4),
+                float(np.floor(cum * 1e4 + 0.5) / 1e4),
+            )
+        )
+    return spark.createDataFrame(
+        out, "component long, eigenvalue double, explained double, cum_explained double"
+    )
+
+
+LOGREG_ITERS = 8
+LOGREG_LR = 0.5
+
+
+def logreg_train(spark: SparkSession, sf_dir: str, iters: int = LOGREG_ITERS):
+    """Full-batch gradient descent for L2-free logistic regression of
+    (label % 2) on the embedding vectors. The weight vector (d+1 with
+    bias) broadcasts through the task closure; each iteration is ONE
+    narrow mapInPandas pass emitting per-batch (gradient, loss, n)
+    partials that the driver merges — gradient state is O(d) per
+    partition. The assembled frame is cached so iterations don't
+    re-read parquet.
+
+    Returns (w, losses) with losses per-iteration mean log-loss
+    (monotone non-increasing for small enough lr — pinned in pytest).
+    At 100 TB: same structure with mini-batch sampling per step (or
+    L-BFGS on the identical partial-gradient pass)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        cat(spark, sf_dir)["embeddings"]
+        .select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            (F.col("label") % 2).cast("double").alias("y"),
+        )
+        .persist()
+    )
+    d = len(emb.first()["v"])
+    w = np.zeros(d + 1)
+    losses: list[float] = []
+    try:
+        for _ in range(iters):
+            wb = w.copy()
+
+            def partials(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(list(pdf["v"]), dtype=np.float64)
+                    X = np.hstack([X, np.ones((len(X), 1))])
+                    y = pdf["y"].to_numpy()
+                    z = X @ wb
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    eps = 1e-12
+                    loss = -(
+                        y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)
+                    ).sum()
+                    yield pd.DataFrame(
+                        {
+                            "g": [(X.T @ (p - y)).tolist()],
+                            "loss": [float(loss)],
+                            "n": [len(X)],
+                        }
+                    )
+
+            rows = emb.mapInPandas(
+                partials, "g array<double>, loss double, n long"
+            ).collect()
+            n = sum(r["n"] for r in rows)
+            g = np.sum([np.array(r["g"]) for r in rows], axis=0) / n
+            losses.append(sum(r["loss"] for r in rows) / n)
+            w = w - LOGREG_LR * g
+    finally:
+        emb.unpersist()
+    return w, losses
+
+
+@query("ml_logreg")  # iterative GD → rows-only; pytest loss-monotone gate
+def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training summary of the distributed logistic regression: sample
+    count, final mean log-loss, train accuracy, and |w| — the fields a
+    training job logs. See logreg_train for the scale design."""
+    import numpy as np
+
+    w, losses = logreg_train(spark, sf_dir)
+    wb = w
+
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            X = np.hstack([X, np.ones((len(X), 1))])
+            pred = (X @ wb) > 0
+            yield pd.DataFrame(
+                {
+                    "correct": [int((pred == (pdf["y"].to_numpy() > 0.5)).sum())],
+                    "n": [len(X)],
+                }
+            )
+
+    agg = (
+        emb.mapInPandas(score, "correct long, n long")
+        .agg(F.sum("correct").alias("c"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    acc = agg["c"] / agg["n"]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n"]),
+                float(np.floor(losses[-1] * 1e6 + 0.5) / 1e6),
+                float(np.floor(acc * 1e4 + 0.5) / 1e4),
+                float(np.floor(np.linalg.norm(w) * 1e6 + 0.5) / 1e6),
+            )
+        ],
+        "n long, final_loss double, accuracy double, w_norm double",
+    )

@@ -305,3 +305,62 @@ def test_tokenize_apply_matches_python_reference(spark, sf_dir):
     total_words = sum(len([w for w in d["text"].split(" ") if w]) for d in docs)
     total_tokens = sum(v[1] for v in got.values())
     assert total_tokens >= total_words
+
+
+def test_bfs_matches_python_reference(spark):
+    from collections import deque
+
+    from mister_spark.operators.extras9 import (
+        BFS_SOURCE,
+        _undirected_edges,
+    )
+
+    edges = [(r["a"], r["b"]) for r in _undirected_edges(spark, SF).collect()]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {BFS_SOURCE: 0}
+    dq = deque([BFS_SOURCE])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    got = {
+        r["node"]: r["hops"]
+        for r in registry.QUERIES["graph_bfs"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_pca_matches_numpy_and_invariants(spark):
+    import numpy as np
+
+    from mister_spark.catalog import Catalog
+    from mister_spark.operators.ml import pca_train
+
+    evals, evecs, total = pca_train(spark, SF)
+    X = np.array(
+        [
+            list(r["embedding"])
+            for r in Catalog(spark, SF)["embeddings"].collect()
+        ],
+        dtype=np.float64,
+    )
+    want = np.linalg.eigvalsh(np.cov(X, rowvar=False))[::-1]
+    assert np.allclose(evals, want, atol=1e-8)
+    assert np.all(np.diff(evals) <= 1e-12)  # descending
+    assert np.all(evals >= -1e-12)  # PSD
+    assert abs(total - np.cov(X, rowvar=False).trace()) < 1e-8
+    assert np.allclose(evecs.T @ evecs, np.eye(evecs.shape[1]), atol=1e-8)
+
+
+def test_logreg_loss_monotone(spark):
+    import math
+
+    from mister_spark.operators.ml import logreg_train
+
+    _, losses = logreg_train(spark, SF, iters=5)
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[0] <= math.log(2) + 1e-6  # starts at ln 2 with w=0
