@@ -42,14 +42,22 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         if name == "events":
-            # ts is stored as TIMESTAMP(NANOS) → read as long nanos
-            # (session.py sets nanosAsLong); surface as a micros timestamp.
+            # Normalize ts to a plain UTC TIMESTAMP whatever the driver
+            # wrote this round: TIMESTAMP(NANOS) reads as long nanos
+            # (session.py sets nanosAsLong), TIMESTAMP(MICROS) without
+            # isAdjustedToUTC reads as TIMESTAMP_NTZ. Session tz is
+            # pinned UTC, so the NTZ→TZ cast preserves the wall-clock
+            # value as a UTC instant — exactly DuckDB's naive-timestamp
+            # + epoch_us semantics.
             from pyspark.sql import functions as F
 
-            if dict(df.dtypes).get("ts") == "bigint":
+            t = dict(df.dtypes).get("ts")
+            if t == "bigint":
                 # integer div: float division rounds at ~1e15 and can be
                 # 1 µs off vs DuckDB's truncating epoch_us
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif t == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     def register_views(self) -> None:

@@ -30,11 +30,20 @@ from pyspark.sql.types import (
 
 REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) → long under
-# the session's nanosAsLong setting)
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+# events.parquet physical schema. The driver has shipped ts as both
+# TIMESTAMP(NANOS) (→ long under the session's nanosAsLong setting) and
+# TIMESTAMP(MICROS) without isAdjustedToUTC (→ timestamp_ntz); probe the
+# staged file's footer so the stream schema matches whichever this
+# round's testdata uses.
+def _events_stream_schema(staged_file: str) -> str:
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(staged_file).field("ts").type)
+    ts_type = "long" if t.startswith("int") or "ns" in t else "timestamp_ntz"
+    return (
+        f"event_id long, ts {ts_type}, user_id long, "
+        "event_type string, value double, props string"
+    )
 
 _counter = itertools.count()
 
@@ -65,8 +74,11 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     src = stage_events_stream(sf_dir)
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _events_stream_schema(os.path.join(src, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(src)
+    if " ts long" in schema:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
