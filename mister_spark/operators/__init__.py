@@ -23,6 +23,7 @@ def load() -> None:
         extras7,
         extras8,
         extras9,
+        extras10,
         pipeline,
         pipeline2,
         windows,

@@ -1,0 +1,87 @@
+"""Idempotent derived-layout staging for layout-demonstrating queries.
+
+io_partitioned_prune / io_bucketed_join need a *written* layout
+(partitioned directory tree, bucketed table) to read back, but driver
+query callables must be cheap to call repeatedly. Each stager keys its
+work on the source parquet's (mtime, size) via a marker file and skips
+the rewrite when the marker matches — the same invalidation rule
+stage_events_stream uses, so regenerated testdata at the same path
+invalidates stale layouts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+REPO_TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+)
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_").strip("_")
+
+
+def _marker_current(marker: str, src: str) -> bool:
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+        st = os.stat(src)
+        return rec == {"mtime": st.st_mtime, "size": st.st_size}
+    except (OSError, ValueError):
+        return False
+
+
+def _write_marker(marker: str, src: str) -> None:
+    st = os.stat(src)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"mtime": st.st_mtime, "size": st.st_size}, f)
+
+
+def stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders rewritten as a Hive-style directory tree partitioned by
+    o_orderpriority. Reading it with a priority predicate turns the
+    filter into directory-level partition pruning (PartitionFilters in
+    the scan) — zero IO for non-matching partitions, the core 100 TB
+    layout lever for low-cardinality hot filters."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest = os.path.join(REPO_TMP, f"part_orders_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        df = spark.read.parquet(src)
+        (
+            df.repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(dest)
+        )
+        _write_marker(marker, src)
+    return dest
+
+
+def stage_bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem persisted as same-bucketed managed tables
+    (16 buckets on the orderkey). The bucketed write pays the orderkey
+    shuffle ONCE; every later orders⋈lineitem join reads matching
+    buckets side by side with zero exchange (pinned in
+    tests/test_wave10.py). Returns (orders_table, lineitem_table)."""
+    from mister_spark.sources.bucketed import write_bucketed
+
+    tag = _tag(sf_dir).replace(".", "_").replace("-", "_")
+    to, tl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    marker = os.path.join(REPO_TMP, f"bucketed_{tag}.marker")
+    have = spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)
+    if not (have and _marker_current(marker, src)):
+        write_bucketed(
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+            to,
+            "o_orderkey",
+        )
+        write_bucketed(spark.read.parquet(src), tl, "l_orderkey")
+        _write_marker(marker, src)
+    return to, tl
