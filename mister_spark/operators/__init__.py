@@ -24,6 +24,7 @@ def load() -> None:
         extras8,
         extras9,
         extras10,
+        extras11,
         pipeline,
         pipeline2,
         windows,
