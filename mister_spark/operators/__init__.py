@@ -25,6 +25,7 @@ def load() -> None:
         extras9,
         extras10,
         extras11,
+        extras12,
         pipeline,
         pipeline2,
         windows,
