@@ -51,6 +51,11 @@ HEADLINE = [
     "ds_contamination",
     "scd2_upsert",
     "ds_curate",
+    # wave 10-12: layout + new heavy hitters
+    "io_bucketed_join",
+    "ev_concurrency",
+    "j_interval_overlap",
+    "tx_bigram_nll",
 ]
 
 

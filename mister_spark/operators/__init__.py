@@ -26,6 +26,7 @@ def load() -> None:
         extras10,
         extras11,
         extras12,
+        extras13,
         pipeline,
         pipeline2,
         windows,

@@ -13,6 +13,7 @@ from mister_spark.registry import query
 from mister_spark.streaming import (
     run_stream_dedup,
     run_stream_enrich,
+    run_stream_quota,
     run_stream_sessionize,
     run_stream_sliding,
     run_stream_stream_join,
@@ -60,3 +61,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_stream_left_join")  # streaming execution → rows-only; pytest parity
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_left_join(spark, sf_dir)
+
+
+@query("stream_quota")  # streaming execution → rows-only; pytest parity
+def stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_quota(spark, sf_dir)

@@ -1,5 +1,6 @@
 from mister_spark.streaming.jobs import (
     run_stream_dedup,
+    run_stream_quota,
     run_stream_enrich,
     run_stream_sessionize,
     run_stream_sliding,
@@ -17,6 +18,7 @@ from mister_spark.streaming.kafka import (
 
 __all__ = [
     "run_stream_dedup",
+    "run_stream_quota",
     "run_stream_enrich",
     "run_stream_sessionize",
     "run_stream_sliding",

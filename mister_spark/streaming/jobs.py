@@ -396,3 +396,58 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     )
     return _run_to_memory(joined.select("purchase_id", "error_id"), "append")
+
+
+QUOTA_K = 5
+
+QUOTA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("k_index", LongType()),
+    ]
+)
+
+QUOTA_STATE_SCHEMA = StructType([StructField("n_seen", LongType())])
+
+
+def _quota_group(key: tuple, pdfs, state: GroupState):
+    """Per-user admission quota: pass through each user's first K events
+    (by event time, event_id tiebreak) and drop the rest. State is one
+    counter per user — the minimal stateful rate-limit / reservoir gate
+    a streaming ingest pipeline puts in front of an expensive stage."""
+    (user_id,) = key
+    n_seen = state.get[0] if state.exists else 0
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            (int(t), int(e)) for t, e in zip(pdf["tus"], pdf["event_id"])
+        )
+    rows.sort()
+    out = []
+    for tus, event_id in rows:
+        if n_seen < QUOTA_K:
+            n_seen += 1
+            out.append((user_id, event_id, n_seen))
+    state.update((n_seen,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "k_index"])
+
+
+def run_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming per-user quota (first K=5 events pass) via
+    applyInPandasWithState — the streaming twin of a row_number()<=K
+    batch window. On a single availableNow replay the admitted set
+    equals the batch computation exactly (verified in tests); a
+    long-running deployment adds EventTimeTimeout to drop idle users'
+    counters."""
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _quota_group,
+        outputStructType=QUOTA_OUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append")
