@@ -27,6 +27,7 @@ def load() -> None:
         extras11,
         extras12,
         extras13,
+        extras14,
         pipeline,
         pipeline2,
         windows,

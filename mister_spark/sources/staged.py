@@ -85,3 +85,18 @@ def stage_bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, 
         write_bucketed(spark.read.parquet(src), tl, "l_orderkey")
         _write_marker(marker, src)
     return to, tl
+
+
+def stage_csv_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders rewritten as headered CSV (timestamps as ISO strings) —
+    the untyped-ingest twin of the parquet original for io_csv_query."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest = os.path.join(REPO_TMP, f"csv_orders_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        df = spark.read.parquet(src)
+        df.write.mode("overwrite").option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+        ).csv(dest)
+        _write_marker(marker, src)
+    return dest
