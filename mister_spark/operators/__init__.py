@@ -28,6 +28,7 @@ def load() -> None:
         extras12,
         extras13,
         extras14,
+        extras15,
         pipeline,
         pipeline2,
         windows,

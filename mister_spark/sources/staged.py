@@ -100,3 +100,28 @@ def stage_csv_orders(spark: SparkSession, sf_dir: str) -> str:
         ).csv(dest)
         _write_marker(marker, src)
     return dest
+
+
+def stage_json_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders rewritten as JSONL (ISO timestamps) for io_json_query."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest = os.path.join(REPO_TMP, f"json_orders_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        df = spark.read.parquet(src)
+        df.write.mode("overwrite").option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+        ).json(dest)
+        _write_marker(marker, src)
+    return dest
+
+
+def stage_orc_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem rewritten as ORC for io_orc_query."""
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    dest = os.path.join(REPO_TMP, f"orc_lineitem_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        spark.read.parquet(src).write.mode("overwrite").orc(dest)
+        _write_marker(marker, src)
+    return dest
