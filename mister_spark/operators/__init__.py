@@ -29,6 +29,7 @@ def load() -> None:
         extras13,
         extras14,
         extras15,
+        extras16,
         pipeline,
         pipeline2,
         windows,
