@@ -30,6 +30,7 @@ def load() -> None:
         extras14,
         extras15,
         extras16,
+        extras17,
         pipeline,
         pipeline2,
         windows,
