@@ -31,6 +31,7 @@ def load() -> None:
         extras15,
         extras16,
         extras17,
+        extras18,
         pipeline,
         pipeline2,
         windows,
