@@ -203,10 +203,18 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sess_id")
         .agg(F.min("tus").alias("s"), F.max("tus").alias("e"))
     )
-    d = sess.select(F.col("s").alias("tus"), F.lit(1).alias("delta")).unionAll(
-        sess.select((F.col("e") + 1).alias("tus"), F.lit(-1).alias("delta"))
-    )
-    d = d.withColumn("hb", F.expr("tus div 3600000000"))
+    # one explode instead of a self-union: a union would duplicate the
+    # whole sessionize subtree into two plan branches, doubling the
+    # events scan and the user_id exchange
+    d = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("tus"), F.lit(1).alias("delta")),
+                F.struct((F.col("e") + 1).alias("tus"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev")
+    ).select("ev.tus", "ev.delta")
+    d = d.withColumn("hb", F.expr("tus div 3600000000")).localCheckpoint()
     w_in = (
         W.partitionBy("hb")
         .orderBy(F.col("tus"), F.col("delta").desc())
@@ -349,7 +357,13 @@ def ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = cat(spark, sf_dir)["events"].select(
         F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
     )
-    u = ev.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        # the horizon scalar and the lifetime labeling both read u:
+        # cut the lineage so the events scan + user agg run once
+        .localCheckpoint()
+    )
     horizon = u.agg(F.max("d1").alias("maxd"))
     lab = u.join(F.broadcast(horizon)).select(
         (F.col("d1") - F.col("d0")).alias("t"),

@@ -194,7 +194,14 @@ def tx_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat(spark, sf_dir)["documents"]
     tok = docs.select("doc_id", F.posexplode(tokens()).alias("i", "w1"))
     w = W.partitionBy("doc_id").orderBy("i")
-    bg = tok.withColumn("w2", F.lead("w1").over(w)).filter(F.col("w2").isNotNull())
+    # checkpoint: the bigram stream feeds the two count models AND the
+    # scoring join — the cut keeps tokenize+lead single-pass (5 plan
+    # replays otherwise; at scale this is the persisted bigram table)
+    bg = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint()
+    )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c"))
     return (

@@ -135,9 +135,11 @@ def ev_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the user-keyed self-join fans out per-user by (#types with
     that user)² ≤ 25 — bounded by the type-alphabet, not the corpus.
-    Sizes join is |types| rows, broadcast."""
+    Sizes join is |types| rows, broadcast. The deduped (type, user)
+    frame is checkpointed: three plan branches read it, and the cut
+    keeps the events scan + distinct single-pass (7 → 3 exchanges)."""
     ev = cat(spark, sf_dir)["events"]
-    tu = ev.select("event_type", "user_id").distinct()
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
     b = tu.select(F.col("event_type").alias("type_b"), "user_id")
@@ -302,9 +304,12 @@ def tx_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tf is a (doc, token) partial agg; df a token-level agg; the
     scoring join is token-keyed with AQE free to broadcast the Zipf-
     small df table; the top-3 window runs per doc after a doc-keyed
-    shuffle. No Python."""
+    shuffle. No Python. The exploded posting stream is checkpointed —
+    tf, df, and the corpus-N scalar all read it, and without the cut
+    each branch would re-tokenize the corpus (at scale: persist the
+    postings table once, like tx_inverted_index materializes)."""
     docs = cat(spark, sf_dir)["documents"]
-    t = docs.select("doc_id", F.explode(tokens()).alias("tk"))
+    t = docs.select("doc_id", F.explode(tokens()).alias("tk")).localCheckpoint()
     tf = t.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("f"))
     df = t.groupBy("tk").agg(F.countDistinct("doc_id").alias("d"))
     nd = t.agg(F.countDistinct("doc_id").alias("n"))

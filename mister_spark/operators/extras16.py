@@ -44,11 +44,14 @@ def ev_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: user-day dedup shuffles once; the ×7 fan-out then shuffles on
     day. Both key sets shrink monotonically (users→user-days→days). An
     HLL sketch (sketch_hll_rollup) replaces the exact distinct at
-    100 TB."""
+    100 TB. The user-day frame is checkpointed — three branches (DAU,
+    fan-out, day spine) read it."""
     ev = cat(spark, sf_dir)["events"]
-    ud = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
-    ).distinct()
+    ud = (
+        ev.select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     fan = ud.select(
         "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("tday")

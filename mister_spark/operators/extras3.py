@@ -321,6 +321,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("hi"),
         )
         .distinct()
+        # five plan branches (node count, edge count, three motif-join
+        # sides) reference this frame — cut the lineage once so the
+        # 4-table derivation runs once, not five times (10 → 4 exchanges)
+        .localCheckpoint()
     )
     n = (
         e.select(F.col("lo").alias("x"))

@@ -180,3 +180,25 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_shared_subtree_shuffle_ceilings(spark):
+    """Ops whose shared intermediates are checkpointed must keep their
+    exchange counts at the post-fix level — a regression here means a
+    plan branch is replaying a data-sized derivation (the round-2
+    census caught graph_common_neighbors at 17 exchanges because every
+    branch re-ran the 4-table edge join)."""
+    ceilings = {
+        "graph_common_neighbors": 5,
+        "graph_triangles": 5,
+        "ev_user_overlap": 3,
+        "ev_concurrency": 2,
+        "ev_survival": 2,
+        "tx_bigram_nll": 3,
+        "tx_keyphrase": 5,
+        "ev_active_users": 4,
+    }
+    for name, ceil in ceilings.items():
+        df = registry.QUERIES[name](spark, SF)
+        got = count_shuffles(df)
+        assert got <= ceil, (name, got, ceil)
