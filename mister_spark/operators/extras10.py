@@ -445,7 +445,8 @@ def ml_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         F.col("label").cast("long").alias("label"),
     )
-    train = emb.filter(F.col("vec_id") % 5 != 0)
+    # model/priors/n_train all read the train split — checkpoint once
+    train = emb.filter(F.col("vec_id") % 5 != 0).localCheckpoint()
     test = emb.filter(F.col("vec_id") % 5 == 0)
 
     tr = train.select("vec_id", "label", F.posexplode("v").alias("d", "x"))

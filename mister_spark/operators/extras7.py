@@ -290,9 +290,14 @@ def stat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     only affects the first aggregate."""
     ev = cat(spark, sf_dir)["events"]
     iso = ((F.dayofweek("ts") + 5) % 7) + 1
-    o = ev.groupBy(
-        F.col("event_type").alias("et"), iso.cast("bigint").alias("dw")
-    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    # checkpoint the ≤ |types|×7 contingency table: the margins and the
+    # statistic all read it, and without the cut each margin branch
+    # replays the events scan + aggregate
+    o = (
+        ev.groupBy(F.col("event_type").alias("et"), iso.cast("bigint").alias("dw"))
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+        .localCheckpoint()
+    )
     tot = o.agg(F.sum("obs").alias("n"))
     rt = o.groupBy("et").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("dw").agg(F.sum("obs").alias("c"))

@@ -60,9 +60,16 @@ def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT cardinalities over two key sets."""
     c = cat(spark, sf_dir)
-    buyers = c["orders"].select(F.col("o_custkey").alias("k")).distinct()
-    rich = c["customer"].filter(F.col("c_acctbal") > 5000).select(
-        F.col("c_custkey").alias("k")
+    # the three set operations each read both key frames — checkpoint so
+    # the orders scan + distinct runs once, not three times
+    buyers = (
+        c["orders"].select(F.col("o_custkey").alias("k")).distinct().localCheckpoint()
+    )
+    rich = (
+        c["customer"]
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint()
     )
     rows = [
         ("union", buyers.union(rich).distinct()),

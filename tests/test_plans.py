@@ -197,6 +197,8 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "tx_bigram_nll": 3,
         "tx_keyphrase": 5,
         "ev_active_users": 4,
+        "stat_chi2": 3,
+        "set_ops": 4,
     }
     for name, ceil in ceilings.items():
         df = registry.QUERIES[name](spark, SF)
