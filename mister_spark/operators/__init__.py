@@ -32,6 +32,7 @@ def load() -> None:
         extras16,
         extras17,
         extras18,
+        extras19,
         pipeline,
         pipeline2,
         windows,
