@@ -33,6 +33,7 @@ def load() -> None:
         extras17,
         extras18,
         extras19,
+        extras20,
         pipeline,
         pipeline2,
         windows,
