@@ -34,6 +34,7 @@ def load() -> None:
         extras18,
         extras19,
         extras20,
+        extras21,
         pipeline,
         pipeline2,
         windows,
