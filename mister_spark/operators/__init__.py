@@ -35,6 +35,7 @@ def load() -> None:
         extras19,
         extras20,
         extras21,
+        extras22,
         pipeline,
         pipeline2,
         windows,
