@@ -36,6 +36,7 @@ def load() -> None:
         extras20,
         extras21,
         extras22,
+        extras23,
         pipeline,
         pipeline2,
         windows,
