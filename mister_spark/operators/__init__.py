@@ -37,6 +37,7 @@ def load() -> None:
         extras21,
         extras22,
         extras23,
+        extras24,
         pipeline,
         pipeline2,
         windows,
