@@ -38,6 +38,7 @@ def load() -> None:
         extras22,
         extras23,
         extras24,
+        extras25,
         pipeline,
         pipeline2,
         windows,
