@@ -39,6 +39,7 @@ def load() -> None:
         extras23,
         extras24,
         extras25,
+        extras26,
         pipeline,
         pipeline2,
         windows,
