@@ -169,11 +169,15 @@ def ds_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ doc·pos mod p — positional, so ANY transposition changes it and
     two engines agreeing on it agree on the entire permutation.
 
-    Scale: the per-epoch ROW_NUMBER is a global sort in this compact
-    form; the production path range-partitions on the shuffle key
-    (ds_global_shuffle's sharded-window trick) — same permutation,
-    parallel sort."""
+    Scale: positions come from functions/ranks.global_rank — the
+    two-phase range-partitioned sort — NOT a per-epoch window (which
+    would pull each epoch's whole corpus through one task). The
+    epoch-major global rank minus the epoch's base offset is exactly
+    the within-epoch position."""
+    from mister_spark.functions.ranks import global_rank
+
     docs = cat(spark, sf_dir)["documents"].select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
     epochs = spark.createDataFrame(
         [(e, m) for e, m in EPOCH_MULTIPLIERS.items()], "epoch long, mult long"
     )
@@ -182,8 +186,11 @@ def ds_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ((F.col("doc_id") * F.col("mult") + 12345) % 2147483648).alias("k"),
     )
-    w = W.partitionBy("epoch").orderBy("k", "doc_id")
-    ordered = keyed.withColumn("pos", F.row_number().over(w))
+    ordered = (
+        global_rank(keyed, "epoch", "k", "doc_id")
+        .join(F.broadcast(n))
+        .withColumn("pos", F.col("rk") - F.col("epoch") * F.col("n_total"))
+    )
     return ordered.groupBy("epoch").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.col("doc_id") * F.col("pos")) % 1000000007)

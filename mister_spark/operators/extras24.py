@@ -46,14 +46,19 @@ def ds_balanced_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds_shard_assign's hash sharding when shard SIZE equality matters
     (equal-work training shards), not just stable membership.
 
-    Scale: the global length rank is the one sort (range-partitioned at
-    scale, as ds_global_shuffle documents); assignment is a projection
-    and the manifest an 8-key rollup."""
+    Scale: the length rank uses functions/ranks.global_rank (two-phase
+    range-partitioned sort, no single-task window); descending length
+    is expressed as ascending −n_chars so the range partitioner's
+    ascending contract holds. Assignment is a projection and the
+    manifest an 8-key rollup."""
+    from mister_spark.functions.ranks import global_rank
+
     docs = cat(spark, sf_dir)["documents"]
-    w = W.orderBy(F.col("n_chars").desc(), "doc_id")
-    r = docs.select(
-        "doc_id", "n_chars", (F.row_number().over(w) - 1).alias("rk")
-    )
+    r = global_rank(
+        docs.select("doc_id", "n_chars", (-F.col("n_chars")).alias("neg")),
+        "neg",
+        "doc_id",
+    ).select("doc_id", "n_chars", (F.col("rk") - 1).alias("rk"))
     fwd = F.col("rk") % BAL_BINS
     assign = r.withColumn(
         "bin",

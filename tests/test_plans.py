@@ -204,3 +204,24 @@ def test_shared_subtree_shuffle_ceilings(spark):
         df = registry.QUERIES[name](spark, SF)
         got = count_shuffles(df)
         assert got <= ceil, (name, got, ceil)
+
+
+def test_global_rank_exact_and_no_single_task_sort(spark):
+    """functions/ranks.global_rank must equal the window row_number
+    exactly AND never plan an unpartitioned data-sized window (the
+    single-task-sort scale killer it exists to remove)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from mister_spark.functions.ranks import global_rank
+
+    df = spark.range(50000).select((F.col("id") * 48271 % 49999).alias("k"), "id")
+    got = global_rank(df, "k", "id")
+    want = df.select(
+        "k", "id", F.row_number().over(W.orderBy("k", "id")).alias("rk")
+    )
+    assert got.select("k", "id", "rk").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("k", "id", "rk")).count() == 0
+    # the only unpartitioned window is over the #partitions-row size
+    # frame (offsets); the data-sized path is rangepartitioned
+    plan = physical_plan(got)
+    assert "rangepartitioning" in plan, plan
