@@ -129,16 +129,29 @@ def ds_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a fully-specified order (n_chars, doc_id) is deterministic in
     both engines.
 
-    Scale: a single global NTILE is a one-task sort; the 100 TB form
-    computes approx length-quantile boundaries (percentile_approx) and
-    assigns phases by broadcast range compare — same manifest within
-    sketch error, embarrassingly parallel."""
+    Scale: phases come from functions/ranks.global_rank (two-phase
+    range-partitioned sort) plus the exact NTILE arithmetic — first
+    n mod 4 phases take ⌈n/4⌉ docs, the rest ⌊n/4⌋ — so no task ever
+    sorts the whole corpus and the result still matches the oracle's
+    NTILE bit-for-bit."""
+    from mister_spark.functions.ranks import global_rank
+
     docs = cat(spark, sf_dir)["documents"]
-    ph = docs.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(4).over(W.orderBy("n_chars", "doc_id")).cast("long").alias("phase"),
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = global_rank(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id"
+    ).join(F.broadcast(n))
+    q = F.expr("n_total div 4")
+    r = F.col("n_total") % 4
+    big_span = (q + 1) * r  # ranks covered by the (q+1)-sized phases
+    phase = (
+        F.when(F.col("rk") <= big_span, F.expr("(rk - 1) div (n_total div 4 + 1) + 1"))
+        .otherwise(
+            r + F.floor((F.col("rk") - big_span - 1) / F.greatest(q, F.lit(1))) + 1
+        )
+        .cast("long")
     )
+    ph = ranked.select("doc_id", "n_chars", phase.alias("phase"))
     return ph.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),
