@@ -40,6 +40,7 @@ def load() -> None:
         extras24,
         extras25,
         extras26,
+        extras27,
         pipeline,
         pipeline2,
         windows,
