@@ -46,3 +46,88 @@ def global_rank(df: DataFrame, *order: Column | str, rank_col: str = "rk") -> Da
         .withColumn(rank_col, F.col("_off") + F.col("_local"))
         .drop("_mid", "_pid", "_local", "_off")
     )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` reconstructed arithmetically from a
+    1-based global rank and the total row count ``n`` — so a
+    deterministic NTILE (total order ⇒ tie-free positions) needs only
+    ``global_rank`` plus a broadcast count, never a single-task sorted
+    window. SQL semantics: with q = n div k and r = n mod k, the first
+    r tiles hold q+1 rows and the rest hold q."""
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    big = q + 1
+    threshold = r * big
+    return (
+        F.when(rank <= threshold, F.floor((rank - 1) / big) + 1)
+        .otherwise(r + F.floor((rank - threshold - 1) / q) + 1)
+        .cast("bigint")
+    )
+
+
+CUMSUM_BUCKETS = 64
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sums: dict[str, Column],
+    nbuckets: int = CUMSUM_BUCKETS,
+) -> DataFrame:
+    """Two-phase distributed prefix sum: for each name → value column in
+    ``sums``, add a running total under ``ORDER BY order_col`` without
+    the single global window that would drag every row through one task.
+
+    ``order_col`` values must be DISTINCT per row (callers group by the
+    key first — an ECDF/prefix frame), so ROWS and RANGE frames agree.
+
+    Phase plan: ``nbuckets - 1`` approx-percentile boundaries of
+    ``order_col`` (a mergeable sketch, one tiny aggregate) are broadcast
+    and each row bucketed map-side — buckets are range-contiguous and
+    ~balanced regardless of skew. A window PARTITIONED by bucket does
+    the local prefix sums fully in parallel; the cross-bucket carry is a
+    cumulative sum over the nbuckets-row totals frame, broadcast back.
+    Identical numbers to ``SUM(x) OVER (ORDER BY k)``, no global sort.
+
+    The input is ``localCheckpoint``-ed (it feeds both the bucketed
+    window and the totals branch); callers pass the already-collapsed
+    frame, so the materialization is |distinct keys|, not base-table,
+    sized."""
+    df = df.localCheckpoint()
+    fracs = [i / nbuckets for i in range(1, nbuckets)]
+    bounds = df.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bs"))
+    bucket = F.aggregate(
+        F.col("_bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0),
+    )
+    b = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_b", bucket)
+        .drop("_bs")
+    )
+    w_in = (
+        W.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = b
+    names = list(sums)
+    for name in names:
+        out = out.withColumn(name, F.sum(sums[name]).over(w_in))
+    tot = b.groupBy("_b").agg(
+        *[F.sum(sums[name]).alias(f"_t{i}") for i, name in enumerate(names)]
+    )
+    w_b = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offs = tot.select(
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_t{i}").over(w_b), F.lit(0)).alias(f"_o{i}")
+            for i in range(len(names))
+        ],
+    )
+    out = out.join(F.broadcast(offs), "_b")
+    for i, name in enumerate(names):
+        out = out.withColumn(name, F.col(name) + F.col(f"_o{i}")).drop(f"_o{i}")
+    return out.drop("_b")

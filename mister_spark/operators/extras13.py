@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.ranks import global_rank
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, money, rnd
 from mister_spark.registry import query
@@ -49,16 +50,22 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties); all Pearson sums then run over exact integers, with one
     rounded float division at the end.
 
-    Scale: one user_id rollup, two rank windows over the user frame
-    (global sort of #users rows — the 100 TB form ranks via a
-    two-phase range-partitioned sort), one scalar fold."""
+    Scale: one user_id rollup, then each axis ranks via the two-phase
+    `functions/ranks.global_rank` (range-partitioned sort, never a
+    single-task window): RANK()-with-ties is reconstructed exactly as
+    MIN(row_number) over equal values — a partitioned (parallel)
+    min-window per axis — and a localCheckpoint between the two axes
+    keeps the second range shuffle from replaying the first."""
     ev = cat(spark, sf_dir)["events"]
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("x"), money(F.sum("value")).alias("y")
     )
-    rk = u.select(
-        F.rank().over(W.orderBy("x")).cast("long").alias("rx"),
-        F.rank().over(W.orderBy("y")).cast("long").alias("ry"),
+    r1 = global_rank(u, "x", "user_id", rank_col="_rnx").withColumn(
+        "rx", F.min("_rnx").over(W.partitionBy("x"))
+    )
+    r2 = global_rank(r1.localCheckpoint(), "y", "user_id", rank_col="_rny")
+    rk = r2.select(
+        "rx", F.min("_rny").over(W.partitionBy("y")).alias("ry")
     )
     s = rk.agg(
         F.count(F.lit(1)).alias("n"),

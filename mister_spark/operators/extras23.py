@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.ranks import bucketed_cumsum
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio, rnd
 from mister_spark.registry import query
@@ -175,8 +176,10 @@ def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregate, so no growing distinct state exists anywhere.
 
     Scale: one token shuffle for first-seen, one for per-doc counts;
-    the cumulative windows run over the #docs frame (range-partitioned
-    sort at 100 TB)."""
+    the cumulative totals over the #docs frame run through the
+    two-phase `bucketed_cumsum` (range buckets → parallel partitioned
+    window → broadcast carry), so no task ever sorts the whole doc
+    frame."""
     docs = cat(spark, sf_dir)["documents"]
     t = docs.select("doc_id", F.explode(tokens()).alias("tk")).localCheckpoint()
     first_seen = t.groupBy("tk").agg(F.min("doc_id").alias("first_doc"))
@@ -187,12 +190,14 @@ def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = toks.join(per_doc, "doc_id", "left").withColumn(
         "n_new", F.coalesce(F.col("n_new"), F.lit(0))
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    return j.select(
+    c = bucketed_cumsum(
+        j, "doc_id", {"cum_vocab": F.col("n_new"), "cum_tokens": F.col("n_toks")}
+    )
+    return c.select(
         "doc_id",
         F.col("n_new").cast("long").alias("n_new_types"),
-        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
-        F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mister_spark.functions.ranks import global_rank, ntile_from_rank
 from mister_spark.functions.text import tokens
 from mister_spark.operators.common import cat, money, ratio, rnd
 from mister_spark.registry import query
@@ -512,10 +513,12 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts deterministic), concatenated into the classic 'RFM cell'
     marketing segment.
 
-    Scale: the base aggregate is one shuffle; the three ntiles are
-    global sorted windows — fine at dimension (customer) cardinality,
-    and the documented scale path swaps in approx-percentile boundary
-    bucketing exactly as w_ntile_approx does."""
+    Scale: the base aggregate is one shuffle; each ntile is the
+    two-phase `global_rank` (range-partitioned sort — never a global
+    sorted window) with exact NTILE(5) reconstructed arithmetically
+    from (rank, n) by `ntile_from_rank`. localCheckpoints between the
+    three axes keep each range shuffle from replaying the previous
+    ones; the approx-boundary scale twin is ev_rfm_approx."""
     orders = cat(spark, sf_dir)["orders"]
     mx = orders.agg(F.max("o_orderdate").alias("mxd"))
     base = (
@@ -528,16 +531,28 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             money(F.sum("o_totalprice")).alias("monetary"),
         )
+        .localCheckpoint()
     )
-    wr = Window.orderBy("recency_days", "custkey")
-    wf = Window.orderBy(F.desc("frequency"), "custkey")
-    wm = Window.orderBy(F.desc("monetary"), "custkey")
-    sc = base.select(
-        "*",
-        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
-    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    n = F.col("_n")
+    s1 = global_rank(
+        base.crossJoin(F.broadcast(n_row)),
+        "recency_days",
+        "custkey",
+        rank_col="_rk",
+    ).withColumn("r_score", ntile_from_rank(F.col("_rk"), n, 5))
+    s2 = global_rank(
+        s1.drop("_rk").localCheckpoint(),
+        F.desc("frequency"),
+        F.asc("custkey"),
+        rank_col="_rk",
+    ).withColumn("f_score", ntile_from_rank(F.col("_rk"), n, 5))
+    sc = global_rank(
+        s2.drop("_rk").localCheckpoint(),
+        F.desc("monetary"),
+        F.asc("custkey"),
+        rank_col="_rk",
+    ).withColumn("m_score", ntile_from_rank(F.col("_rk"), n, 5))
     return sc.select(
         "custkey",
         "recency_days",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.ranks import bucketed_cumsum, global_rank
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, money, ratio, rnd
 from mister_spark.registry import query
@@ -61,14 +62,14 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     taking cumulative integer counts is exact, not an approximation.
 
     Scale: the fact table collapses to |distinct values| rows in ONE
-    partial-agg shuffle before any window runs. The cumulative window is
-    a single global ordering of that collapsed set — at 100 TB you'd
-    band-partition the value domain and add per-band prefix offsets
-    (two passes), same as any distributed prefix sum."""
+    partial-agg shuffle before any window runs; the cumulative counts
+    are then a two-phase distributed prefix sum (`bucketed_cumsum`:
+    approx-percentile range buckets → parallel partitioned window →
+    broadcast cross-bucket carry), so no task ever sorts the whole
+    collapsed frame even when |distinct doubles| is data-sized."""
     s = _two_sample(spark, sf_dir)
     g = s.groupBy("v").agg(F.sum("ga").alias("da"), F.sum("gb").alias("db"))
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = g.select(F.sum("da").over(w).alias("ca"), F.sum("db").over(w).alias("cb"))
+    c = bucketed_cumsum(g, "v", {"ca": F.col("da"), "cb": F.col("db")})
     t = s.agg(
         F.sum("ga").cast("double").alias("na"),
         F.sum("gb").cast("double").alias("nb"),
@@ -120,16 +121,16 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable — bit-identical across engines by construction.
 
     Scale: same collapsed-by-value shape as stat_ks_test — one
-    partial-agg shuffle, then a prefix sum over |distinct values|."""
+    partial-agg shuffle, then the same two-phase `bucketed_cumsum`
+    prefix sum over |distinct values| (no single-task global window)."""
     s = _two_sample(spark, sf_dir)
     g = s.groupBy("v").agg(
         F.sum("ga").alias("da"),
         F.sum("gb").alias("db"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = g.select(
-        "da", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("below")
+    c = bucketed_cumsum(g, "v", {"cum": F.col("cnt")}).select(
+        "da", "cnt", (F.col("cum") - F.col("cnt")).alias("below")
     )
     r = c.agg(
         F.sum(F.col("da") * (F.col("below") + (F.col("cnt") + 1) / 2.0)).alias("ra")
@@ -173,20 +174,19 @@ def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the rank-weighted sum is exact 64-bit integer arithmetic — no
     float summation order to disagree on.
 
-    Scale: spend-per-customer is one partial-agg shuffle. The global
-    rank is the only total order; at 100 TB replace it with the
-    standard two-phase distributed ranking (sort-within-range-buckets +
-    per-bucket row-count offsets). Σ i·x stays within int64 up to
-    ~10⁹ customers at cent scale; beyond that, decimal(38)."""
+    Scale: spend-per-customer is one partial-agg shuffle. The rank IS
+    the two-phase distributed ranking (`functions/ranks.global_rank`:
+    range-partitioned sort + per-partition row-count offsets) — no
+    single-task global sort anywhere in the plan. Σ i·x stays within
+    int64 up to ~10⁹ customers at cent scale; beyond that,
+    decimal(38)."""
     orders = cat(spark, sf_dir)["orders"]
     sp = orders.groupBy("o_custkey").agg(
         F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("xc")
     )
-    r = sp.select(
-        "xc", F.row_number().over(W.orderBy("xc", "o_custkey")).alias("i")
-    )
+    r = global_rank(sp, "xc", "o_custkey", rank_col="i").select("xc", "i")
     n = F.count(F.lit(1))
     s = F.sum("xc")
     si = F.sum(F.col("i") * F.col("xc"))
@@ -281,15 +281,36 @@ def tx_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw-moment-sum closed form (see stat_regression).
 
     Scale: token counting is the only corpus-sized step (one
-    partial-agg shuffle); the rank window and the fit run on the
-    Zipf-small vocabulary, and only {ZIPF_TOP} points feed the sums."""
+    partial-agg shuffle). The vocabulary-sized rank window is PRUNED
+    FIRST: the global top-{ZIPF_TOP} under (count desc, token) is a
+    subset of every partition's local top-{ZIPF_TOP}, and the local
+    rank comes free from `monotonically_increasing_id` after a
+    sortWithinPartitions (no exchange, no window) — so the only
+    unpartitioned window orders ≤ {ZIPF_TOP}·#partitions survivor
+    rows, a plan constant independent of vocabulary size."""
     docs = cat(spark, sf_dir)["documents"]
     cnt = (
         docs.select(F.explode(tokens()).alias("tk"))
         .groupBy("tk")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    rk = cnt.select(
+    shift = 33  # monotonically_increasing_id: id = pid << 33 | row
+    mid = F.monotonically_increasing_id()
+    pruned = (
+        cnt.sortWithinPartitions(F.desc("c"), "tk")
+        .withColumn("_mid", mid)
+        .withColumn(
+            "_local",
+            (
+                F.col("_mid")
+                - F.shiftleft(F.shiftright("_mid", shift), shift)
+            )
+            + 1,
+        )
+        .filter(F.col("_local") <= ZIPF_TOP)
+        .drop("_mid", "_local")
+    )
+    rk = pruned.select(
         "c", F.row_number().over(W.orderBy(F.desc("c"), "tk")).alias("rank")
     ).filter(F.col("rank") <= ZIPF_TOP)
     p = rk.select(

@@ -225,3 +225,76 @@ def test_global_rank_exact_and_no_single_task_sort(spark):
     # frame (offsets); the data-sized path is rangepartitioned
     plan = physical_plan(got)
     assert "rangepartitioning" in plan, plan
+
+
+def test_bucketed_cumsum_exact_and_partitioned(spark):
+    """functions/ranks.bucketed_cumsum must equal SUM() OVER (ORDER BY)
+    exactly AND run its data-sized window partitioned by the broadcast
+    range bucket, never as one global sorted task."""
+    from pyspark.sql import Window as W, functions as F
+
+    from mister_spark.functions.ranks import bucketed_cumsum
+
+    df = (
+        spark.range(20000)
+        .select(
+            ((F.col("id") * 2654435761) % 1000003).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("v"))
+    )
+    got = bucketed_cumsum(df, "k", {"cs": F.col("v")})
+    want = df.select(
+        "k",
+        "v",
+        F.sum("v")
+        .over(W.orderBy("k").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cs"),
+    )
+    assert got.select("k", "v", "cs").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("k", "v", "cs")).count() == 0
+    assert "hashpartitioning(_b" in physical_plan(got)
+
+
+def test_ntile_from_rank_matches_ntile(spark):
+    """functions/ranks.ntile_from_rank must reproduce SQL NTILE(k)
+    exactly for n below, at, and above multiples of k."""
+    from pyspark.sql import Window as W, functions as F
+
+    from mister_spark.functions.ranks import ntile_from_rank
+
+    for n in (1, 4, 5, 23, 1000):
+        df = spark.range(n).withColumn("rk", F.col("id") + 1)
+        got = df.select(
+            "id",
+            ntile_from_rank(
+                F.col("rk"), F.lit(n).cast("bigint"), 5
+            ).alias("t"),
+        )
+        want = df.select(
+            "id", F.ntile(5).over(W.orderBy("id")).cast("bigint").alias("t")
+        )
+        assert got.exceptAll(want).count() == 0, n
+        assert want.exceptAll(got).count() == 0, n
+
+
+def test_retrofits_have_no_single_task_sort(spark):
+    """The 7 ops the round-2 verdict flagged as correct-but-scale-weak
+    (data-sized frames ranked through an unpartitioned window) must now
+    show their two-phase form in the final plan stage: rangepartitioning
+    for global_rank users, a bucket-partitioned window for
+    bucketed_cumsum users, and the local-prune filter for tx_zipf (its
+    only unpartitioned window orders ≤ ZIPF_TOP·#partitions rows)."""
+    markers = {
+        "stat_gini": "rangepartitioning",
+        "stat_spearman": "rangepartitioning",
+        "ev_rfm": "rangepartitioning",
+        "stat_ks_test": "hashpartitioning(_b",
+        "stat_mannwhitney": "hashpartitioning(_b",
+        "tx_vocab_growth": "hashpartitioning(_b",
+        "tx_zipf": "_local",
+    }
+    for name, marker in markers.items():
+        plan = physical_plan(registry.QUERIES[name](spark, SF))
+        assert marker in plan, (name, marker)
