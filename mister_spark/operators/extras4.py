@@ -481,6 +481,24 @@ def mm_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (recency_days, frequency, monetary) rollup shared by
+    the exact and approx RFM paths — one orders shuffle."""
+    orders = cat(spark, sf_dir)["orders"]
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("mxd"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            money(F.sum("o_totalprice")).alias("monetary"),
+        )
+    )
+
+
 @query(
     "ev_rfm",
     oracle="""
@@ -519,20 +537,7 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from (rank, n) by `ntile_from_rank`. localCheckpoints between the
     three axes keep each range shuffle from replaying the previous
     ones; the approx-boundary scale twin is ev_rfm_approx."""
-    orders = cat(spark, sf_dir)["orders"]
-    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
-    base = (
-        orders.crossJoin(F.broadcast(mx))
-        .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
-            F.datediff(F.first("mxd"), F.max("o_orderdate"))
-            .cast("bigint")
-            .alias("recency_days"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            money(F.sum("o_totalprice")).alias("monetary"),
-        )
-        .localCheckpoint()
-    )
+    base = _rfm_base(spark, sf_dir).localCheckpoint()
     n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     n = F.col("_n")
     s1 = global_rank(
@@ -566,6 +571,53 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ).alias("segment"),
+    )
+
+
+@query("ev_rfm_approx")  # approximate quintile edges → rows-only; pytest vs exact
+def ev_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, the w_ntile_approx-style scale path: instead of
+    three exact global ranks, compute the 4 quintile boundaries of each
+    axis with a mergeable t-digest in ONE aggregate, broadcast the 12
+    numbers, and score every customer map-side by counting boundaries
+    below its value. Tile edges are approximate (pytest pins ≤1-quintile
+    drift per axis and ≥80% all-three-axes agreement vs exact ev_rfm);
+    everything after the base rollup is sort-free and shuffle-free.
+
+    Scale: one orders shuffle for the rollup, one 1-row sketch
+    aggregate, zero shuffles for the scoring."""
+    base = _rfm_base(spark, sf_dir).localCheckpoint()
+    fr = [i / 5.0 for i in range(1, 5)]
+    bounds = base.agg(
+        F.percentile_approx("recency_days", fr, 10000).alias("_br"),
+        F.percentile_approx("frequency", fr, 10000).alias("_bf"),
+        F.percentile_approx("monetary", fr, 10000).alias("_bm"),
+    )
+
+    def below(col: str, bs: str):
+        return F.aggregate(
+            F.col(bs),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        )
+
+    sc = base.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency ranks ascending (1 = most recent); freq/monetary descending
+        (1 + below("recency_days", "_br")).cast("bigint").alias("r_score"),
+        (5 - below("frequency", "_bf")).cast("bigint").alias("f_score"),
+        (5 - below("monetary", "_bm")).cast("bigint").alias("m_score"),
+    )
+    return sc.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
     )
 
 

@@ -106,6 +106,36 @@ def test_ntile_approx_tracks_exact(spark):
     assert sum(d == 0 for d in drift) / len(drift) >= 0.8
 
 
+def test_rfm_approx_tracks_exact(spark):
+    """Approx-boundary RFM: ≤1 quintile drift per axis, ≥75% per-axis
+    exact agreement, ≥70% of customers with all three scores agreeing.
+    The frequency axis is small-integer valued with heavy ties: exact
+    NTILE splits equal values across quintiles positionally (custkey
+    tiebreak) while boundary bucketing scores all ties identically, so
+    boundary-tie customers disagree by construction — bounded to one
+    quintile, which is what the drift cap pins."""
+    from mister_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    axes = ("r_score", "f_score", "m_score")
+    exact = {
+        r["custkey"]: tuple(r[a] for a in axes)
+        for r in registry.QUERIES["ev_rfm"](spark, sf).collect()
+    }
+    approx = {
+        r["custkey"]: tuple(r[a] for a in axes)
+        for r in registry.QUERIES["ev_rfm_approx"](spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for i in range(3):
+        assert max(abs(exact[k][i] - approx[k][i]) for k in exact) <= 1, axes[i]
+        axis_agree = sum(exact[k][i] == approx[k][i] for k in exact) / len(exact)
+        assert axis_agree >= 0.75, (axes[i], axis_agree)
+    agree = sum(exact[k] == approx[k] for k in exact) / len(exact)
+    assert agree >= 0.7, agree
+
+
 def test_mrjob_combiner_and_knobs(spark):
     """Imperative MrJob with a combiner must equal the declarative
     wordcount, with reduce parallelism pinned by the knob."""
