@@ -18,7 +18,8 @@ from mister_spark.registry import query
 IVF_NLIST = 64  # FIXED centroid count — O(1) in corpus size (4096 at 100 TB)
 IVF_NPROBE = 32  # clusters scanned per query; the synthetic test
 # embeddings are near-uniform so hitting the ≥0.9 recall gate needs a
-# high probe fraction — real clustered embeddings run nprobe/nlist ≈ 1-5%
+# high probe fraction — real clustered embeddings run nprobe/nlist ≈ 1-5%,
+# pinned by test_ivf_recall_on_clustered_corpus (≥0.9 recall at 12.5%)
 IVF_SAMPLE = 2048  # bounded training sample — training never scans the corpus
 
 
@@ -36,9 +37,15 @@ def ivf_train(spark: SparkSession, sf_dir: str):
     made nlist grow linearly with the corpus (unbounded broadcast and
     O(n²/stride) assignment work at scale). Training cost is now
     O(IVF_SAMPLE · IVF_NLIST) driver-side, independent of corpus size."""
+    return ivf_train_df(_emb(spark, sf_dir))
+
+
+def ivf_train_df(emb: DataFrame):
+    """Codebook training from any (vec_id, v) frame — the testable core
+    of ivf_train (the skewed-corpus recall gate feeds a clustered
+    synthetic frame here)."""
     import numpy as np
 
-    emb = _emb(spark, sf_dir)
     rows = emb.orderBy("vec_id").limit(IVF_SAMPLE).collect()
     X = np.array([r["v"] for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -177,13 +184,21 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment would persist the cluster assignment and partition the
     corpus by cluster id so probes touch nprobe/nlist of the files;
     this query demonstrates the same pruning inline."""
+    return ivf_topk(_emb(spark, sf_dir), nprobe=IVF_NPROBE, k=10)
+
+
+def ivf_topk(emb: DataFrame, nprobe: int, k: int) -> DataFrame:
+    """IVF probe core over any (vec_id, v) frame, query = vec_id 0 —
+    parameterized on nprobe so the clustered-corpus pytest gate can pin
+    recall at a production probe fraction (nprobe/nlist ≤ 12.5%)
+    instead of the high fraction the near-uniform driver testdata
+    needs."""
     import numpy as np
 
-    C = ivf_train(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
+    C = ivf_train_df(emb)
     q = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["v"])
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    probe = np.argsort(-(C @ qn))[: min(IVF_NPROBE, len(C))]
+    probe = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
 
     def scan(batches):
         import pandas as pd
@@ -208,7 +223,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.mapInPandas(scan, "vec_id long, cosine double")
         .orderBy(F.desc("cosine"), "vec_id")
-        .limit(10)
+        .limit(k)
     )
 
 
