@@ -16,6 +16,7 @@ from mister_spark.streaming import (
     run_stream_quota,
     run_stream_sessionize,
     run_stream_sliding,
+    run_stream_sliding_update,
     run_stream_stream_join,
     run_stream_stream_left_join,
     run_stream_tumbling,
@@ -46,6 +47,11 @@ def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_sliding")  # streaming execution → rows-only; pytest parity
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_sliding(spark, sf_dir)
+
+
+@query("stream_sliding_update")  # streaming execution → rows-only; pytest parity
+def stream_sliding_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_sliding_update(spark, sf_dir)
 
 
 @query("stream_enrich")  # streaming execution → rows-only; pytest parity

@@ -4,6 +4,7 @@ from mister_spark.streaming.jobs import (
     run_stream_enrich,
     run_stream_sessionize,
     run_stream_sliding,
+    run_stream_sliding_update,
     run_stream_stream_join,
     run_stream_stream_left_join,
     run_stream_tumbling,
@@ -22,6 +23,7 @@ __all__ = [
     "run_stream_enrich",
     "run_stream_sessionize",
     "run_stream_sliding",
+    "run_stream_sliding_update",
     "run_stream_stream_join",
     "run_stream_stream_left_join",
     "run_stream_tumbling",

@@ -291,6 +291,56 @@ def run_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stream_sliding_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode sliding aggregate — the long-running configuration of
+    run_stream_sliding: each micro-batch emits only the windows whose
+    totals CHANGED in that batch, and the watermark evicts a window's
+    state once it passes (so, unlike complete mode, neither state nor
+    per-trigger output grows with stream lifetime; unlike append mode,
+    consumers see running totals immediately instead of waiting for the
+    window to close). A window's final value is its LAST emission, so
+    the sink must upsert by key: here foreachBatch appends each batch
+    (tagged with its batch_id) to parquet — a distributed write, nothing
+    driver-sized — and the per-key max-batch row is the upserted state,
+    resolved with one max(struct(batch, vals)) aggregate. Pytest pins
+    exact parity with batch ev_sliding on the bounded replay."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("total_c"),
+        )
+    )
+    name = f"ms_stream_{next(_counter)}_{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(REPO_TMP, "upd", name)
+    ckpt = os.path.join(REPO_TMP, "ckpt", name)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_bid", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    last = res.groupBy(F.col("w.start").alias("ws"), "event_type").agg(
+        F.max(F.struct("_bid", "n", "total_c")).alias("s")
+    )
+    return last.select(
+        F.unix_micros(F.col("ws")).alias("wstart_us"),
+        "event_type",
+        F.col("s.n").alias("n"),
+        (F.col("s.total_c") / 100).alias("total"),
+    )
+
+
 def run_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: enrich the event stream with the customer
     dimension (user_id -> c_custkey) and aggregate value per market

@@ -75,6 +75,23 @@ def test_stream_sliding_matches_batch(spark):
     assert b == s
 
 
+def test_stream_sliding_update_matches_batch(spark):
+    """Update-mode sliding job (foreachBatch upsert-by-key sink): the
+    last emission per window must equal the batch aggregate exactly on
+    a bounded replay — the long-running config's parity gate."""
+    batch = registry.QUERIES["ev_sliding"](spark, SF)
+    stream = registry.QUERIES["stream_sliding_update"](spark, SF)
+    b = {
+        (r["wstart_us"], r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    s = {
+        (r["wstart_us"], r["event_type"]): (r["n"], r["total"])
+        for r in stream.collect()
+    }
+    assert b == s
+
+
 def test_stream_enrich_matches_batch(spark):
     from pyspark.sql import functions as F
 
