@@ -56,6 +56,14 @@ HEADLINE = [
     "ev_concurrency",
     "j_interval_overlap",
     "tx_bigram_nll",
+    # round 3: the retrofitted two-phase rank/prefix-sum ops, measured
+    "stat_gini",
+    "stat_spearman",
+    "ev_rfm",
+    "stat_ks_test",
+    "stat_mannwhitney",
+    "tx_zipf",
+    "tx_vocab_growth",
 ]
 
 
