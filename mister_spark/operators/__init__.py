@@ -42,6 +42,7 @@ def load() -> None:
         extras26,
         extras27,
         extras28,
+        extras29,
         pipeline,
         pipeline2,
         windows,

@@ -125,3 +125,25 @@ def stage_orc_lineitem(spark: SparkSession, sf_dir: str) -> str:
         spark.read.parquet(src).write.mode("overwrite").orc(dest)
         _write_marker(marker, src)
     return dest
+
+
+def stage_sorted_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem rewritten range-clustered on l_shipdate (8 range
+    partitions, sorted within each) for io_zone_map_prune: every parquet
+    row group covers a narrow shipdate band, so a shipdate range filter
+    skips most row groups from footer min/max stats alone — the
+    sort-clustering complement to directory-level partition pruning
+    (which needs a low-cardinality key; date ranges want clustering)."""
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    dest = os.path.join(REPO_TMP, f"sorted_lineitem_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        df = spark.read.parquet(src)
+        (
+            df.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        _write_marker(marker, src)
+    return dest

@@ -199,6 +199,19 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_active_users": 4,
         "stat_chi2": 3,
         "set_ops": 4,
+        # round-3 retrofits + wave 28 (post-localCheckpoint stage counts)
+        "ev_linear_interp": 1,
+        "emb_quantize_int8": 0,
+        "stat_weighted_median": 2,
+        "mm_shard_manifest": 2,
+        "ev_rfm": 3,
+        "ev_rfm_approx": 0,
+        "stat_ks_test": 3,
+        "stat_mannwhitney": 3,
+        "stat_gini": 5,
+        "stat_spearman": 4,
+        "tx_zipf": 1,
+        "tx_vocab_growth": 2,
     }
     for name, ceil in ceilings.items():
         df = registry.QUERIES[name](spark, SF)
