@@ -43,6 +43,7 @@ def load() -> None:
         extras27,
         extras28,
         extras29,
+        extras30,
         pipeline,
         pipeline2,
         windows,
