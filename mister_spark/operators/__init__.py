@@ -44,6 +44,7 @@ def load() -> None:
         extras28,
         extras29,
         extras30,
+        extras31,
         pipeline,
         pipeline2,
         windows,
