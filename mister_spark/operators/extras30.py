@@ -158,7 +158,11 @@ def ev_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast and the three thresholds fan out map-side before a
     3-key aggregate."""
     ev = cat(spark, sf_dir)["events"]
-    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # checkpointed: three branches read it (rank input, rank offsets,
+    # the totals row) — without this the events rollup replays per branch
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
     r = global_rank(u, F.desc("c"), F.asc("user_id"), rank_col="rk")
     t = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("nu"), F.sum("c").alias("tot")

@@ -212,6 +212,17 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_spearman": 4,
         "tx_zipf": 1,
         "tx_vocab_growth": 2,
+        # waves 29-31
+        "sq_not_in_null_trap": 1,
+        "ev_rolling_slope": 2,
+        "tx_source_vocab_overlap": 3,
+        "io_zone_map_prune": 0,
+        "sim_hard_negatives": 1,
+        "ds_temperature_mix": 2,
+        "ev_activity_concentration": 4,
+        "ml_auc": 2,
+        "ev_drawdown": 2,
+        "dd_tfidf_cosine": 4,
     }
     for name, ceil in ceilings.items():
         df = registry.QUERIES[name](spark, SF)
