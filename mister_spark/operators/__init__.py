@@ -45,6 +45,7 @@ def load() -> None:
         extras29,
         extras30,
         extras31,
+        extras32,
         pipeline,
         pipeline2,
         windows,
