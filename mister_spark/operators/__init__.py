@@ -46,6 +46,7 @@ def load() -> None:
         extras30,
         extras31,
         extras32,
+        extras33,
         pipeline,
         pipeline2,
         windows,

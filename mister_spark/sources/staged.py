@@ -147,3 +147,27 @@ def stage_sorted_lineitem(spark: SparkSession, sf_dir: str) -> str:
         )
         _write_marker(marker, src)
     return dest
+
+
+def stage_small_files_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """events staged as 64 tiny parquet files (the streaming-ingest
+    landing pathology), plus its coalesce-compacted rewrite — the pair
+    io_small_files_compaction reports on. Returns (small_dir,
+    compact_dir)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    small = os.path.join(REPO_TMP, f"small_events_{_tag(sf_dir)}")
+    compact = os.path.join(REPO_TMP, f"compact_events_{_tag(sf_dir)}")
+    marker = small + ".marker"
+    if not (
+        _marker_current(marker, src)
+        and os.path.isdir(small)
+        and os.path.isdir(compact)
+    ):
+        df = spark.read.parquet(src)
+        df.repartition(64).write.mode("overwrite").parquet(small)
+        # compaction: shuffle-free partition concatenation
+        spark.read.parquet(small).coalesce(4).write.mode("overwrite").parquet(
+            compact
+        )
+        _write_marker(marker, src)
+    return small, compact
