@@ -47,6 +47,7 @@ def load() -> None:
         extras31,
         extras32,
         extras33,
+        extras34,
         pipeline,
         pipeline2,
         windows,
