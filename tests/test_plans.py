@@ -223,6 +223,16 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_auc": 2,
         "ev_drawdown": 2,
         "dd_tfidf_cosine": 4,
+        # waves 32-34
+        "j_asof_tolerance": 1,
+        "ml_calibration_bins": 1,
+        "ev_uptime_sla": 1,
+        "tx_code_detect": 0,
+        "tx_pmi_pairs": 4,
+        "stat_cramers_v": 3,
+        "ev_session_stats": 1,
+        "ev_alert_throttle": 1,
+        "w_rows_vs_range": 1,
     }
     for name, ceil in ceilings.items():
         df = registry.QUERIES[name](spark, SF)
