@@ -48,6 +48,7 @@ def load() -> None:
         extras32,
         extras33,
         extras34,
+        extras35,
         pipeline,
         pipeline2,
         windows,
