@@ -49,6 +49,7 @@ def load() -> None:
         extras33,
         extras34,
         extras35,
+        extras36,
         pipeline,
         pipeline2,
         windows,
