@@ -233,6 +233,13 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_session_stats": 1,
         "ev_alert_throttle": 1,
         "w_rows_vs_range": 1,
+        # waves 35-36 (io_cache_reuse / ds_pipeline_e2e exchanges are
+        # over 5-row cached frames and 1-row stage counters)
+        "sql_pandas_udf": 1,
+        "ds_passage_chunk": 0,
+        "io_cache_reuse": 6,
+        "ds_quality_filter_funnel": 2,
+        "ds_pipeline_e2e": 9,
     }
     for name, ceil in ceilings.items():
         df = registry.QUERIES[name](spark, SF)
