@@ -50,6 +50,7 @@ def load() -> None:
         extras34,
         extras35,
         extras36,
+        extras37,
         pipeline,
         pipeline2,
         windows,
