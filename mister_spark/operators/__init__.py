@@ -51,6 +51,8 @@ def load() -> None:
         extras35,
         extras36,
         extras37,
+        extras38,
+        extras39,
         pipeline,
         pipeline2,
         windows,

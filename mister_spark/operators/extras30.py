@@ -88,17 +88,19 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ds_temperature_mix",
     oracle=f"""
-    WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(FLOOR(POWER(CAST(COUNT(*) AS DOUBLE), {MIX_ALPHA})
+                                 * 1000000 + 0.5) AS BIGINT) AS w
                FROM documents GROUP BY 1),
     t AS (SELECT SUM(CAST(n_docs AS DOUBLE)) AS tot,
-                 SUM(POWER(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) AS wtot
+                 CAST(SUM(w) AS BIGINT) AS wtot
           FROM g)
     SELECT g.source, g.n_docs,
            FLOOR(n_docs / t.tot * 10000 + 0.5) / 10000 AS raw_share,
-           FLOOR(POWER(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) / t.wtot
-                 * 10000 + 0.5) / 10000 AS temp_share,
-           CAST(FLOOR({MIX_BUDGET} * POWER(CAST(n_docs AS DOUBLE), {MIX_ALPHA})
-                      / t.wtot) AS BIGINT) AS sampled_docs
+           FLOOR(CAST(g.w AS DOUBLE) / t.wtot * 10000 + 0.5) / 10000
+             AS temp_share,
+           CAST(FLOOR({MIX_BUDGET} * CAST(g.w AS DOUBLE) / t.wtot) AS BIGINT)
+             AS sampled_docs
     FROM g, t
     """,
 )
@@ -108,24 +110,32 @@ def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps low-resource sources alive — the multilingual-corpus
     standard), with the per-source document quota for a
     {MIX_BUDGET}-doc epoch. Complements ds_domain_mix (which reports
-    the raw mixture) with the resampled one.
+    the raw mixture) with the resampled one. The n^α weights are
+    snapped to a 1e-6 integer grid BEFORE the normalizer sum — wtot as
+    a float sum is engine-summation-order-dependent, and the epoch
+    quota floor sits exactly on integer boundaries it can flip.
 
     Scale: one partial-agg rollup to #sources rows; the normalizer is a
     1-row broadcast. Everything after the rollup is map-side."""
     docs = cat(spark, sf_dir)["documents"]
-    g = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     nd = F.col("n_docs").cast("double")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).withColumn(
+        "w",
+        F.floor(F.pow(nd, F.lit(MIX_ALPHA)) * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
     t = g.agg(
         F.sum(nd).alias("tot"),
-        F.sum(F.pow(nd, F.lit(MIX_ALPHA))).alias("wtot"),
+        F.sum("w").cast("bigint").alias("wtot"),
     )
-    w = F.pow(nd, F.lit(MIX_ALPHA))
+    wd = F.col("w").cast("double")
     return g.crossJoin(F.broadcast(t)).select(
         "source",
         "n_docs",
         ratio(nd / F.col("tot")).alias("raw_share"),
-        ratio(w / F.col("wtot")).alias("temp_share"),
-        F.floor(MIX_BUDGET * w / F.col("wtot")).cast("bigint").alias("sampled_docs"),
+        ratio(wd / F.col("wtot")).alias("temp_share"),
+        F.floor(MIX_BUDGET * wd / F.col("wtot")).cast("bigint").alias("sampled_docs"),
     )
 
 

@@ -242,6 +242,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ds_pipeline_e2e": 9,
     }
     for name, ceil in ceilings.items():
+        if name == "io_cache_reuse":
+            # ceiling was pinned against a cold cache; a warm
+            # InMemoryRelation left by earlier tests prints its child
+            # plan's exchanges once per branch, inflating the count
+            spark.catalog.clearCache()
         df = registry.QUERIES[name](spark, SF)
         got = count_shuffles(df)
         assert got <= ceil, (name, got, ceil)
