@@ -238,9 +238,20 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bx = x.join(F.broadcast(st), "dim").select(
         "dim", "side", bin_.cast("bigint").alias("bin")
     )
-    c = bx.groupBy("dim", "bin").agg(
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("cr"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("cc"),
+    # checkpointed: the per-dim totals branch and the grid join both
+    # read this {PSI_DIMS}×{PSI_BINS}-row frame — without it each
+    # branch replays the data-sized explode+count
+    c = (
+        bx.groupBy("dim", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cr"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cc"),
+        )
+        .localCheckpoint()
     )
     n = c.groupBy("dim").agg(
         F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
@@ -251,7 +262,7 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(0, PSI_BINS).select(F.col("id").cast("bigint").alias("bin"))
     )
     f = (
-        grid.join(c, ["dim", "bin"], "left")
+        grid.join(F.broadcast(c), ["dim", "bin"], "left")
         .fillna(0, subset=["cr", "cc"])
         .join(F.broadcast(n), "dim")
     )

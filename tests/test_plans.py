@@ -240,6 +240,17 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "io_cache_reuse": 6,
         "ds_quality_filter_funnel": 2,
         "ds_pipeline_e2e": 9,
+        # waves 38-39 (kendall/theil-sen/psi counts are post-
+        # localCheckpoint stage counts over collapsed frames)
+        "stat_kendall_tau": 0,
+        "stat_theil_sen": 1,
+        "ml_pr_auc": 2,
+        "ev_fsm_match": 1,
+        "ds_user_split": 2,
+        "ds_pack_efficiency": 1,
+        "ml_psi_drift": 2,
+        "tx_simpson_diversity": 2,
+        "ds_temperature_mix": 2,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
