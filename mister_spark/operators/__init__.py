@@ -53,6 +53,7 @@ def load() -> None:
         extras37,
         extras38,
         extras39,
+        extras40,
         pipeline,
         pipeline2,
         windows,

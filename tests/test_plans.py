@@ -251,6 +251,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_psi_drift": 2,
         "tx_simpson_diversity": 2,
         "ds_temperature_mix": 2,
+        # wave 40
+        "ml_lift_table": 4,
+        "ev_pvm_decomposition": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
