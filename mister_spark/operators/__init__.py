@@ -54,6 +54,7 @@ def load() -> None:
         extras38,
         extras39,
         extras40,
+        extras41,
         pipeline,
         pipeline2,
         windows,

@@ -254,6 +254,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 40
         "ml_lift_table": 4,
         "ev_pvm_decomposition": 1,
+        # wave 41 (js/assortativity are post-localCheckpoint counts)
+        "stat_runs_test": 1,
+        "ml_feature_screen": 1,
+        "tx_js_divergence": 3,
+        "graph_assortativity": 2,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
