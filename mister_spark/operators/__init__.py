@@ -55,6 +55,7 @@ def load() -> None:
         extras39,
         extras40,
         extras41,
+        extras42,
         pipeline,
         pipeline2,
         windows,

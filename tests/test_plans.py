@@ -259,6 +259,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_feature_screen": 1,
         "tx_js_divergence": 3,
         "graph_assortativity": 2,
+        # wave 42
+        "ml_ndcg": 3,
+        "ev_mix_drift": 2,
+        "tx_term_burstiness": 2,
+        "ev_seasonal_decompose": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
