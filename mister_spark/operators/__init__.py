@@ -56,6 +56,7 @@ def load() -> None:
         extras40,
         extras41,
         extras42,
+        extras43,
         pipeline,
         pipeline2,
         windows,
