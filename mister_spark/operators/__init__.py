@@ -57,6 +57,7 @@ def load() -> None:
         extras41,
         extras42,
         extras43,
+        extras44,
         pipeline,
         pipeline2,
         windows,

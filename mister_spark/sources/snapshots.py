@@ -175,6 +175,39 @@ class SnapshotTable:
             }
         )
 
+    def merge(self, df: DataFrame, key: str) -> int:
+        """MERGE INTO (upsert): rows of `df` replace existing rows with
+        the same `key`; unmatched rows insert. Copy-on-write with the
+        same stats pruning as delete_range — dirs whose [min, max] key
+        stats don't intersect the incoming key range survive untouched;
+        intersecting dirs are rewritten with matched keys anti-joined
+        out (broadcast — the incoming batch is the small side of a CDC
+        merge). One new dir carries the whole incoming batch."""
+        head = self.current_version()
+        if head is None:
+            return self.create(df)
+        if key not in self.stats_cols:
+            raise ValueError(f"no stats tracked for {key!r}")
+        krow = df.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).collect()[0]
+        klo, khi = krow["mn"], krow["mx"]
+        keys = df.select(key).distinct()
+        new_entries = []
+        for e in self._load(head)["entries"]:
+            mn, mx = e["stats"][key]
+            if mn is None or klo is None or mx < klo or mn > khi:
+                new_entries.append(e)  # provably disjoint key range
+                continue
+            kept = self.spark.read.parquet(
+                os.path.join(self.path, e["dir"])
+            ).join(F.broadcast(keys), key, "left_anti")
+            entry = self._write_dir(kept, head + 1, "merge")
+            if entry["rows"] > 0:
+                new_entries.append(entry)
+        new_entries.append(self._write_dir(df, head + 1, "upsert"))
+        return self._commit(
+            {"op": "merge", "parent": head, "key": key, "entries": new_entries}
+        )
+
     # ----- reads ----------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         head = self.current_version()

@@ -264,6 +264,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_mix_drift": 2,
         "tx_term_burstiness": 2,
         "ev_seasonal_decompose": 1,
+        # wave 44 (threshold tuning is a post-localCheckpoint count)
+        "stat_wilson_ci": 1,
+        "ml_threshold_tuning": 0,
+        "w_rolling_corr": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
