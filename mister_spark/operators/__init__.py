@@ -58,6 +58,8 @@ def load() -> None:
         extras42,
         extras43,
         extras44,
+        extras45,
+        extras46,
         pipeline,
         pipeline2,
         windows,

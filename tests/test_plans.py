@@ -268,6 +268,18 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_wilson_ci": 1,
         "ml_threshold_tuning": 0,
         "w_rolling_corr": 1,
+        # wave 45 (fisher's 2nd exchange is the chunk repartition of
+        # the exploded hypergeometric support, never data-sized rows)
+        "stat_fisher_exact": 3,
+        "stat_bh_fdr": 1,
+        "stat_durbin_watson": 2,
+        "stat_partial_corr": 1,
+        # wave 46 (burrows/kmv are post-localCheckpoint counts; kmv's
+        # 8 exchanges all move <=2k-row sketch frames)
+        "tx_char_entropy": 3,
+        "tx_oov_rate": 2,
+        "tx_burrows_delta": 3,
+        "sketch_kmv_setops": 8,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
