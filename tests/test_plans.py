@@ -280,6 +280,13 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "tx_oov_rate": 2,
         "tx_burrows_delta": 3,
         "sketch_kmv_setops": 8,
+        # wave 47 (components is the post-iteration count — per-round
+        # exchanges are materialized by localCheckpoint; jaccard's 5
+        # include the wedge join + model-sized degree broadcasts)
+        "graph_copurchase": 5,
+        "graph_components": 1,
+        "graph_jaccard_neighbors": 5,
+        "graph_reciprocity": 2,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
