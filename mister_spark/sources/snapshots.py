@@ -208,12 +208,54 @@ class SnapshotTable:
             {"op": "merge", "parent": head, "key": key, "entries": new_entries}
         )
 
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Physically delete versions older than the newest
+        ``retain_last`` manifests, plus every data dir no retained
+        manifest references. Time travel to a vacuumed version then
+        fails LOUDLY (missing manifest) instead of silently reading
+        dangling files. Returns {"dropped_versions", "deleted_dirs",
+        "kept_dirs"} for audit.
+
+        Driver-side work is O(#versions + #dirs) metadata only — the
+        deletes are directory removals, never a data read."""
+        import shutil
+
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        vs = self.versions()
+        if len(vs) <= retain_last:
+            return {"dropped_versions": [], "deleted_dirs": [], "kept_dirs": []}
+        keep_vs = vs[-retain_last:]
+        drop_vs = vs[: -retain_last]
+        referenced = set()
+        for v in keep_vs:
+            for e in self._load(v)["entries"]:
+                referenced.add(e["dir"])
+        deleted = []
+        for v in drop_vs:
+            for e in self._load(v)["entries"]:
+                rel = e["dir"]
+                full = os.path.join(self.path, rel)
+                if rel not in referenced and os.path.exists(full):
+                    shutil.rmtree(full)
+                    deleted.append(rel)
+            os.remove(self._manifest_path(v))
+        return {
+            "dropped_versions": drop_vs,
+            "deleted_dirs": sorted(set(deleted)),
+            "kept_dirs": sorted(referenced),
+        }
+
     # ----- reads ----------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         head = self.current_version()
         if head is None:
             raise ValueError("empty table")
         v = head if version is None else version
+        if version is not None and not os.path.exists(self._manifest_path(v)):
+            raise ValueError(
+                f"version {v} does not exist (vacuumed or never written)"
+            )
         entries = self._load(v)["entries"]
         if not entries:
             return self.spark.createDataFrame([], schema="dummy string").limit(0)

@@ -287,6 +287,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "graph_components": 1,
         "graph_jaccard_neighbors": 5,
         "graph_reciprocity": 2,
+        # wave 48 (zorder is a post-localCheckpoint count; column
+        # stats' 4 = one expand-shuffle per exact-NDV branch)
+        "io_zorder_layout": 2,
+        "io_column_stats": 4,
+        "io_partition_skew_audit": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
