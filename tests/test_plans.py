@@ -292,6 +292,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "io_zorder_layout": 2,
         "io_column_stats": 4,
         "io_partition_skew_audit": 1,
+        # wave 49 (pacf is post-collect assembly; cusum's 2nd exchange
+        # is the day-grid window, calendar-bounded)
+        "ev_cusum_detect": 2,
+        "ev_did": 1,
+        "ev_acceleration": 1,
+        "stat_pacf": 0,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
