@@ -298,6 +298,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_did": 1,
         "ev_acceleration": 1,
         "stat_pacf": 0,
+        # wave 50 (fertility/noise/sweep are post-train / post-
+        # localCheckpoint counts)
+        "ds_span_corruption": 2,
+        "ds_bpe_fertility": 2,
+        "ml_label_noise": 4,
+        "dd_lsh_param_sweep": 3,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
