@@ -304,6 +304,17 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ds_bpe_fertility": 2,
         "ml_label_noise": 4,
         "dd_lsh_param_sweep": 3,
+        # waves 51-52 (bm25's 5 = postings build + df rollup + query
+        # join + top-k window + avgdl rollup, all bounded by vocab or
+        # candidate counts; the resampling ops are 1-shuffle by design)
+        "sim_bm25": 5,
+        "ml_mrr": 1,
+        "tx_compression_ratio": 2,
+        "ml_bootstrap_ci": 1,
+        "ml_ab_srm": 1,
+        "stat_bayes_ab": 2,
+        "stat_permutation_test": 1,
+        "ml_bradley_terry": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
