@@ -102,6 +102,33 @@ def stage_csv_orders(spark: SparkSession, sf_dir: str) -> str:
     return dest
 
 
+def stage_corrupt_csv_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders as headerless CSV with a deliberately unparseable
+    totalprice ('#BAD#') on every o_orderkey % 41 == 0 row — the dirty
+    vendor-feed fixture for io_corrupt_records. Lines are built with
+    concat_ws so the corruption is deterministic and parallel."""
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest = os.path.join(REPO_TMP, f"corrupt_csv_orders_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        df = spark.read.parquet(src)
+        lines = df.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.when(F.col("o_orderkey") % 41 == 0, F.lit("#BAD#"))
+                .otherwise(F.col("o_totalprice").cast("string")),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(dest)
+        _write_marker(marker, src)
+    return dest
+
+
 def stage_json_orders(spark: SparkSession, sf_dir: str) -> str:
     """orders rewritten as JSONL (ISO timestamps) for io_json_query."""
     src = os.path.join(sf_dir, "orders.parquet")

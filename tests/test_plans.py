@@ -315,6 +315,13 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_bayes_ab": 2,
         "stat_permutation_test": 1,
         "ml_bradley_terry": 1,
+        # wave 53 (bloom's 7 = trigram dedup + bench/eval distinct +
+        # bit-set rollup + doc/source rollups, all vocab- or
+        # doc-bounded; hits is a post-localCheckpoint count)
+        "sketch_bloom_contamination": 7,
+        "graph_hits": 0,
+        "ml_lag_features": 2,
+        "io_corrupt_records": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
