@@ -322,6 +322,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "graph_hits": 0,
         "ml_lag_features": 2,
         "io_corrupt_records": 1,
+        # wave 54
+        "ml_target_encoding": 3,
+        "ml_hashing_trick": 2,
+        "ml_cohens_kappa": 2,
+        "stat_breusch_pagan": 2,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
