@@ -327,6 +327,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_hashing_trick": 2,
         "ml_cohens_kappa": 2,
         "stat_breusch_pagan": 2,
+        # wave 55 (reweight/sssp/granger are post-localCheckpoint or
+        # broadcast-grid counts; isotonic is the 50-bin rollup)
+        "stat_granger": 1,
+        "ds_domain_reweight": 1,
+        "ml_isotonic_calibration": 1,
+        "graph_sssp_weighted": 0,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
