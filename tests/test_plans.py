@@ -333,6 +333,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ds_domain_reweight": 1,
         "ml_isotonic_calibration": 1,
         "graph_sssp_weighted": 0,
+        # wave 56 (att/hurst are post-localCheckpoint counts; purity's
+        # 5 move 10-seed-scored slim rows and label cells)
+        "ev_stratified_att": 0,
+        "stat_hurst": 1,
+        "ml_cluster_purity": 5,
+        "ev_adstock": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
