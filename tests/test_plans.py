@@ -339,6 +339,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_hurst": 1,
         "ml_cluster_purity": 5,
         "ev_adstock": 1,
+        # wave 57
+        "ev_cuped": 1,
+        "ml_ipw_estimate": 1,
+        "tx_hapax_rate": 2,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
