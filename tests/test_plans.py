@@ -343,6 +343,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_cuped": 1,
         "ml_ipw_estimate": 1,
         "tx_hapax_rate": 2,
+        # wave 58 (drift's 6 move (dim, bin) cells — 640 rows max;
+        # phash moves slim (chunk, key) rows, never payload bytes)
+        "stat_tost_equivalence": 0,
+        "ml_feature_drift_screen": 6,
+        "mm_phash_dedup": 2,
+        "ml_embedding_whitening": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
