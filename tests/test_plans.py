@@ -349,6 +349,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_feature_drift_screen": 6,
         "mm_phash_dedup": 2,
         "ml_embedding_whitening": 1,
+        # wave 59
+        "ev_bass_diffusion": 2,
+        "stat_overdispersion": 1,
+        "ml_recall_at_k": 3,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
