@@ -64,6 +64,11 @@ HEADLINE = [
     "stat_mannwhitney",
     "tx_zipf",
     "tx_vocab_growth",
+    # round-3 waves 51-59: the new scale-representative paths
+    "sim_bm25",
+    "sketch_bloom_contamination",
+    "mm_phash_dedup",
+    "ml_bootstrap_ci",
 ]
 
 
