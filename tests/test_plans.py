@@ -353,6 +353,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_bass_diffusion": 2,
         "stat_overdispersion": 1,
         "ml_recall_at_k": 3,
+        # wave 60
+        "stat_circular_hour": 1,
+        "ev_littles_law": 1,
+        "tx_mattr": 3,
+        "io_parquet_footer_audit": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
