@@ -358,6 +358,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_littles_law": 1,
         "tx_mattr": 3,
         "io_parquet_footer_audit": 1,
+        # wave 61 (diagnostics/auc are post-localCheckpoint counts)
+        "mr_job_chain": 2,
+        "stat_regression_diagnostics": 1,
+        "ml_sprt_sequential": 1,
+        "ml_macro_auc": 2,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
