@@ -363,6 +363,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_regression_diagnostics": 1,
         "ml_sprt_sequential": 1,
         "ml_macro_auc": 2,
+        # wave 62 (shrinkage is a post-localCheckpoint count; bottom-k
+        # plans TakeOrdered — zero exchanges by design)
+        "stat_eb_shrinkage": 1,
+        "tx_phrase_search": 1,
+        "sketch_bottomk_sample": 0,
+        "dd_incremental": 5,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
