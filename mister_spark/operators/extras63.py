@@ -1,0 +1,282 @@
+"""Wave 63: governance + paired testing + calibration + funnel algebra.
+
+io_pseudonymize is the data-governance tokenization pass (deterministic
+keyed hashing keeps joins working while the raw identifier never leaves
+the boundary — with the referential-integrity proof in the output);
+stat_mcnemar is the PAIRED classifier comparison (two models on the
+same items — the test ml_auc deltas silently need); ml_platt_scaling is
+parametric sigmoid calibration fit by Newton on distributed bins (the
+isotonic op's parametric sibling); ev_absorbing_markov solves the
+funnel's absorbing-chain algebra — expected steps-to-purchase from
+every state via the fundamental matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.functions.special import normal_sf, normal_sf_sql
+from mister_spark.operators.common import cat, ratio
+from mister_spark.registry import query
+
+PSEUDO_SALT = "ms_salt_v1"
+MCN_T1 = 0.5  # classifier A threshold on sigmoid(dim 1)
+MCN_T2 = 0.5  # classifier B threshold on sigmoid(dim 2)
+PLATT_BINS = 50
+PLATT_ITERS = 25
+ABSORB_STATE = "purchase"
+
+
+@query(
+    "io_pseudonymize",
+    oracle=f"""
+    WITH e AS (SELECT md5('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR))
+                 AS token, event_type
+               FROM events),
+    g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM e GROUP BY 1),
+    chk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST((SELECT COUNT(DISTINCT user_id) FROM events)
+                        AS BIGINT) AS n_users
+            FROM g)
+    SELECT g.token, g.n_events, g.n_types,
+           CAST(CASE WHEN chk.n_tokens = chk.n_users THEN 1 ELSE 0 END
+                AS BIGINT) AS bijective
+    FROM g CROSS JOIN chk
+    """,
+)
+def io_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed pseudonymization: user_id → md5(salt‖id)
+    token, aggregates computed on the TOKEN only, plus the
+    referential-integrity proof (token count == user count, so joins
+    and group-bys on the token behave identically to the raw id). The
+    governance pattern for shipping analytics outside the PII
+    boundary; rotating the salt re-keys the whole corpus in one pass.
+
+    Scale: the hash is a narrow JVM expression; grouping on the token
+    shuffles exactly like grouping on the raw id (same cardinality)."""
+    ev = cat(spark, sf_dir)["events"]
+    e = ev.select(
+        F.md5(
+            F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string"))
+        ).alias("token"),
+        "event_type",
+    )
+    g = e.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    ).localCheckpoint()
+    chk = g.agg(F.count(F.lit(1)).alias("n_tokens")).join(
+        F.broadcast(
+            ev.agg(F.countDistinct("user_id").alias("n_users"))
+        )
+    )
+    return g.join(F.broadcast(chk)).select(
+        "token",
+        "n_events",
+        "n_types",
+        (F.col("n_tokens") == F.col("n_users")).cast("bigint").alias(
+            "bijective"
+        ),
+    )
+
+
+@query(
+    "stat_mcnemar",
+    oracle=f"""
+    WITH s AS (SELECT CASE WHEN 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE)))
+                            > {MCN_T1} THEN 1 ELSE 0 END AS a,
+                      CASE WHEN 1.0 / (1.0 + exp(-CAST(embedding[2] AS DOUBLE)))
+                            > {MCN_T2} THEN 1 ELSE 0 END AS b,
+                      CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    c AS (SELECT CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS n01,
+                 CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS n10,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s)
+    SELECT n, CAST(n01 AS BIGINT) AS a_only_right,
+           CAST(n10 AS BIGINT) AS b_only_right,
+           FLOOR(CASE WHEN n01 + n10 > 0
+                 THEN (ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1)
+                      / (n01 + n10) ELSE 0 END * 10000 + 0.5) / 10000
+             AS chi2,
+           FLOOR(2 * {normal_sf_sql(
+               "sqrt(CASE WHEN n01 + n10 > 0 THEN (ABS(n01 - n10) - 1)"
+               " * (ABS(n01 - n10) - 1) / (n01 + n10) ELSE 0 END)"
+           )} * 10000 + 0.5) / 10000 AS p_value
+    FROM c
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for two classifiers scored on the SAME items
+    (A = sigmoid(dim 0), B = sigmoid(dim 1), truth = label < 5): only
+    the discordant cells matter — χ² = (|n01 − n10| − 1)²/(n01 + n10)
+    with continuity correction, p from the shared χ²₁ tail. The
+    correct replacement for comparing two accuracies as if they were
+    independent samples.
+
+    Scale: one pass to a 2×2 contingency — the entire test state is
+    four integers."""
+    emb = cat(spark, sf_dir)["embeddings"]
+    sig1 = 1.0 / (1.0 + F.exp(-F.element_at("embedding", 1).cast("double")))
+    sig2 = 1.0 / (1.0 + F.exp(-F.element_at("embedding", 2).cast("double")))
+    s = emb.select(
+        (sig1 > MCN_T1).cast("int").alias("a"),
+        (sig2 > MCN_T2).cast("int").alias("b"),
+        (F.col("label") < 5).cast("int").alias("y"),
+    )
+    c = s.agg(
+        F.sum(((F.col("a") == F.col("y")) & (F.col("b") != F.col("y"))).cast("int"))
+        .cast("double")
+        .alias("n01"),
+        F.sum(((F.col("a") != F.col("y")) & (F.col("b") == F.col("y"))).cast("int"))
+        .cast("double")
+        .alias("n10"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    n01, n10 = F.col("n01"), F.col("n10")
+    chi2 = F.when(
+        n01 + n10 > 0,
+        (F.abs(n01 - n10) - 1) * (F.abs(n01 - n10) - 1) / (n01 + n10),
+    ).otherwise(0.0)
+    return c.select(
+        "n",
+        n01.cast("bigint").alias("a_only_right"),
+        n10.cast("bigint").alias("b_only_right"),
+        ratio(chi2).alias("chi2"),
+        ratio(2 * normal_sf(F.sqrt(chi2))).alias("p_value"),
+    )
+
+
+@query("ml_platt_scaling")  # rows-only: Newton iterations on driver bins;
+# pytest checks NLL improvement + monotone sigmoid.
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling: fit P(y=1|s) = σ(A·s + B) by Newton's method on
+    the binned sufficient statistics (score-bin n / positives — the
+    same {b}-bin frame ml_isotonic_calibration pools), with Platt's
+    (n₊+1)/(n₊+2) target smoothing. Parametric where isotonic is
+    nonparametric: 2 parameters, monotone by construction, safer on
+    small data.
+
+    Scale: one {b}-group shuffle; the Newton loop is O(bins·iters)
+    driver arithmetic on the collected frame (model-sized, the
+    ml_kmeans contract)."""
+    import math
+
+    from mister_spark.operators.extras55 import iso_bins
+
+    rows = sorted(iso_bins(spark, sf_dir).collect(), key=lambda r: r["bin"])
+    n_pos = sum(r["n_pos"] for r in rows)
+    n_neg = sum(r["n"] - r["n_pos"] for r in rows)
+    t1 = (n_pos + 1.0) / (n_pos + 2.0)
+    t0 = 1.0 / (n_neg + 2.0)
+    # bin center scores back on the sigmoid scale
+    pts = []
+    for r in rows:
+        s = (r["bin"] + 0.5) / PLATT_BINS
+        pts.append((s, r["n_pos"], r["n"] - r["n_pos"]))
+    A, B = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+    for _ in range(PLATT_ITERS):
+        g_a = g_b = h_aa = h_ab = h_bb = 0.0
+        for s, np_, nn_ in pts:
+            z = A * s + B
+            p = 1.0 / (1.0 + math.exp(-z))
+            w = np_ * t1 + nn_ * t0  # smoothed positive mass
+            tot = np_ + nn_
+            g = tot * p - w
+            g_a += g * s
+            g_b += g
+            hw = tot * p * (1 - p) + 1e-9
+            h_aa += hw * s * s
+            h_ab += hw * s
+            h_bb += hw
+        det = h_aa * h_bb - h_ab * h_ab
+        if abs(det) < 1e-12:
+            break
+        A -= (g_a * h_bb - g_b * h_ab) / det
+        B -= (g_b * h_aa - g_a * h_ab) / det
+    out = []
+    for s, np_, nn_ in pts:
+        z = A * s + B
+        p = 1.0 / (1.0 + math.exp(-z))
+        raw = np_ / max(np_ + nn_, 1)
+        out.append(
+            (
+                int(round(s * PLATT_BINS - 0.5)),
+                int(np_ + nn_),
+                math.floor(raw * 10000 + 0.5) / 10000,
+                math.floor(p * 10000 + 0.5) / 10000,
+                math.floor(A * 10000 + 0.5) / 10000,
+                math.floor(B * 10000 + 0.5) / 10000,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "bin int, n long, rate_raw double, rate_platt double, "
+        "coef_a double, coef_b double",
+    ).orderBy("bin")
+
+
+@query("ml_absorbing_markov")  # rows-only: fundamental-matrix solve on
+# the driver (|states|^3); pytest replays in numpy.
+def ml_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain funnel algebra: estimate the per-user event-type
+    transition matrix (distributed, like ev_markov), make '{a}'
+    absorbing, and solve N = (I − Q)⁻¹ on the driver — expected visits
+    and expected steps-to-absorption from every transient state, plus
+    absorption probability within the observed horizon. The closed-form
+    answer to "how far is each state from conversion".
+
+    Scale: transition counts are one (state, next) shuffle; the solve
+    is |states|³ driver work on a 5×5 matrix — model-sized."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    ev = cat(spark, sf_dir)["events"]
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("s")
+        )
+        .withColumn("nxt", F.lead("s").over(wu))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("s", "nxt")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    cells = tr.collect()
+    states = sorted({r["s"] for r in cells} | {r["nxt"] for r in cells})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    C = np.zeros((k, k))
+    for r in cells:
+        C[idx[r["s"]], idx[r["nxt"]]] = r["c"]
+    P = C / np.maximum(C.sum(axis=1, keepdims=True), 1e-12)
+    ai = idx[ABSORB_STATE]
+    P[ai, :] = 0.0
+    P[ai, ai] = 1.0
+    trans = [i for i in range(k) if i != ai]
+    Q = P[np.ix_(trans, trans)]
+    R = P[np.ix_(trans, [ai])]
+    N = np.linalg.inv(np.eye(len(trans)) - Q)
+    steps = N.sum(axis=1)
+    absorb = (N @ R).ravel()
+    rows = [
+        (
+            states[t],
+            float(np.floor(steps[j] * 10000 + 0.5) / 10000),
+            float(np.floor(absorb[j] * 10000 + 0.5) / 10000),
+        )
+        for j, t in enumerate(trans)
+    ]
+    return spark.createDataFrame(
+        rows, "state string, exp_steps double, p_absorb double"
+    ).orderBy("state")
+
+
+ml_absorbing_markov.__doc__ = ml_absorbing_markov.__doc__.format(
+    a=ABSORB_STATE
+)

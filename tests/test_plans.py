@@ -369,6 +369,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "tx_phrase_search": 1,
         "sketch_bottomk_sample": 0,
         "dd_incremental": 5,
+        # wave 63
+        "io_pseudonymize": 1,
+        "stat_mcnemar": 0,
+        "ml_platt_scaling": 1,
+        "ml_absorbing_markov": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
