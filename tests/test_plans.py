@@ -374,6 +374,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_mcnemar": 0,
         "ml_platt_scaling": 1,
         "ml_absorbing_markov": 1,
+        # wave 64 (agreement's 5 move 8-query shortlists post-checkpoint)
+        "ev_interrupted_ts": 2,
+        "ds_k_anonymity": 2,
+        "stat_cronbach_alpha": 0,
+        "ml_ranker_agreement": 5,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
