@@ -379,6 +379,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ds_k_anonymity": 2,
         "stat_cronbach_alpha": 0,
         "ml_ranker_agreement": 5,
+        # wave 65
+        "ml_ensemble_vote": 0,
+        "ev_price_elasticity": 0,
+        "ds_temporal_split": 4,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
