@@ -383,6 +383,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_ensemble_vote": 0,
         "ev_price_elasticity": 0,
         "ds_temporal_split": 4,
+        # wave 66 (weibull's 5 move user-gap lags + 20-bin frames)
+        "ev_macd": 1,
+        "stat_weibull_fit": 5,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
