@@ -386,6 +386,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 66 (weibull's 5 move user-gap lags + 20-bin frames)
         "ev_macd": 1,
         "stat_weibull_fit": 5,
+        # wave 67
+        "mr_broadcast_side_input": 1,
+        "ev_shapley_attribution": 1,
+        "dd_pair_explain": 1,
+        "io_metadata_count": 0,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
