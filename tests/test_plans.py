@@ -391,6 +391,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_shapley_attribution": 1,
         "dd_pair_explain": 1,
         "io_metadata_count": 0,
+        # wave 68 (bandit's 5 move (day, arm) cells — calendar-bounded)
+        "tx_rouge_l": 1,
+        "ml_bandit_replay": 5,
+        "ev_segment_migration": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
