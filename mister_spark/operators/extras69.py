@@ -1,0 +1,356 @@
+"""Wave 69: published-recipe decontamination, graph reach, partition
+overwrite semantics, and survival confidence bands.
+
+ds_decontam_13gram is the GPT-3-style 13-gram exact-overlap
+decontamination pass (the published benchmark-hygiene recipe, vs
+ds_contamination's trigram screen); graph_two_hop_reach measures
+friend-of-friend reach on the co-purchase graph (the fan-out number
+behind recommendation candidate generation); io_dynamic_partition_
+overwrite pins Spark's dynamic partition-overwrite semantics (only
+written partitions replaced — the production incremental-backfill
+mode); ev_survival_ci adds Greenwood confidence bands to the
+Kaplan–Meier curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mister_spark.functions.text import DUCK_TOKENS, tokens
+from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import COP_SUPPORT, _DUCK_BASKETS
+from mister_spark.registry import query
+
+DECON_N = 13  # the published 13-gram decontamination window
+BENCH_MOD = 97
+REACH_TOP = 20
+
+_DUCK_13G = (
+    f"list_transform(generate_series(1, len(toks) - {DECON_N - 1}), "
+    f"i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))"
+)
+
+
+@query(
+    "ds_decontam_13gram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    g AS (SELECT doc_id, source, unnest(list_distinct({_DUCK_13G})) AS g
+          FROM t WHERE len(toks) >= {DECON_N}),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    ev AS (SELECT doc_id, source, g FROM g
+           WHERE doc_id % {BENCH_MOD} <> 0),
+    d AS (SELECT ev.doc_id, ev.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN bench.g IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM ev LEFT JOIN bench ON ev.g = bench.g
+          GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_13grams,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           FLOOR(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS flag_share
+    FROM d GROUP BY source
+    """,
+)
+def ds_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram exact-overlap decontamination — the published GPT-3
+    recipe: any training document sharing ONE exact 13-token window
+    with the benchmark split gets flagged for removal. Reported per
+    source with the 13-gram inventory, so a zero flag count is
+    auditable (on independent text, 13-gram collisions are
+    ~impossible — which is exactly why the published bar is 13, not
+    3; ds_contamination's trigram screen is the recall-heavy twin).
+
+    Scale: same shape as ds_contamination — distinct-gram dedup, an
+    equi-join against the benchmark gram set (broadcast when the
+    benchmark is small), per-doc and per-source rollups. The 13-gram
+    build here uses a slice-in-lambda for brevity; the zip_with
+    ladder (functions/text.py) is the codegen-friendly form for hot
+    production paths."""
+    docs = cat(spark, sf_dir)["documents"]
+    t = docs.select("doc_id", "source", tokens().alias("toks")).filter(
+        F.size("toks") >= DECON_N
+    )
+    g = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {DECON_N - 1}), "
+                    f"i -> array_join(slice(toks, i, {DECON_N}), ' '))"
+                )
+            )
+        ).alias("g"),
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = g.filter(is_bench).select("g").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    ev = g.filter(~is_bench)
+    d = (
+        ev.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_13grams"),
+        F.sum((F.col("n_hits") > 0).cast("int")).cast("bigint").alias(
+            "n_flagged"
+        ),
+        ratio(
+            F.sum((F.col("n_hits") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("flag_share"),
+    )
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle=f"""
+    WITH {_DUCK_BASKETS},
+    e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM bk a JOIN bk b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= {COP_SUPPORT}),
+    e AS (SELECT p1, p2 FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+    two AS (SELECT x.p1 AS node, y.p2 AS reach
+            FROM e x JOIN e y ON x.p2 = y.p1
+            WHERE y.p2 <> x.p1),
+    r AS (SELECT node, CAST(COUNT(DISTINCT reach) AS BIGINT) AS reach2
+          FROM two GROUP BY 1),
+    d AS (SELECT p1 AS node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM e GROUP BY 1)
+    SELECT CAST(r.node AS BIGINT) AS node, d.degree, r.reach2
+    FROM r JOIN d ON r.node = d.node
+    ORDER BY r.reach2 DESC, node LIMIT {REACH_TOP}
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach on the co-purchase graph: per node, the count of
+    DISTINCT nodes within two hops (excluding itself via the direct
+    path) next to its degree — the candidate-generation fan-out number
+    recommendation systems budget by. Top {k} reported.
+
+    Scale: the 2-hop join is the classic quadratic-in-degree hazard;
+    the basket cap (≤16 parts/order, inherited from the copurchase
+    edges) bounds it, and the production form adds a degree cap on the
+    join's build side — the same knob graph_common_neighbors pins."""
+    from mister_spark.operators.extras47 import _copurchase_edges
+
+    e0 = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    e = e0.unionAll(
+        e0.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    ).localCheckpoint()
+    x = e.select(F.col("p1").alias("node"), F.col("p2").alias("mid"))
+    y = e.select(F.col("p1").alias("mid"), F.col("p2").alias("reach"))
+    two = x.join(y, "mid").filter(F.col("reach") != F.col("node"))
+    r = two.groupBy("node").agg(
+        F.countDistinct("reach").cast("bigint").alias("reach2")
+    )
+    d = e.groupBy(F.col("p1").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return (
+        r.join(d, "node")
+        .select(F.col("node").cast("bigint").alias("node"), "degree", "reach2")
+        .orderBy(F.desc("reach2"), "node")
+        .limit(REACH_TOP)
+    )
+
+
+graph_two_hop_reach.__doc__ = graph_two_hop_reach.__doc__.format(k=REACH_TOP)
+
+
+@query("io_dynamic_partition_overwrite")  # write-mode semantics →
+# rows-only; pytest pins untouched-partition preservation.
+def io_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite, pinned: write orders partitioned by
+    status, then overwrite ONLY the 'F' partition with a transformed
+    subset under partitionOverwriteMode=dynamic — the other partitions
+    must survive byte-for-byte (static mode would have dropped them).
+    This is the incremental-backfill write mode every partitioned lake
+    table depends on.
+
+    Scale: the overwrite touches exactly the written partitions'
+    directories; job cost is proportional to the CHANGED data."""
+    import os
+    import uuid
+
+    from mister_spark.sources.staged import REPO_TMP
+
+    orders = cat(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(REPO_TMP, f"dyn_overwrite_{uuid.uuid4().hex[:8]}")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    before = (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    ).collect()
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = (
+            orders.filter(F.col("o_orderstatus") == "F")
+            .filter(F.col("o_orderkey") % 2 == 0)  # half the rows
+        )
+        patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    after = {
+        r["o_orderstatus"]: r["n_after"]
+        for r in spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+        .collect()
+    }
+    rows = [
+        (
+            r["o_orderstatus"],
+            int(r["n_before"]),
+            int(after.get(r["o_orderstatus"], 0)),
+            int(r["o_orderstatus"] == "F"),
+        )
+        for r in before
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_before long, n_after long, rewritten long",
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "ev_survival_ci",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000) AS d0,
+             MAX(epoch_us(ts) // 86400000000) AS d1
+      FROM events GROUP BY 1),
+    lab AS (
+      SELECT user_id, d1 - d0 AS t,
+             CASE WHEN (SELECT MAX(d1) FROM u) - d1 < 7 THEN 1 ELSE 0 END
+               AS cens
+      FROM u),
+    g AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(1 - cens) AS BIGINT) AS n_deaths
+      FROM lab GROUP BY 1),
+    r AS (
+      SELECT t, n_deaths,
+             (SELECT SUM(cnt) FROM g) -
+               COALESCE(SUM(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                       PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g),
+    s AS (
+      SELECT t, n_risk, n_deaths,
+             CAST(n_risk - n_deaths AS DOUBLE) / n_risk AS factor,
+             CASE WHEN n_risk > n_deaths
+                  THEN CAST(n_deaths AS DOUBLE)
+                       / (n_risk * (n_risk - n_deaths))
+                  ELSE 0 END AS gw
+      FROM r),
+    k AS (
+      SELECT t, n_risk, n_deaths,
+             CASE WHEN MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE EXP(SUM(LN(factor))
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END
+               AS surv,
+             SUM(gw) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS gwsum
+      FROM s)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_deaths,
+           FLOOR(surv * 10000 + 0.5) / 10000 AS survival,
+           FLOOR(GREATEST(surv - 1.96 * surv * sqrt(gwsum), 0.0)
+                 * 10000 + 0.5) / 10000 AS ci_lo,
+           FLOOR(LEAST(surv + 1.96 * surv * sqrt(gwsum), 1.0)
+                 * 10000 + 0.5) / 10000 AS ci_hi
+    FROM k
+    """,
+)
+def ev_survival_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier with Greenwood confidence bands: var(S) =
+    S²·Σ d/(n(n−d)), CI = S ± 1.96·S·√Σ, clipped to [0, 1] — the
+    uncertainty ev_survival's point curve needs before anyone compares
+    two cohorts by eyeball.
+
+    Scale: identical plan shape to ev_survival plus one more prefix
+    sum over the same distinct-lifetime frame."""
+    ev = cat(spark, sf_dir)["events"]
+    day_us = 86400000000
+    u = ev.groupBy("user_id").agg(
+        (F.unix_micros(F.min("ts")) / day_us).cast("long").alias("d0"),
+        (F.unix_micros(F.max("ts")) / day_us).cast("long").alias("d1"),
+    )
+    hz = u.agg(F.max("d1").alias("hmax"))
+    lab = u.join(F.broadcast(hz)).select(
+        (F.col("d1") - F.col("d0")).alias("t"),
+        ((F.col("hmax") - F.col("d1")) < 7).cast("int").alias("cens"),
+    )
+    g = lab.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(1 - F.col("cens")).cast("bigint").alias("n_deaths"),
+    ).localCheckpoint()
+    tot = g.agg(F.sum("cnt").alias("total"))
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    r = g.join(F.broadcast(tot)).select(
+        "t",
+        "n_deaths",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("cnt").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = (F.col("n_risk") - F.col("n_deaths")).cast("double") / F.col(
+        "n_risk"
+    )
+    gw = F.when(
+        F.col("n_risk") > F.col("n_deaths"),
+        F.col("n_deaths").cast("double")
+        / (F.col("n_risk") * (F.col("n_risk") - F.col("n_deaths"))),
+    ).otherwise(0.0)
+    s = r.select("t", "n_risk", "n_deaths", factor.alias("factor"), gw.alias("gw"))
+    zero_seen = (
+        F.max((F.col("factor") <= 0).cast("int")).over(wcum) == 1
+    )
+    surv = F.when(zero_seen, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log("factor")).over(wcum))
+    )
+    gwsum = F.sum("gw").over(wcum)
+    k = s.select(
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_deaths",
+        surv.alias("surv"),
+        gwsum.alias("gwsum"),
+    )
+    sv = F.col("surv")
+    return k.select(
+        "t",
+        "n_risk",
+        "n_deaths",
+        ratio(sv).alias("survival"),
+        ratio(
+            F.greatest(sv - 1.96 * sv * F.sqrt(F.col("gwsum")), F.lit(0.0))
+        ).alias("ci_lo"),
+        ratio(
+            F.least(sv + 1.96 * sv * F.sqrt(F.col("gwsum")), F.lit(1.0))
+        ).alias("ci_hi"),
+    )

@@ -395,6 +395,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "tx_rouge_l": 1,
         "ml_bandit_replay": 5,
         "ev_segment_migration": 1,
+        # wave 69 (reach's 5 move capped-basket edges post-checkpoint)
+        "ds_decontam_13gram": 3,
+        "graph_two_hop_reach": 5,
+        "ev_survival_ci": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
