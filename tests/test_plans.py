@@ -399,6 +399,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ds_decontam_13gram": 3,
         "graph_two_hop_reach": 5,
         "ev_survival_ci": 1,
+        # wave 70
+        "ml_bootstrap_diff_ci": 1,
+        "ml_conformal_interval": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
