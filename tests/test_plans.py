@@ -402,6 +402,12 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 70
         "ml_bootstrap_diff_ci": 1,
         "ml_conformal_interval": 1,
+        # wave 71 (anova's 7 are 4 rollups + 3 single-row branch unions
+        # over the checkpointed input; outliers move (source, dim) cells)
+        "graph_eigencentrality": 0,
+        "stat_two_way_anova": 7,
+        "tx_canary_detect": 1,
+        "tx_semantic_outliers": 4,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
