@@ -408,6 +408,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_two_way_anova": 7,
         "tx_canary_detect": 1,
         "tx_semantic_outliers": 4,
+        # wave 72 (haar/bland are post-localCheckpoint counts)
+        "ev_haar_energy": 1,
+        "ds_uncertainty_sample": 0,
+        "stat_bland_altman": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
