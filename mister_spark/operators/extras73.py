@@ -1,0 +1,265 @@
+"""Wave 73: distributed boosting, parameterized SQL, and
+game-theoretic feature importance.
+
+ml_adaboost_stumps is AdaBoost done the distributed way — sample
+weights live as a COLUMN (recomputed per round from the model, never
+shuffled), and each round's best stump comes from one weighted
+(feature, bin) aggregation; sql_parameterized pins Spark's
+parameterized-SQL API (the injection-safe templating every SQL surface
+needs); ml_feature_shapley applies the exact Shapley decomposition to
+FEATURE subsets (which feature earns the accuracy), with v(S)
+evaluated as one aggregation per coalition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import cat, money, ratio
+from mister_spark.registry import query
+
+ADA_ROUNDS = 5
+ADA_BINS = 32
+ADA_FEATS = (1, 2, 3)  # embedding dims used as features
+SHAP_FEATS = (1, 2, 3)
+
+
+def _ada_stump_round(s: DataFrame):
+    """One boosting round: weighted error of every (feature, bin,
+    polarity) stump from a single aggregation; returns the argmin
+    stump row."""
+    cells = (
+        s.groupBy("feat", "bin")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("wp"),
+            F.sum(F.col("w") * (1 - F.col("y"))).alias("wn"),
+        )
+        .collect()
+    )
+    import math
+
+    by_feat: dict[int, list] = {}
+    for r in cells:
+        by_feat.setdefault(r["feat"], []).append(r)
+    tot_p = sum(r["wp"] for r in cells) / len(ADA_FEATS)
+    tot_n = sum(r["wn"] for r in cells) / len(ADA_FEATS)
+    best = None
+    for feat, rows in by_feat.items():
+        rows.sort(key=lambda r: r["bin"])
+        cp = cn = 0.0
+        for r in rows:
+            cp += r["wp"]
+            cn += r["wn"]
+            # stump: predict 1 when bin <= threshold (polarity +)
+            err_plus = cn + (tot_p - cp)  # negatives below + positives above
+            err_minus = cp + (tot_n - cn)
+            for pol, err in ((1, err_plus), (-1, err_minus)):
+                if best is None or err < best[0] - 1e-15:
+                    best = (err, feat, r["bin"], pol)
+    err, feat, thr, pol = best
+    err = max(min(err / (tot_p + tot_n), 1 - 1e-10), 1e-10)
+    alpha = 0.5 * math.log((1 - err) / err)
+    return feat, thr, pol, alpha, err
+
+
+@query("ml_adaboost_stumps")  # rows-only: iterative boosting; pytest
+# gates monotone weighted error + accuracy beat over best single stump.
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost with depth-1 stumps over binned embedding features
+    ({r} rounds, {b} bins, features = dims {f}): sample weights are a
+    recomputed COLUMN (w ∝ exp(−y·F(x)), derived from the model
+    broadcast — never stored, never shuffled), and each round's best
+    stump falls out of ONE (feature, bin) weighted aggregation plus an
+    O(bins·features) driver scan. Reports per-round stump, weighted
+    error, and ensemble training accuracy.
+
+    Scale: per round = one narrow weight map + one bounded-cell
+    shuffle; model state is O(rounds). The textbook 'boosting needs
+    sequential passes' is true — but each pass is embarrassingly
+    parallel."""
+    import math
+
+    emb = cat(spark, sf_dir)["embeddings"]
+    feats = [
+        F.least(
+            F.floor(
+                (1.0 / (1.0 + F.exp(-F.element_at("embedding", d).cast("double"))))
+                * ADA_BINS
+            ).cast("int"),
+            F.lit(ADA_BINS - 1),
+        ).alias(f"b{i}")
+        for i, d in enumerate(ADA_FEATS)
+    ]
+    base = emb.select(
+        "vec_id", (F.col("label") < 5).cast("int").alias("y"), *feats
+    ).localCheckpoint()
+    long = base.select(
+        "vec_id",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("feat"), F.col(f"b{i}").alias("bin")
+                    )
+                    for i in range(len(ADA_FEATS))
+                ]
+            )
+        ).alias("fb"),
+    ).select("vec_id", "y", F.col("fb.feat").alias("feat"), F.col("fb.bin").alias("bin"))
+    model: list[tuple[int, int, int, float]] = []  # (feat, thr, pol, alpha)
+
+    def margin_col():
+        m = F.lit(0.0)
+        for feat, thr, pol, alpha in model:
+            pred = F.when(
+                F.col(f"b{feat}") <= thr, F.lit(pol)
+            ).otherwise(F.lit(-pol))
+            m = m + alpha * pred
+        return m
+
+    out = []
+    for rnd_i in range(ADA_ROUNDS):
+        ysign = 2 * F.col("y") - 1
+        w = F.exp(-ysign * margin_col())
+        wl = long.join(
+            base.select("vec_id", *(f"b{i}" for i in range(len(ADA_FEATS)))),
+            "vec_id",
+        ).withColumn("w", w)
+        feat, thr, pol, alpha, err = _ada_stump_round(wl)
+        model.append((feat, thr, pol, alpha))
+        acc = base.select(
+            F.avg(
+                ((margin_col() > 0).cast("int") == F.col("y")).cast("double")
+            ).alias("a")
+        ).collect()[0]["a"]
+        out.append(
+            (
+                rnd_i,
+                int(feat),
+                int(thr),
+                int(pol),
+                math.floor(alpha * 10000 + 0.5) / 10000,
+                math.floor(err * 10000 + 0.5) / 10000,
+                math.floor(acc * 10000 + 0.5) / 10000,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "round int, feat int, threshold int, polarity int, alpha double, "
+        "weighted_err double, train_acc double",
+    ).orderBy("round")
+
+
+ml_adaboost_stumps.__doc__ = ml_adaboost_stumps.__doc__.format(
+    r=ADA_ROUNDS, b=ADA_BINS, f=ADA_FEATS
+)
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    WHERE o_totalprice > 250000 AND o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL through Spark's bind-parameter API
+    (`spark.sql(query, args={...})`): the threshold and status arrive
+    as TYPED named parameters, not string-spliced literals — the
+    injection-safe templating contract a SQL surface owes its callers.
+    Catalyst still constant-folds the bound values, so pushdown is
+    identical to literal SQL.
+
+    Scale: plan-identical to the literal query — parameters bind
+    before optimization."""
+    cat(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY 1
+        """,
+        args={"min_price": 250000, "status": "O"},
+    )
+
+
+@query("ml_feature_shapley")  # rows-only: 2^k coalition evaluations;
+# pytest checks efficiency vs full-model accuracy.
+def ml_feature_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley feature importance for the 3-feature majority-vote
+    classifier (dims {f}): v(S) = training accuracy using only the
+    features in S (empty set falls back to the base rate), each
+    coalition scored by ONE aggregation pass, and every feature's
+    credit is its exact Shapley value over the 2³ coalition lattice.
+    The model-agnostic 'who earns the accuracy' decomposition,
+    exact because k is small — which is also the honest scaling note:
+    beyond ~10 features you sample permutations.
+
+    Scale: 2^k single-row aggregation passes over one cached frame;
+    driver combinatorics are O(2^k·k)."""
+    import math
+    from itertools import combinations
+
+    emb = cat(spark, sf_dir)["embeddings"]
+    cols = [
+        (F.element_at("embedding", d).cast("double") > 0)
+        .cast("int")
+        .alias(f"c{i}")
+        for i, d in enumerate(SHAP_FEATS)
+    ]
+    base = emb.select(
+        (F.col("label") < 5).cast("int").alias("y"), *cols
+    ).localCheckpoint()
+    k = len(SHAP_FEATS)
+    base_rate = base.agg(F.avg("y").alias("r")).collect()[0]["r"]
+    base_acc = max(base_rate, 1 - base_rate)
+
+    def v(S: tuple) -> float:
+        if not S:
+            return base_acc
+        votes = sum((F.col(f"c{i}") for i in S[1:]), F.col(f"c{S[0]}"))
+        pred = (votes * 2 >= len(S)).cast("int")
+        return base.agg(
+            F.avg((pred == F.col("y")).cast("double")).alias("a")
+        ).collect()[0]["a"]
+
+    vals = {S: v(S) for r_ in range(k + 1) for S in combinations(range(k), r_)}
+    rows = []
+    for i in range(k):
+        total = 0.0
+        others = [j for j in range(k) if j != i]
+        for r_ in range(k):
+            for S in combinations(others, r_):
+                w = (
+                    math.factorial(len(S))
+                    * math.factorial(k - len(S) - 1)
+                    / math.factorial(k)
+                )
+                total += w * (
+                    vals[tuple(sorted(S + (i,)))] - vals[S]
+                )
+        rows.append(
+            (
+                f"dim{SHAP_FEATS[i] - 1}",
+                math.floor(total * 10000 + 0.5) / 10000,
+            )
+        )
+    full = vals[tuple(range(k))]
+    rows = [
+        (name, val, math.floor((full - base_acc) * 10000 + 0.5) / 10000)
+        for name, val in rows
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, shapley_acc double, total_gain double"
+    ).orderBy("feature")
+
+
+ml_feature_shapley.__doc__ = ml_feature_shapley.__doc__.format(f=SHAP_FEATS)

@@ -412,6 +412,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ev_haar_energy": 1,
         "ds_uncertainty_sample": 0,
         "stat_bland_altman": 1,
+        # wave 73
+        "ml_adaboost_stumps": 1,
+        "sql_parameterized": 1,
+        "ml_feature_shapley": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
