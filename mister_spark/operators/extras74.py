@@ -1,0 +1,230 @@
+"""Wave 74: zero-copy clones, ROC decision geometry, and synthetic
+control.
+
+io_snapshot_clone pins SHALLOW CLONE semantics on the transactional
+table (a manifest-only copy that diverges copy-on-write — the
+dev/staging workflow every lakehouse runs); ml_roc_hull computes the
+ROC convex hull and picks the cost-optimal operating threshold (the
+decision-theory step after ml_auc's ranking score); ev_synthetic_
+control builds the counterfactual for one treated segment as a
+weighted blend of donor segments fit on the pre-period — the
+comparative case-study method when no randomized control exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import cat, ratio
+from mister_spark.registry import query
+
+ROC_BINS = 50
+ROC_COST_FN_FP = 3.0  # a false negative costs 3x a false positive
+SC_TREATED = "src0"
+SC_STEPS = 400
+
+
+@query("io_snapshot_clone")  # manifest-only clone → rows-only; pytest
+# pins zero-copy + copy-on-write divergence.
+def io_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone lifecycle: clone a 2-commit table by manifest
+    reference (zero data copied — proven by byte accounting), then
+    append to the CLONE only and show the source is untouched while
+    the clone diverged. The dev-table / experiment-branch workflow,
+    with the real formats' hazard documented (vacuuming the source
+    strands the clone).
+
+    Scale: the clone commit is O(#dirs) metadata regardless of table
+    size — that's the point."""
+    import os
+    import uuid
+
+    from mister_spark.sources.snapshots import SnapshotTable
+    from mister_spark.sources.staged import REPO_TMP
+
+    base = os.path.join(REPO_TMP, f"clone_{uuid.uuid4().hex[:8]}")
+    src = SnapshotTable(spark, base + "_src", stats_cols=["o_orderkey"])
+    orders = cat(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+
+    def dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    clone = SnapshotTable(spark, base + "_cl", stats_cols=["o_orderkey"])
+    before_bytes = dir_bytes(clone.path)
+    clone.clone_from(src)
+    clone_commit_bytes = dir_bytes(clone.path) - before_bytes
+    rows_at_clone = clone.row_count()
+    clone.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    out = [
+        ("source", int(src.row_count()), int(src.current_version())),
+        ("clone", int(clone.row_count()), int(clone.current_version())),
+    ]
+    data_rows = src.read().count()  # source still reads fine
+    assert data_rows == src.row_count()
+    return spark.createDataFrame(
+        [
+            (
+                name,
+                n,
+                v,
+                int(rows_at_clone),
+                int(clone_commit_bytes < 10_000),  # manifest-only: ~1 KB
+            )
+            for name, n, v in out
+        ],
+        "table string, live_rows long, version long, rows_at_clone long, "
+        "zero_copy long",
+    ).orderBy("table")
+
+
+@query("ml_roc_hull")  # rows-only: hull walk on driver bins; pytest
+# checks hull dominance + chosen point optimality.
+def ml_roc_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC convex hull + cost-optimal operating point: bin the sigmoid
+    scorer into {b} thresholds (one distributed rollup), walk the ROC
+    points' upper convex hull on the driver, and select the hull
+    vertex minimizing expected cost under a {c}:1 FN:FP cost ratio —
+    the step that turns a ranking metric (ml_auc) into a deployable
+    threshold. Hull vertices are the only thresholds any cost ratio
+    can ever make optimal.
+
+    Scale: the rollup is {b} cells; the hull walk is O(bins) driver
+    work."""
+    import math
+
+    emb = cat(spark, sf_dir)["embeddings"]
+    prob = 1.0 / (1.0 + F.exp(-F.element_at("embedding", 1).cast("double")))
+    b = emb.select(
+        F.least(
+            F.floor(prob * ROC_BINS).cast("int"), F.lit(ROC_BINS - 1)
+        ).alias("bin"),
+        (F.col("label") < 5).cast("int").alias("y"),
+    ).groupBy("bin").agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    ).collect()
+    cells = sorted(b, key=lambda r: -r["bin"])  # descending threshold
+    P = sum(r["np"] for r in cells)
+    N = sum(r["nn"] for r in cells)
+    pts = [(0.0, 0.0, ROC_BINS)]  # (fpr, tpr, threshold_bin)
+    tp = fp = 0
+    for r in cells:
+        tp += r["np"]
+        fp += r["nn"]
+        pts.append((fp / N, tp / P, r["bin"]))
+    # upper convex hull by cross product
+    hull: list[tuple[float, float, int]] = []
+    for p in pts:
+        while len(hull) >= 2:
+            (x1, y1, _), (x2, y2, _) = hull[-2], hull[-1]
+            if (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1) >= 0:
+                hull.pop()
+            else:
+                break
+        hull.append(p)
+    # cost-optimal vertex: cost = FN_cost*P*(1-tpr) + FP_cost*N*fpr
+    best = min(
+        hull,
+        key=lambda p: (ROC_COST_FN_FP * P * (1 - p[1]) + N * p[0], p[2]),
+    )
+    rows = [
+        (
+            int(p[2]),
+            math.floor(p[0] * 10000 + 0.5) / 10000,
+            math.floor(p[1] * 10000 + 0.5) / 10000,
+            int(p[2] == best[2]),
+        )
+        for p in hull
+    ]
+    return spark.createDataFrame(
+        rows, "threshold_bin int, fpr double, tpr double, cost_optimal long"
+    ).orderBy("threshold_bin")
+
+
+ml_roc_hull.__doc__ = ml_roc_hull.__doc__.format(b=ROC_BINS, c=ROC_COST_FN_FP)
+
+
+@query("ev_synthetic_control")  # rows-only: projected-gradient weight
+# fit on the driver over donor-day matrices; pytest gates pre-fit error.
+def ev_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic control for segment '{t}' (users hashing to it):
+    donor-segment daily purchase series fit the treated segment's
+    PRE-period (calendar first half) with simplex-constrained weights
+    (projected gradient, {s} steps, driver-side on the |donors|×|days|
+    matrix), then the weighted donor blend extrapolates the POST
+    counterfactual — the gap is the estimated effect. The method for
+    'what would have happened' when there is no randomized control.
+
+    Scale: the data reduces to a (segment, day) matrix in one shuffle
+    — days×20 cells; the optimization never touches row-level data."""
+    import math
+
+    import numpy as np
+
+    ev = cat(spark, sf_dir)["events"]
+    seg = F.concat(F.lit("src"), (F.col("user_id") % 20).cast("string"))
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            seg.alias("seg"),
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias(
+                "t"
+            ),
+        )
+        .agg(F.sum("value").alias("y"))
+        .collect()
+    )
+    days = sorted({r["t"] for r in d})
+    segs = sorted({r["seg"] for r in d})
+    di = {t: i for i, t in enumerate(days)}
+    Y = {s: np.zeros(len(days)) for s in segs}
+    for r in d:
+        Y[r["seg"]][di[r["t"]]] = r["y"]
+    mid = len(days) // 2
+    treated = Y[SC_TREATED]
+    donors = [s for s in segs if s != SC_TREATED]
+    X = np.array([Y[s] for s in donors])  # donors x days
+    Xpre, ypre = X[:, :mid], treated[:mid]
+    k = len(donors)
+    w = np.ones(k) / k
+    lr = 1.0 / (np.linalg.norm(Xpre @ Xpre.T) + 1e-9)
+    for _ in range(SC_STEPS):
+        g = Xpre @ (Xpre.T @ w - ypre)
+        w = w - lr * g
+        # project onto the simplex
+        u = np.sort(w)[::-1]
+        css = np.cumsum(u)
+        rho = np.nonzero(u * np.arange(1, k + 1) > (css - 1))[0][-1]
+        theta = (css[rho] - 1) / (rho + 1)
+        w = np.maximum(w - theta, 0)
+    synth = X.T @ w
+    pre_rmse = float(np.sqrt(np.mean((synth[:mid] - treated[:mid]) ** 2)))
+    naive = float(
+        np.sqrt(np.mean((X[:, :mid].mean(axis=0) - treated[:mid]) ** 2))
+    )
+    post_gap = float(np.mean(treated[mid:] - synth[mid:]))
+    top = sorted(zip(donors, w), key=lambda t: (-t[1], t[0]))[:3]
+    rows = [
+        (
+            SC_TREATED,
+            math.floor(pre_rmse * 100 + 0.5) / 100,
+            math.floor(naive * 100 + 0.5) / 100,
+            math.floor(post_gap * 100 + 0.5) / 100,
+            ",".join(f"{s}:{math.floor(v * 1000 + 0.5) / 1000}" for s, v in top),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "treated string, pre_rmse double, naive_rmse double, "
+        "post_effect double, top_donors string",
+    )
+
+
+ev_synthetic_control.__doc__ = ev_synthetic_control.__doc__.format(
+    t=SC_TREATED, s=SC_STEPS
+)

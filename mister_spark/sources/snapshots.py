@@ -136,6 +136,25 @@ class SnapshotTable:
             {"op": "append", "parent": head, "entries": entries + [entry]}
         )
 
+    def clone_from(self, src: "SnapshotTable", version: int | None = None) -> int:
+        """Zero-copy shallow clone: commit a manifest whose entries
+        reference the SOURCE table's data dirs by absolute path — no
+        data moves. Subsequent writes on the clone create dirs under
+        the clone's own path, so the tables diverge copy-on-write
+        (Delta/Iceberg SHALLOW CLONE semantics). Vacuuming the source
+        can strand a clone — the same documented hazard real formats
+        carry."""
+        if self.current_version() is not None:
+            raise ValueError("clone target must be empty")
+        v = src.current_version() if version is None else version
+        entries = [
+            {**e, "dir": os.path.join(src.path, e["dir"])}
+            for e in src._load(v)["entries"]
+        ]
+        return self._commit(
+            {"op": "clone", "source": src.path, "entries": entries}
+        )
+
     def overwrite(self, df: DataFrame) -> int:
         head = self.current_version()
         entry = self._write_dir(df, (head or 0) + 1, "overwrite")

@@ -416,6 +416,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_adaboost_stumps": 1,
         "sql_parameterized": 1,
         "ml_feature_shapley": 1,
+        # wave 74
+        "ml_roc_hull": 1,
+        "ev_synthetic_control": 0,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
