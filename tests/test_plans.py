@@ -419,6 +419,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 74
         "ml_roc_hull": 1,
         "ev_synthetic_control": 0,
+        # wave 75
+        "stat_regression_discontinuity": 1,
+        "ev_capacity_plan": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
