@@ -422,6 +422,11 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 75
         "stat_regression_discontinuity": 1,
         "ev_capacity_plan": 1,
+        # wave 76 (lpa's 5 move node-label cells post-checkpoint)
+        "sketch_moments_merge": 0,
+        "ml_error_slices": 1,
+        "graph_label_propagation": 5,
+        "ds_lineage_manifest": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
