@@ -427,6 +427,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_error_slices": 1,
         "graph_label_propagation": 5,
         "ds_lineage_manifest": 1,
+        # wave 77
+        "ml_borda_fusion": 1,
+        "stat_deming_regression": 0,
+        "ml_fairness_audit": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
