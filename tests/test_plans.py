@@ -431,6 +431,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_borda_fusion": 1,
         "stat_deming_regression": 0,
         "ml_fairness_audit": 1,
+        # wave 78
+        "stat_mann_kendall": 1,
+        "ev_markov_attribution": 1,
+        "sql_try_cast": 0,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
