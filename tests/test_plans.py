@@ -435,6 +435,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "stat_mann_kendall": 1,
         "ev_markov_attribution": 1,
         "sql_try_cast": 0,
+        # wave 79
+        "ev_growth_accounting": 1,
+        "ml_ks_discrimination": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
