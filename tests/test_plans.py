@@ -438,6 +438,8 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 79
         "ev_growth_accounting": 1,
         "ml_ks_discrimination": 1,
+        # wave 80 (rich-club's 6 move degree/club cells post-checkpoint)
+        "graph_rich_club": 6,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
