@@ -440,6 +440,9 @@ def test_shared_subtree_shuffle_ceilings(spark):
         "ml_ks_discrimination": 1,
         # wave 80 (rich-club's 6 move degree/club cells post-checkpoint)
         "graph_rich_club": 6,
+        # wave 81
+        "sketch_linear_counting": 2,
+        "stat_ljung_box": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
