@@ -443,6 +443,10 @@ def test_shared_subtree_shuffle_ceilings(spark):
         # wave 81
         "sketch_linear_counting": 2,
         "stat_ljung_box": 1,
+        # wave 82
+        "stat_control_chart": 1,
+        "ds_masked_aggregation": 1,
+        "stat_pairwise_posthoc": 1,
     }
     for name, ceil in ceilings.items():
         if name == "io_cache_reuse":
