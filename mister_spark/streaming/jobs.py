@@ -501,3 +501,145 @@ def run_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "append")
+
+
+# --- exponentially decayed counts (mergeable aging state) -------------
+DECAY_HALFLIFE_DAYS = 14.0  # matches operators/extras85.ev_decayed_counts
+_DECAY_LAM = 0.6931471805599453 / (DECAY_HALFLIFE_DAYS * 86400.0)
+
+
+def _stage_events_stream_chunked(spark: SparkSession, sf_dir: str, parts: int = 3) -> str:
+    """Stage the events table as `parts` range-partitioned parquet
+    files so maxFilesPerTrigger=1 yields a genuine multi-batch replay
+    (one staged file → one micro-batch → the state merge actually
+    runs more than once)."""
+    name = sf_dir.rstrip("/").replace("/", "_").strip("_")
+    dest = os.path.join(REPO_TMP, f"stream_in_chunked_{name}")
+    src = os.path.join(sf_dir, "events.parquet")
+    marker = os.path.join(dest, "_staged_from")
+    sig = f"{os.path.getmtime(src)}:{os.path.getsize(src)}:{parts}"
+    if os.path.exists(marker) and open(marker).read() == sig:
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    from mister_spark.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir)["events"].select(
+        "event_id",
+        F.unix_micros("ts").alias("ts"),  # plain long micros: one stable
+        "user_id",                        # physical type for the stream
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.repartitionByRange(parts, "ts").write.mode("overwrite").parquet(dest)
+    with open(marker, "w") as fh:
+        fh.write(sig)
+    return dest
+
+
+def run_stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_decayed_counts (same half-life): state is
+    per event type (raw_count, decayed_sum, anchor) where decayed_sum
+    is aged TO the anchor; each micro-batch contributes its own
+    partial aged to the batch anchor, and the two merge with
+    state·e^(−λΔ) + batch under the max anchor — the associative rule
+    that makes exponential decay a mergeable (hence streamable,
+    shardable) aggregate. The bounded replay runs ≥2 real micro-batches
+    (maxFilesPerTrigger=1 over a range-chunked staging) and pytest pins
+    parity with the batch operator to the 1e-4 rounding grid.
+
+    Scale: each micro-batch does ONE partial-agg shuffle of that batch
+    to |types| rows; the collected merge state is |types|-sized
+    (O(model), the kmeans-centroid rule), never data-sized."""
+    from mister_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    src = _stage_events_stream_chunked(spark, sf_dir)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+
+    state: dict[str, list[float]] = {}  # etype -> [raw, decayed, anchor]
+    n_batches = [0]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import math
+
+        cached = batch_df.select(
+            "event_type", F.col("ts").cast("long").alias("tsec")
+        ).localCheckpoint()
+        b_row = cached.agg(F.max("tsec").alias("amax")).collect()[0]
+        if b_row["amax"] is None:
+            return
+        n_batches[0] += 1
+        b_anchor = int(b_row["amax"])
+        dec = (
+            cached.groupBy("event_type")
+            .agg(
+                F.sum(
+                    F.exp(
+                        F.lit(-_DECAY_LAM)
+                        * (F.lit(b_anchor) - F.col("tsec"))
+                    )
+                ).alias("dsum"),
+                F.count(F.lit(1)).alias("raw"),
+            )
+            .collect()
+        )
+        s_anchor = max((v[2] for v in state.values()), default=float("-inf"))
+        new_anchor = max(float(b_anchor), s_anchor)
+        age_s = math.exp(-_DECAY_LAM * (new_anchor - s_anchor)) if state else 0.0
+        age_b = math.exp(-_DECAY_LAM * (new_anchor - b_anchor))
+        for v in state.values():
+            v[1] *= age_s
+            v[2] = new_anchor
+        for r in dec:
+            et = r["event_type"]
+            cur = state.setdefault(et, [0.0, 0.0, new_anchor])
+            cur[0] += float(r["raw"])
+            cur[1] += float(r["dsum"]) * age_b
+            cur[2] = new_anchor
+
+    name = f"ms_stream_{next(_counter)}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(REPO_TMP, "ckpt", name)
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = [
+        (
+            et,
+            int(v[0]),
+            float(v[1]),
+            float(v[1] / v[0]),
+            n_batches[0],
+        )
+        for et, v in sorted(state.items())
+    ]
+    df = spark.createDataFrame(
+        out,
+        "event_type string, raw_count long, decayed_raw double, "
+        "recency_raw double, n_batches long",
+    )
+    return df.select(
+        "event_type",
+        "raw_count",
+        (F.floor(F.col("decayed_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+            "decayed_count"
+        ),
+        (F.floor(F.col("recency_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+            "recency_index"
+        ),
+        "n_batches",
+    )
