@@ -167,8 +167,15 @@ def _nb_lngamma_sql(x: str) -> str:
 @query(
     "stat_negbin_fit",
     oracle=f"""
-    WITH u AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS k
-               FROM events GROUP BY 1),
+    WITH uu AS (SELECT DISTINCT user_id FROM events),
+    dd AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+    cnt AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS k
+            FROM events GROUP BY 1, 2),
+    u AS (SELECT COALESCE(cnt.k, 0) AS k
+          FROM uu CROSS JOIN dd
+          LEFT JOIN cnt ON uu.user_id = cnt.user_id AND dd.day = cnt.day),
     m AS (SELECT AVG(k) AS mu, VAR_SAMP(k) AS v,
                  CAST(COUNT(*) AS DOUBLE) AS n FROM u),
     p AS (SELECT mu, v, n, mu / v AS pp, mu * mu / (v - mu) AS r FROM m),
@@ -202,12 +209,25 @@ def stat_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with THIS evidence'. The NB pmf is evaluated through the shared
     Stirling lngamma so both engines compute identical values.
 
-    Scale: per-user counts are one shuffle; the histogram is ≤{c}+2
-    rows; everything after is tiny-frame arithmetic."""
+    Counts are per user-DAY over the explicit user×day grid —
+    structural zeros included, since a count model fit only to nonzero
+    rows is silently zero-truncated.
+
+    Scale: the grid is users × (calendar-bounded) days via a broadcast
+    of the day dim — linear, no data-sized shuffle beyond the count
+    rollup; the histogram is ≤{c}+2 rows and everything after is
+    tiny-frame arithmetic."""
+    ev = cat(spark, sf_dir)["events"]
+    day = F.date_trunc("day", "ts").cast("date")
+    uu = ev.select("user_id").distinct()
+    dd = ev.select(day.alias("day")).distinct()
+    cnt = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("k")
+    )
     u = (
-        cat(spark, sf_dir)["events"]
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("double").alias("k"))
+        uu.crossJoin(F.broadcast(dd))
+        .join(cnt, ["user_id", "day"], "left")
+        .select(F.coalesce("k", F.lit(0.0)).alias("k"))
         .localCheckpoint()
     )
     m = u.agg(
