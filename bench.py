@@ -69,6 +69,15 @@ HEADLINE = [
     "sketch_bloom_contamination",
     "mm_phash_dedup",
     "ml_bootstrap_ci",
+    # round-3 waves 83-90: new scale-representative paths
+    "stat_kruskal_wallis",
+    "graph_adamic_adar",
+    "ml_silhouette",
+    "ds_token_budget_trim",
+    "stat_dist_fit_compare",
+    "mm_clip_filter",
+    "stat_cvm",
+    "stat_dkw_band",
 ]
 
 

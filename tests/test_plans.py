@@ -551,3 +551,24 @@ def test_retrofits_have_no_single_task_sort(spark):
     for name, marker in markers.items():
         plan = physical_plan(registry.QUERIES[name](spark, SF))
         assert marker in plan, (name, marker)
+
+
+def test_wave83plus_two_phase_plans(spark):
+    """New rank/prefix consumers added in waves 83-90 must carry the
+    same two-phase markers: rangepartitioning for global_rank users,
+    a bucket-partitioned window for bucketed_cumsum users."""
+    markers = {
+        "stat_kruskal_wallis": "hashpartitioning(_b",
+        "ml_rrf_fusion": "rangepartitioning",
+        # its global_rank stage is materialized behind bucketed_cumsum's
+        # localCheckpoint; the visible two-phase marker is the bucketed
+        # prefix-sum window
+        "ds_token_budget_trim": "hashpartitioning(_b",
+        "ml_auc_delong_ci": "rangepartitioning",
+        "stat_dist_fit_compare": "hashpartitioning(_b",
+        "stat_dkw_band": "hashpartitioning(_b",
+        "stat_cvm": "hashpartitioning(_b",
+    }
+    for name, marker in markers.items():
+        plan = physical_plan(registry.QUERIES[name](spark, SF))
+        assert marker in plan, (name, marker)
