@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mister_spark.operators.common import cat, money, ratio
+from mister_spark.operators.common import cat, money, ratio, rnd
 from mister_spark.registry import query
 
 
@@ -107,7 +107,7 @@ def sql_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM d, c) - c_direct * cxy - b * cmy) / (n - 3)
                     / (cmm * (1 - cxm * cxm / (cxx * cmm))) AS vb
            FROM fit)
-    SELECT FLOOR(a * 10000 + 0.5) / 10000 AS a,
+    SELECT FLOOR(a * 1000000 + 0.5) / 1000000 AS a,
            FLOOR(b * 10000 + 0.5) / 10000 AS b,
            FLOOR(c_total * 10000 + 0.5) / 10000 AS c_total,
            FLOOR(c_direct * 10000 + 0.5) / 10000 AS c_direct,
@@ -190,7 +190,7 @@ def stat_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ab = F.col("a") * F.col("b")
     return fit.select(
-        ratio(F.col("a")).alias("a"),
+        rnd(F.col("a"), 6).alias("a"),
         ratio(F.col("b")).alias("b"),
         ratio(F.col("c_total")).alias("c_total"),
         ratio(F.col("c_direct")).alias("c_direct"),

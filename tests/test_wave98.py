@@ -26,8 +26,14 @@ def test_sql_udf_inlines(spark):
 
 def test_mediation_decomposition(spark):
     r = registry.QUERIES["stat_mediation_sobel"](spark, SF).collect()[0]
-    # total = direct + indirect (a*b), up to rounding
-    assert abs(r["c_total"] - (r["c_direct"] + r["a"] * r["b"])) < 0.02
+    # total = direct + indirect (a*b); a is tiny and b is large, so
+    # compare at the scale of the rounded outputs
+    indirect = r["a"] * r["b"]
+    assert abs(r["c_total"] - (r["c_direct"] + indirect)) < max(
+        0.05, abs(r["b"]) * 1e-6 * 2
+    )
+    # and prop_mediated must agree with the same decomposition
+    assert abs(indirect / r["c_total"] - r["prop_mediated"]) < 0.05
     assert 0.0 <= abs(r["prop_mediated"]) <= 5.0
     assert r["sobel_z"] == r["sobel_z"]  # not NaN
 
