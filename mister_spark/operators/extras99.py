@@ -1,0 +1,198 @@
+"""Wave 99: the VARIANT semi-structured type, multivariate two-sample
+testing, and sequential drift detection.
+
+sql_variant_json pins Spark 4's VARIANT type (parse_json once,
+variant_get typed extraction) — the open-format answer to schemaless
+columns that beats per-query string re-parsing; stat_hotelling_t2 is
+the multivariate two-sample test — ONE test over all 64 embedding
+dimensions instead of 64 t-tests and a multiple-comparisons apology;
+ev_page_hinkley is the Page–Hinkley sequential drift detector over
+the daily mean series — the streaming-friendly change alarm with an
+explicit detection delay, run here as a replay with the alarm day
+reported.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras84 import _emb_cov_stats
+from mister_spark.registry import query
+
+PH_DELTA = 0.05  # magnitude tolerance (in units of day-mean value)
+PH_LAMBDA = 8.0  # alarm threshold
+T2_RIDGE = 1e-6
+
+
+@query(
+    "sql_variant_json",
+    oracle="""
+    WITH x AS (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MAX(k) AS BIGINT) AS k_max,
+           FLOOR(AVG(CAST(k AS DOUBLE)) * 10000 + 0.5) / 10000 AS k_avg
+    FROM x GROUP BY 1
+    """,
+)
+def sql_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured surface: parse the props JSON ONCE into
+    Spark 4's VARIANT type, then extract typed fields with
+    variant_get — the schemaless-column pattern where the binary
+    variant encoding is parsed at ingest, not re-tokenized by every
+    query the way get_json_object strings are. The oracle reads the
+    same numbers via plain JSON extraction, proving the encoding is
+    semantics-preserving.
+
+    Scale: parse_json is a narrow map; the rollup is one partial-agg
+    shuffle to |types| rows. At 100 TB the variant column would be
+    materialized once at ingest and every downstream query skips the
+    parse entirely."""
+    ev = cat(spark, sf_dir)["events"]
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.max("k").cast("bigint").alias("k_max"),
+        ratio(F.avg(F.col("k").cast("double"))).alias("k_avg"),
+    )
+
+
+@query("stat_hotelling_t2")  # matrix inverse → rows-only; numpy replay
+def stat_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling's T² two-sample test between even- and odd-labeled
+    embedding populations: T² = (nm/(n+m))·(μ₁−μ₂)ᵀ S_pooled⁻¹
+    (μ₁−μ₂), reported with its F-statistic form — one multivariate
+    answer to 'do these two embedding populations differ' instead of
+    d marginal t-tests. Label parity is an A/A-ish split, so a small
+    F is the expected (and asserted) outcome.
+
+    Scale: per-group sufficient statistics come from one Arrow pass
+    each (O(d²) per partition — the pca_train split); the d×d solve
+    is driver-side; nothing data-sized is ever collected."""
+    import numpy as np
+    import pandas as pd
+
+    emb = cat(spark, sf_dir)["embeddings"]
+
+    def stats(flag: int):
+        sub = emb.filter((F.col("label") % 2) == flag).select(
+            F.col("embedding").cast("array<double>").alias("v")
+        )
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["v"]), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(X)],
+                        "s": [X.sum(axis=0).tolist()],
+                        "ss": [(X.T @ X).ravel().tolist()],
+                    }
+                )
+
+        rows = sub.mapInPandas(
+            partials, "n long, s array<double>, ss array<double>"
+        ).collect()
+        n = sum(r["n"] for r in rows)
+        d = len(rows[0]["s"])
+        s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+        ss = np.sum(
+            [np.array(r["ss"]).reshape(d, d) for r in rows], axis=0
+        )
+        mu = s / n
+        scatter = ss - np.outer(s, s) / n
+        return n, mu, scatter
+
+    n1, mu1, sc1 = stats(0)
+    n2, mu2, sc2 = stats(1)
+    d = len(mu1)
+    sp = (sc1 + sc2) / (n1 + n2 - 2) + T2_RIDGE * np.eye(d)
+    diff = mu1 - mu2
+    t2 = float(
+        (n1 * n2) / (n1 + n2) * diff @ np.linalg.solve(sp, diff)
+    )
+    fstat = t2 * (n1 + n2 - d - 1) / (d * (n1 + n2 - 2))
+    row = (
+        int(n1),
+        int(n2),
+        d,
+        round(t2, 4),
+        round(fstat, 4),
+        d,
+        int(n1 + n2 - d - 1),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_even long, n_odd long, dim long, t2 double, f_stat double, "
+        "df1 long, df2 long",
+    )
+
+
+@query("ev_page_hinkley")  # sequential DP on the day series → rows-only
+def ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential drift detector on the daily mean event
+    value: maintain the cumulative deviation from the running mean
+    (minus tolerance δ={d}); alarm when it exceeds its running
+    minimum by λ={l}. The detector a STREAM can run with O(1) state —
+    replayed here over the bounded series, reporting whether/when it
+    alarms and the final PH statistic.
+
+    Scale: the rollup is one partial-agg shuffle; the scan is O(days)
+    driver arithmetic with O(1) state — the same loop a foreachBatch
+    deployment carries."""
+    ev = cat(spark, sf_dir)["events"]
+    rows = (
+        ev.groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(F.avg("value").alias("m"))
+        .orderBy("day")
+        .collect()
+    )
+    days = [int(r["day"]) for r in rows]
+    xs = [float(r["m"]) for r in rows]
+    mean = 0.0
+    cum = 0.0
+    cmin = 0.0
+    alarm_day = None
+    ph_at_alarm = None
+    for i, x in enumerate(xs):
+        mean = mean + (x - mean) / (i + 1)
+        cum += x - mean - PH_DELTA
+        cmin = min(cmin, cum)
+        ph = cum - cmin
+        if alarm_day is None and ph > PH_LAMBDA:
+            alarm_day = days[i]
+            ph_at_alarm = ph
+    final_ph = cum - cmin
+    row = (
+        len(xs),
+        1 if alarm_day is not None else 0,
+        alarm_day if alarm_day is not None else -1,
+        round(ph_at_alarm, 4) if ph_at_alarm is not None else 0.0,
+        round(final_ph, 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_days long, alarmed long, alarm_day long, ph_at_alarm double, "
+        "final_ph double",
+    )
+
+
+ev_page_hinkley.__doc__ = ev_page_hinkley.__doc__.format(
+    d=PH_DELTA, l=PH_LAMBDA
+)
