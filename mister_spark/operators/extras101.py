@@ -1,0 +1,313 @@
+"""Wave 101: frequent-itemset mining, parquet bloom-filter indexes,
+and length-cap truncation policy.
+
+ml_apriori_itemsets runs Apriori levels 1–3 over the capped order
+baskets — frequent singles, pairs, and triples with support counts,
+each level's candidates generated from the previous (the candidate
+pruning IS the algorithm); io_parquet_bloom_filters writes parquet
+with column bloom filters and proves they landed in the footer — the
+point-lookup index that lets row groups be skipped without sorting;
+ds_length_cap_policy prices a truncate-at-P95 policy: exact P95 token
+length from the prefix frame, tokens saved, docs touched — the
+truncation budget a packing pipeline decides on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.functions.ranks import bucketed_cumsum
+from mister_spark.functions.text import DUCK_TOKENS, tokens
+from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import (
+    COP_BASKET_CAP,
+    _DUCK_BASKETS,
+    _baskets,
+)
+from mister_spark.registry import query
+
+AP_SUP = 3  # minimum support (orders)
+AP_TOP = 20
+CAP_Q = 0.95
+
+
+@query(
+    "ml_apriori_itemsets",
+    oracle=f"""
+    WITH {_DUCK_BASKETS},
+    l1 AS (SELECT l_partkey AS a, CAST(COUNT(*) AS BIGINT) AS sup
+           FROM bk GROUP BY 1 HAVING COUNT(*) >= {AP_SUP}),
+    l2 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+                  CAST(COUNT(*) AS BIGINT) AS sup
+           FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                              AND x.l_partkey < y.l_partkey
+           WHERE x.l_partkey IN (SELECT a FROM l1)
+             AND y.l_partkey IN (SELECT a FROM l1)
+           GROUP BY 1, 2 HAVING COUNT(*) >= {AP_SUP}),
+    l3 AS (SELECT p.a, p.b, z.l_partkey AS c,
+                  CAST(COUNT(*) AS BIGINT) AS sup
+           FROM l2 p
+           JOIN bk x ON x.l_partkey = p.a
+           JOIN bk y ON y.l_orderkey = x.l_orderkey AND y.l_partkey = p.b
+           JOIN bk z ON z.l_orderkey = x.l_orderkey
+                    AND z.l_partkey > p.b
+           WHERE EXISTS (SELECT 1 FROM l2 q
+                         WHERE q.a = p.b AND q.b = z.l_partkey)
+             AND EXISTS (SELECT 1 FROM l2 q
+                         WHERE q.a = p.a AND q.b = z.l_partkey)
+           GROUP BY 1, 2, 3 HAVING COUNT(*) >= {AP_SUP}),
+    u AS (
+      SELECT 1 AS size, CAST(a AS VARCHAR) AS itemset, sup FROM l1
+      UNION ALL
+      SELECT 2, CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR), sup FROM l2
+      UNION ALL
+      SELECT 3, CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)
+                  || ',' || CAST(c AS VARCHAR), sup
+      FROM l3)
+    SELECT CAST(size AS BIGINT) AS size, itemset, sup
+    FROM u ORDER BY size DESC, sup DESC, itemset LIMIT {AP_TOP}
+    """,
+)
+def ml_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent itemsets over the capped order baskets:
+    singles, pairs, and triples with support ≥ {s} orders, each level
+    generated ONLY from the previous level's survivors (the downward-
+    closure prune that keeps candidate growth polynomial). Top-{t} by
+    (size desc, support desc). Market-basket mining, done the way
+    it distributes.
+
+    Scale: every level is an equi-join on orderkey over the capped
+    baskets (≤{c} items/order bounds the per-basket fan-out); the
+    L2-membership prunes broadcast the previous level's (small)
+    survivor set. No level ever enumerates unsupported candidates."""
+    b = _baskets(spark, sf_dir).localCheckpoint()
+    l1 = (
+        b.groupBy(F.col("l_partkey").alias("a"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= AP_SUP)
+        .localCheckpoint()
+    )
+    l1keys = l1.select("a")
+    bx = b.join(
+        F.broadcast(l1keys.withColumnRenamed("a", "l_partkey")), "l_partkey"
+    )
+    x = bx.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    y = bx.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    l2 = (
+        x.join(y, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= AP_SUP)
+        .localCheckpoint()
+    )
+    z = bx.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("c"))
+    tri = (
+        l2.select("a", "b")
+        .join(x.withColumnRenamed("a", "a"), "a")
+        .join(
+            y.withColumnRenamed("b", "b"),
+            ["o", "b"],
+        )
+        .join(z, "o")
+        .filter(F.col("c") > F.col("b"))
+        .join(
+            F.broadcast(
+                l2.select(
+                    F.col("a").alias("b"), F.col("b").alias("c")
+                ).withColumn("_bc", F.lit(1))
+            ),
+            ["b", "c"],
+        )
+        .join(
+            F.broadcast(
+                l2.select(F.col("a"), F.col("b").alias("c")).withColumn(
+                    "_ac", F.lit(1)
+                )
+            ),
+            ["a", "c"],
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= AP_SUP)
+    )
+    u1 = l1.select(
+        F.lit(1).cast("bigint").alias("size"),
+        F.col("a").cast("string").alias("itemset"),
+        "sup",
+    )
+    u2 = l2.select(
+        F.lit(2).cast("bigint").alias("size"),
+        F.concat_ws(",", F.col("a").cast("string"), F.col("b").cast("string"))
+        .alias("itemset"),
+        "sup",
+    )
+    u3 = tri.select(
+        F.lit(3).cast("bigint").alias("size"),
+        F.concat_ws(
+            ",",
+            F.col("a").cast("string"),
+            F.col("b").cast("string"),
+            F.col("c").cast("string"),
+        ).alias("itemset"),
+        "sup",
+    )
+    return (
+        u1.unionByName(u2)
+        .unionByName(u3)
+        .orderBy(F.col("size").desc(), F.col("sup").desc(), "itemset")
+        .limit(AP_TOP)
+    )
+
+
+ml_apriori_itemsets.__doc__ = ml_apriori_itemsets.__doc__.format(
+    s=AP_SUP, t=AP_TOP, c=COP_BASKET_CAP
+)
+
+
+@query("io_parquet_bloom_filters")  # write-side feature → rows-only
+def io_parquet_bloom_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet column bloom filters: write orders twice — once plain,
+    once with a bloom filter on o_custkey (parquet.bloom.filter.*
+    write options) — and report the byte overhead the bloom bitsets
+    add to an otherwise identical file, plus a row-count round-trip
+    proof. At scale, blooms let point lookups on a NON-sort column
+    skip row groups — the cheap index when you can't afford another
+    sort order. (This pyarrow build does not expose bloom offsets in
+    the footer API, so the evidence is the deterministic size delta
+    of the identical write + lossless read-back; the filter bytes ARE
+    the delta.)
+
+    Scale: one write each; verification reads metadata + counts."""
+    import pyarrow.parquet as pq
+
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+    )
+    base = os.path.join(repo_tmp, "bloom_demo")
+    plain_dir, bloom_dir = f"{base}/plain", f"{base}/bloom"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = cat(spark, sf_dir)["orders"]
+    # dictionary encoding must be off for the column: parquet SKIPS the
+    # bloom when a column is fully dictionary-encoded (the dictionary
+    # already answers membership exactly) — disable it in BOTH writes
+    # so the byte delta isolates the bloom bitset
+    (
+        orders.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(plain_dir)
+    )
+    (
+        orders.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .parquet(bloom_dir)
+    )
+
+    def stats(d):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        size = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        groups = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_row_groups
+            for f in files
+        )
+        return size, groups
+
+    p_size, p_groups = stats(plain_dir)
+    b_size, b_groups = stats(bloom_dir)
+    n_plain = spark.read.parquet(plain_dir).count()
+    n_bloom = spark.read.parquet(bloom_dir).count()
+    row = (
+        p_groups,
+        b_groups,
+        int(n_plain),
+        int(n_bloom),
+        int(b_size - p_size),
+        round(b_size / p_size, 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "plain_row_groups long, bloom_row_groups long, rows_plain long, "
+        "rows_bloom long, extra_bytes long, size_ratio double",
+    )
+
+
+@query(
+    "ds_length_cap_policy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS tok
+               FROM documents WHERE len({DUCK_TOKENS}) > 0),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(tok) AS total FROM t),
+    g AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY 1),
+    e AS (SELECT tok, SUM(c) OVER (ORDER BY tok) AS cum FROM g),
+    cap AS (SELECT MIN(tok) AS cap FROM e, n
+            WHERE cum >= CEIL({CAP_Q} * n.n))
+    SELECT CAST(cap.cap AS BIGINT) AS cap_tokens,
+           CAST(n.total AS BIGINT) AS tokens_before,
+           CAST(n.total - (SELECT SUM(CASE WHEN tok > cap.cap
+                                           THEN tok - cap.cap ELSE 0 END)
+                           FROM t) AS BIGINT) AS tokens_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE tok > cap.cap)
+             AS docs_truncated,
+           FLOOR((SELECT SUM(CASE WHEN tok > cap.cap
+                                  THEN tok - cap.cap ELSE 0 END)
+                  FROM t) / CAST(n.total AS DOUBLE) * 10000 + 0.5) / 10000
+             AS tokens_saved_share
+    FROM cap, n
+    """,
+)
+def ds_length_cap_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-policy pricing: cap documents at the EXACT P{q}
+    token length (order statistic from the prefix frame, no sketch)
+    and report the cap, tokens before/after, docs touched, and the
+    token share the cap reclaims — the numbers that decide a packing
+    pipeline's max_seq_len.
+
+    Scale: lengths collapse to |distinct lengths| rows in one
+    shuffle; the exact quantile uses `bucketed_cumsum` (two-phase
+    prefix sum) and the policy costing is one more aggregate with the
+    1-row cap broadcast."""
+    toks = tokens()
+    t = (
+        cat(spark, sf_dir)["documents"]
+        .select(F.size(toks).cast("bigint").alias("tok"))
+        .filter(F.col("tok") > 0)
+        .localCheckpoint()
+    )
+    n = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("tok").alias("total"),
+    )
+    g = t.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    e = bucketed_cumsum(g, "tok", {"cum": F.col("c")})
+    capdf = (
+        e.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.ceil(CAP_Q * F.col("n")))
+        .agg(F.min("tok").alias("cap"))
+    )
+    j = t.crossJoin(F.broadcast(capdf)).crossJoin(F.broadcast(n))
+    over = F.when(
+        F.col("tok") > F.col("cap"), F.col("tok") - F.col("cap")
+    ).otherwise(0)
+    return j.agg(
+        F.first("cap").cast("bigint").alias("cap_tokens"),
+        F.first("total").cast("bigint").alias("tokens_before"),
+        (F.first("total") - F.sum(over)).cast("bigint").alias("tokens_after"),
+        F.sum((F.col("tok") > F.col("cap")).cast("long"))
+        .cast("bigint")
+        .alias("docs_truncated"),
+        ratio(F.sum(over) / F.first("total").cast("double")).alias(
+            "tokens_saved_share"
+        ),
+    )
+
+
+ds_length_cap_policy.__doc__ = ds_length_cap_policy.__doc__.format(
+    q=int(CAP_Q * 100)
+)
