@@ -1,0 +1,351 @@
+"""Wave 109: regularization paths, graph random walks, forecast
+combination, and nested-model testing.
+
+ml_ridge_path traces the ridge coefficient path over a λ grid from
+ONE sufficient-statistics pass (the grid costs driver solves, not
+scans) with GCV picking the winner; graph_random_walks generates
+deterministic hash-driven random walks over the co-purchase graph —
+the corpus node2vec-style embedding trainers consume, built with
+per-step distributed joins; ev_forecast_ensemble backtests three
+cheap forecasters on a held-out week and combines them with
+inverse-MAE weights — the combination that beats its average member
+almost always; stat_nested_f_test is the partial F-test: does adding
+discount to the quantity model actually explain more of price than
+chance?
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.functions.hashing import FP_MOD, FP_MUL
+from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.registry import query
+
+RIDGE_LAMBDAS = (0.0, 1.0, 10.0, 100.0, 1000.0)
+WALK_LEN = 5
+WALKS_PER_NODE = 2
+FC_H = 7
+
+
+@query("ml_ridge_path")  # driver solves over one stats pass → rows-only
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regularization path for predicting order totalprice from
+    (weekday, priority, epoch-day) — one XᵀX/Xᵀy sufficient-statistics
+    pass, then a driver-side solve PER λ on the standardized system:
+    coefficients shrink along the path and GCV = SSE/(n−df(λ))²
+    (df = Σ dᵢ²/(dᵢ²+λ)) picks the operating point without a single
+    extra scan. The model-selection curve at one-pass cost.
+
+    Scale: sufficient statistics are O(p²) per partition; the λ grid
+    multiplies DRIVER solves only — the data is scanned once (plus
+    once more for centering stats folded into the same pass)."""
+    import numpy as np
+
+    orders = cat(spark, sf_dir)["orders"]
+    d = orders.select(
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1)
+        .cast("double")
+        .alias("x1"),
+        F.substring("o_orderpriority", 1, 1).cast("double").alias("x2"),
+        F.datediff(
+            F.date_trunc("day", "o_orderdate"), F.lit("1970-01-01")
+        )
+        .cast("double")
+        .alias("x3"),
+        F.col("o_totalprice").alias("y"),
+    )
+    feats = ["x1", "x2", "x3"]
+    p = len(feats)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for f1 in feats:
+        aggs.append(F.avg(f1).alias(f"m_{f1}"))
+        aggs.append(F.stddev_samp(f1).alias(f"s_{f1}"))
+    aggs.append(F.avg("y").alias("m_y"))
+    for i, f1 in enumerate(feats):
+        for f2 in feats[i:]:
+            aggs.append(F.sum(F.col(f1) * F.col(f2)).alias(f"xx_{f1}_{f2}"))
+        aggs.append(F.sum(F.col(f1) * F.col("y")).alias(f"xy_{f1}"))
+    aggs.append(F.sum(F.col("y") * F.col("y")).alias("yy"))
+    row = d.agg(*aggs).collect()[0]
+    n = row["n"]
+    mu = np.array([row[f"m_{f}"] for f in feats])
+    sd = np.array([row[f"s_{f}"] for f in feats])
+    my = row["m_y"]
+    XX = np.zeros((p, p))
+    Xy = np.zeros(p)
+    for i, f1 in enumerate(feats):
+        for j2 in range(i, p):
+            f2 = feats[j2]
+            XX[i, j2] = XX[j2, i] = row[f"xx_{f1}_{f2}"]
+        Xy[i] = row[f"xy_{f1}"]
+    # centered+standardized moments
+    C = (XX - n * np.outer(mu, mu)) / np.outer(sd, sd)
+    cy = (Xy - n * mu * my) / sd
+    syy = row["yy"] - n * my * my
+    evals = np.linalg.eigvalsh(C)
+    path = []
+    for lam in RIDGE_LAMBDAS:
+        beta = np.linalg.solve(C + lam * np.eye(p), cy)
+        sse = float(syy - 2 * beta @ cy + beta @ C @ beta)
+        df = float(np.sum(evals / (evals + lam))) if lam > 0 else float(p)
+        path.append((lam, beta, sse, df, sse / (n - df) ** 2))
+    gcv0 = path[0][4]
+    out = [
+        (
+            float(lam),
+            round(float(np.linalg.norm(beta)), 6),
+            round(sse / syy, 6),
+            round(df, 4),
+            round(gcv / gcv0, 8),
+        )
+        for lam, beta, sse, df, gcv in path
+    ]
+    return spark.createDataFrame(
+        out,
+        "lam double, coef_norm double, sse_ratio double, eff_df double, "
+        "gcv_rel double",
+    )
+
+
+@query("graph_random_walks")  # iterative hash-driven walks → rows-only
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the co-purchase graph: each
+    node launches {w} walks of length {l}; at every step the walker
+    picks neighbor rank h(walk_id, step) mod degree — hash-driven, so
+    the 'random' corpus is reproducible anywhere (the property actual
+    node2vec pipelines give up). Emits walk-corpus statistics:
+    walks, completed length histogram, node coverage.
+
+    Scale: each step is ONE equi-join of the frontier against the
+    indexed adjacency (neighbors pre-ranked per node — the only
+    shuffle per step is on the current node key); walk state is
+    (walk_id, position), never materialized paths."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    from pyspark.sql import Window as W
+
+    adj = sym.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("u").orderBy("v")) - 1,
+    ).localCheckpoint()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select("u", "deg")
+    frontier = None
+    for wid in range(WALKS_PER_NODE):
+        f0 = nodes.select(
+            F.concat_ws("_", F.col("u").cast("string"), F.lit(str(wid))).alias(
+                "walk_id"
+            ),
+            F.col("u").alias("start"),
+            F.col("u").alias("cur"),
+            F.lit(0).alias("steps"),
+        )
+        frontier = f0 if frontier is None else frontier.unionByName(f0)
+    frontier = frontier.localCheckpoint()
+    visited = frontier.select("walk_id", F.col("cur").alias("node"))
+    for step in range(1, WALK_LEN + 1):
+        nxt = (
+            frontier.join(deg.withColumnRenamed("u", "cur"), "cur")
+            .withColumn(
+                "pick",
+                (
+                    F.abs(F.hash("walk_id", F.lit(step)).cast("long") * FP_MUL)
+                    % F.col("deg")
+                ).cast("int"),
+            )
+            .join(
+                adj.select(
+                    F.col("u").alias("cur"),
+                    F.col("v").alias("nxt"),
+                    F.col("rk").alias("pick"),
+                ),
+                ["cur", "pick"],
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.col("nxt").alias("cur"),
+                F.lit(step).alias("steps"),
+            )
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            nxt.select("walk_id", F.col("cur").alias("node"))
+        )
+        frontier = nxt
+    n_nodes = nodes.count()
+    n_walks = frontier.select("walk_id").distinct().count()
+    covered = visited.select("node").distinct().count()
+    avg_unique = (
+        visited.groupBy("walk_id")
+        .agg(F.countDistinct("node").alias("uq"))
+        .agg(F.avg("uq"))
+        .collect()[0][0]
+    )
+    row = (
+        int(n_nodes),
+        int(n_walks),
+        WALK_LEN,
+        int(covered),
+        round(float(covered) / n_nodes, 4),
+        round(float(avg_unique), 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "nodes long, walks long, walk_len long, covered_nodes long, "
+        "coverage double, avg_unique_per_walk double",
+    )
+
+
+graph_random_walks.__doc__ = graph_random_walks.__doc__.format(
+    w=WALKS_PER_NODE, l=WALK_LEN
+)
+
+
+@query("ev_forecast_ensemble")  # backtest composition → rows-only
+def ev_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast combination backtest on daily event counts: train
+    everything but the last {h} days, forecast with three cheap
+    models (naive-last, seasonal-naive-7, drift) plus their
+    inverse-MAE weighted ensemble (weights from a 7-day validation
+    tail INSIDE the training window — no test leakage). Emits MAE per
+    model; the ensemble should sit at or below the best single most
+    of the time, which is the whole point of combination.
+
+    Scale: one daily rollup; model math is O(days) driver arithmetic
+    (calendar-bounded, theta/DTW precedent)."""
+    ev = cat(spark, sf_dir)["events"]
+    rows = (
+        ev.groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .orderBy("day")
+        .collect()
+    )
+    ys = [float(r["y"]) for r in rows]
+    n = len(ys)
+    h = min(FC_H, max(n - 10, 1))
+    train, test = ys[: n - h], ys[n - h :]
+
+    def forecast(series, horizon):
+        last = series[-1]
+        drift = (series[-1] - series[0]) / max(len(series) - 1, 1)
+        out = {}
+        out["naive"] = [last] * horizon
+        out["snaive7"] = [
+            series[-7 + (j % 7)] if len(series) >= 7 else last
+            for j in range(horizon)
+        ]
+        out["drift"] = [last + drift * (j + 1) for j in range(horizon)]
+        return out
+
+    # validation tail inside train to learn weights
+    vtrain, val = train[:-h], train[-h:]
+    vfc = forecast(vtrain, h)
+    maes = {
+        m: sum(abs(f - a) for f, a in zip(fc, val)) / h
+        for m, fc in vfc.items()
+    }
+    inv = {m: 1.0 / max(e, 1e-9) for m, e in maes.items()}
+    tot = sum(inv.values())
+    wts = {m: v / tot for m, v in inv.items()}
+    tfc = forecast(train, h)
+    ens = [
+        sum(wts[m] * tfc[m][j] for m in tfc) for j in range(h)
+    ]
+    out = []
+    for m, fc in tfc.items():
+        mae = sum(abs(f - a) for f, a in zip(fc, test)) / h
+        out.append((m, round(wts[m], 4), round(mae, 4)))
+    mae_e = sum(abs(f - a) for f, a in zip(ens, test)) / h
+    out.append(("ensemble", 1.0, round(mae_e, 4)))
+    return spark.createDataFrame(out, "model string, weight double, mae double")
+
+
+ev_forecast_ensemble.__doc__ = ev_forecast_ensemble.__doc__.format(h=FC_H)
+
+
+@query(
+    "stat_nested_f_test",
+    oracle="""
+    WITH d AS (SELECT l_quantity AS x1, l_discount AS x2,
+                      l_extendedprice AS y
+               FROM lineitem),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 AVG(x1) AS m1, AVG(x2) AS m2, AVG(y) AS my,
+                 SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+                 SUM(x2 * x2) AS s22,
+                 SUM(x1 * y) AS c1, SUM(x2 * y) AS c2,
+                 SUM(y * y) AS syy
+          FROM d),
+    c AS (SELECT n,
+                 s11 - n * m1 * m1 AS a11, s12 - n * m1 * m2 AS a12,
+                 s22 - n * m2 * m2 AS a22,
+                 c1 - n * m1 * my AS b1, c2 - n * m2 * my AS b2,
+                 syy - n * my * my AS cyy
+          FROM s),
+    fit AS (SELECT n, cyy,
+                   cyy - b1 * b1 / a11 AS sse_small,
+                   cyy - (b1 * (b1 * a22 - b2 * a12)
+                          + b2 * (b2 * a11 - b1 * a12))
+                         / (a11 * a22 - a12 * a12) AS sse_full
+            FROM c)
+    SELECT FLOOR((sse_small - sse_full) / (sse_full / (n - 3))
+                 * 10000 + 0.5) / 10000 AS f_stat,
+           CAST(1 AS BIGINT) AS df1,
+           CAST(n - 3 AS BIGINT) AS df2,
+           FLOOR((1 - sse_full / cyy) * 10000 + 0.5) / 10000 AS r2_full,
+           FLOOR((1 - sse_small / cyy) * 10000 + 0.5) / 10000 AS r2_small
+    FROM fit
+    """,
+)
+def stat_nested_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial F-test for nested models: price ~ quantity (small) vs
+    price ~ quantity + discount (full). F = ΔSSE/(SSE_full/(n−3))
+    with 1 numerator df — the correct way to ask 'did the extra
+    regressor earn its place', where comparing raw R²s never is.
+
+    Scale: both fits come from ONE moments pass (closed-form 1- and
+    2-predictor OLS); the test is scalar arithmetic."""
+    d = cat(spark, sf_dir)["lineitem"].select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("c1"),
+        F.sum(F.col("x2") * F.col("y")).alias("c2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    a11 = F.col("s11") - n * F.col("m1") * F.col("m1")
+    a12 = F.col("s12") - n * F.col("m1") * F.col("m2")
+    a22 = F.col("s22") - n * F.col("m2") * F.col("m2")
+    b1 = F.col("c1") - n * F.col("m1") * F.col("my")
+    b2 = F.col("c2") - n * F.col("m2") * F.col("my")
+    cyy = F.col("syy") - n * F.col("my") * F.col("my")
+    sse_small = cyy - b1 * b1 / a11
+    sse_full = cyy - (
+        b1 * (b1 * a22 - b2 * a12) + b2 * (b2 * a11 - b1 * a12)
+    ) / (a11 * a22 - a12 * a12)
+    return s.select(
+        ratio((sse_small - sse_full) / (sse_full / (n - 3))).alias("f_stat"),
+        F.lit(1).cast("bigint").alias("df1"),
+        (n - 3).cast("bigint").alias("df2"),
+        ratio(1 - sse_full / cyy).alias("r2_full"),
+        ratio(1 - sse_small / cyy).alias("r2_small"),
+    )
