@@ -1,0 +1,223 @@
+"""Wave 111: k-truss graph mining, time-to-value analytics, and
+dedup-method comparison.
+
+graph_k_truss peels the co-purchase graph to its 3-truss (every
+surviving edge sits in ≥1 triangle among surviving edges) — the
+cohesion filter that kills bridge/noise edges k-core keeps;
+ev_time_to_value measures, per customer, the days from first order
+until cumulative spend crosses a value threshold — the
+time-to-value funnel metric — and summarizes its exact quartiles;
+dd_method_venn overlays lexical (3-gram Jaccard) and semantic
+(embedding cosine) near-dup PAIRS as a Venn report — the evidence
+for whether the two dedup families are redundant or complementary on
+this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mister_spark.functions.ranks import bucketed_cumsum
+from mister_spark.operators.common import cat, money, ratio
+from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.registry import query
+
+TRUSS_K = 3  # 3-truss: every edge in >= 1 triangle
+TRUSS_ROUNDS = 5
+TTV_THRESHOLD = 300000.0  # cumulative spend threshold (dollars)
+
+
+@query("graph_k_truss")  # iterative peeling → rows-only; invariant gates
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-truss of the co-purchase graph: iteratively delete edges
+    supported by fewer than {k}−2 triangles (support recomputed after
+    each peel) until a fixpoint — what survives is the
+    triangle-reinforced core, a strictly stronger cohesion filter
+    than degree-based k-core (a star hub has high degree and zero
+    triangles). Emits per-round edge counts and the final truss size.
+
+    Scale: each round recomputes edge support with the standard
+    oriented wedge join (u<v<w once per triangle, fan-out bounded by
+    the basket cap) and one anti-join peel; localCheckpoint cuts the
+    lineage per round (components precedent)."""
+    e = (
+        _copurchase_edges(spark, sf_dir)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .localCheckpoint()
+    )
+    rounds = []
+    cur = e
+    for rnd_i in range(TRUSS_ROUNDS):
+        n_edges = cur.count()
+        # triangle support per edge: oriented wedge join
+        ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = (
+            ab.join(bc, "b")
+            .join(ac, ["a", "c"])
+            .select("a", "b", "c")
+            .localCheckpoint()
+        )
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                tri.select(F.col("b").alias("u"), F.col("c").alias("v"))
+            )
+            .unionByName(
+                tri.select(F.col("a").alias("u"), F.col("c").alias("v"))
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        keep = cur.join(sup, ["u", "v"]).filter(
+            F.col("sup") >= TRUSS_K - 2
+        ).select("u", "v").localCheckpoint()
+        n_keep = keep.count()
+        rounds.append((rnd_i + 1, int(n_edges), int(n_keep)))
+        if n_keep == n_edges:
+            cur = keep
+            break
+        cur = keep
+    return spark.createDataFrame(
+        rounds, "round long, edges_before long, edges_after long"
+    )
+
+
+graph_k_truss.__doc__ = graph_k_truss.__doc__.format(k=TRUSS_K)
+
+
+@query(
+    "ev_time_to_value",
+    oracle=f"""
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                      o_totalprice,
+                      SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey)
+                        AS cum
+               FROM orders),
+    first_o AS (SELECT o_custkey, MIN(d) AS d0 FROM o GROUP BY 1),
+    crossed AS (SELECT o.o_custkey,
+                       MIN(date_diff('day', f.d0, o.d)) AS ttv_days
+                FROM o JOIN first_o f ON o.o_custkey = f.o_custkey
+                WHERE o.cum >= {TTV_THRESHOLD}
+                GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_customers FROM first_o),
+    g AS (SELECT ttv_days, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM crossed GROUP BY 1),
+    e AS (SELECT ttv_days, SUM(c) OVER (ORDER BY ttv_days) AS cum FROM g),
+    nn AS (SELECT SUM(c) AS reached FROM g),
+    q AS (SELECT (SELECT MIN(ttv_days) FROM e, nn
+                  WHERE cum >= CEIL(0.25 * reached)) AS p25,
+                 (SELECT MIN(ttv_days) FROM e, nn
+                  WHERE cum >= CEIL(0.50 * reached)) AS p50,
+                 (SELECT MIN(ttv_days) FROM e, nn
+                  WHERE cum >= CEIL(0.75 * reached)) AS p75)
+    SELECT CAST(t.n_customers AS BIGINT) AS customers,
+           CAST(nn.reached AS BIGINT) AS reached,
+           FLOOR(nn.reached / t.n_customers * 10000 + 0.5) / 10000
+             AS reach_rate,
+           CAST(q.p25 AS BIGINT) AS p25_days,
+           CAST(q.p50 AS BIGINT) AS p50_days,
+           CAST(q.p75 AS BIGINT) AS p75_days
+    FROM t, nn, q
+    """,
+)
+def ev_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-value: days from a customer's first order until their
+    cumulative spend crosses ${t:,.0f}, with the reach rate and the
+    EXACT quartiles of the crossing time — the onboarding metric
+    ('how long until a customer becomes valuable') that averages
+    obscure and approx sketches blur at the tails.
+
+    Scale: the per-customer running sum is a customer-partitioned
+    window (the sessionize exchange); crossing-day quartiles use the
+    |distinct day-values| prefix frame via `bucketed_cumsum` — exact
+    order statistics, no single-task sort."""
+    orders = cat(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.sum("o_totalprice").over(w).alias("cum"),
+    )
+    first_o = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0")
+    )
+    crossed = (
+        o.filter(F.col("cum") >= TTV_THRESHOLD)
+        .join(first_o, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.min(F.datediff("d", "d0")).alias("ttv_days"))
+        .localCheckpoint()
+    )
+    n_customers = first_o.count()
+    g = crossed.groupBy("ttv_days").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    e = bucketed_cumsum(g, "ttv_days", {"cum": F.col("c")})
+    nn = g.agg(F.sum("c").alias("reached"))
+    picks = []
+    for q in (0.25, 0.50, 0.75):
+        picks.append(
+            e.crossJoin(F.broadcast(nn))
+            .filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("reached")))
+            .agg(F.min("ttv_days").alias(f"p{int(q * 100)}"))
+        )
+    out = nn
+    for p in picks:
+        out = out.crossJoin(F.broadcast(p))
+    return out.select(
+        F.lit(n_customers).cast("bigint").alias("customers"),
+        F.col("reached").cast("bigint").alias("reached"),
+        ratio(F.col("reached") / F.lit(float(n_customers))).alias(
+            "reach_rate"
+        ),
+        F.col("p25").cast("bigint").alias("p25_days"),
+        F.col("p50").cast("bigint").alias("p50_days"),
+        F.col("p75").cast("bigint").alias("p75_days"),
+    )
+
+
+ev_time_to_value.__doc__ = ev_time_to_value.__doc__.format(t=TTV_THRESHOLD)
+
+
+@query("dd_method_venn")  # cross-method comparison → rows-only
+def dd_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method Venn: the near-dup PAIRS found by lexical 3-gram
+    Jaccard (dd_ngram_jaccard) overlaid with those found by embedding
+    cosine (dd_embedding_cosine, pairs mapped through the doc→vector
+    pairing) — both-methods / lexical-only / semantic-only counts.
+    Complementary sets argue for running both stages; a contained set
+    says one method is paying for nothing.
+
+    Scale: reuses both operators' own bucketed candidate generation;
+    the Venn is two anti-joins over the (small) pair sets."""
+    from mister_spark.operators.dedup import dd_embedding_cosine, dd_ngram_jaccard
+
+    lex = (
+        dd_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+    )
+    sem = (
+        dd_embedding_cosine(spark, sf_dir)
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        .distinct()
+    )
+    both = lex.join(sem, ["a", "b"]).count()
+    lex_only = lex.join(sem, ["a", "b"], "left_anti").count()
+    sem_only = sem.join(lex, ["a", "b"], "left_anti").count()
+    row = (
+        int(both + lex_only),
+        int(both + sem_only),
+        int(both),
+        int(lex_only),
+        int(sem_only),
+        round(both / max(both + lex_only + sem_only, 1), 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "lexical_pairs long, semantic_pairs long, both long, "
+        "lexical_only long, semantic_only long, jaccard double",
+    )
