@@ -78,6 +78,13 @@ HEADLINE = [
     "mm_clip_filter",
     "stat_cvm",
     "stat_dkw_band",
+    # round-3 waves 91-117: new scale-representative paths
+    "dd_cdc_chunking",
+    "ml_apriori_itemsets",
+    "j_spatial_grid_join",
+    "ev_time_to_value",
+    "sketch_ddsketch",
+    "stat_logrank_test",
 ]
 
 
