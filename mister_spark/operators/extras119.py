@@ -1,0 +1,264 @@
+"""Wave 119: functional-graph cycle structure, intra-document drift,
+and rolling-origin evaluation.
+
+graph_functional_cycles builds the functional graph 'every part →
+its strongest co-purchase partner' and classifies nodes into cycle
+cores vs tails with pointer doubling — the ρ-shape decomposition
+behind cycle detection in hash chains and succession graphs, done in
+O(log n) rounds; tx_intra_doc_drift measures Jensen–Shannon
+divergence between each document's first and second half — the
+within-document topic-shift signal that corpus-level drift can't
+see; ev_rolling_origin_cv evaluates the seasonal-naive forecaster
+with rolling-origin folds — the only honest CV for time series
+(random K-fold leaks the future).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.functions.text import DUCK_TOKENS, tokens
+from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.registry import query
+
+FC_JUMPS = 6  # pointer-doubling rounds (2^6 = 64 >> graph diameter)
+RO_FOLDS = 3
+RO_H = 5  # horizon per fold (days)
+DRIFT_TOP = 10
+
+
+@query("graph_functional_cycles")  # pointer doubling → rows-only
+def graph_functional_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-graph structure of 'strongest co-purchase partner':
+    every node keeps ONE out-edge (max weight, min-key tie-break),
+    giving a ρ-shaped forest of tails flowing into cycles. Pointer
+    doubling (follow 2^k steps per round) classifies nodes: a node is
+    ON a cycle iff following n steps returns to it — detected here by
+    jump-table convergence. Reports nodes, cycle nodes, tail nodes,
+    and the count of 2-cycles (mutual best partners — the
+    'power-couple' products).
+
+    Scale: each doubling round is ONE self-join of the jump table
+    (f^(2k) = f^k ∘ f^k), O(log n) rounds total — the same trick as
+    pointer-jumping components; no per-node walks."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v"), "w"
+    ).unionByName(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"), "w")
+    )
+    best = (
+        sym.groupBy("u")
+        .agg(
+            F.min_by(
+                F.col("v"), F.struct((-F.col("w")).alias("nw"), F.col("v"))
+            ).alias("nxt")
+        )
+        .localCheckpoint()
+    )
+    # 2-cycles: mutual best partners
+    two_cycles = (
+        best.alias("a")
+        .join(
+            best.select(
+                F.col("u").alias("nxt"), F.col("nxt").alias("back")
+            ),
+            "nxt",
+        )
+        .filter(F.col("u") == F.col("back"))
+        .filter(F.col("u") < F.col("nxt"))
+        .count()
+    )
+    # pointer doubling: jump[k] = where you land after 2^k steps
+    jump = best.select("u", F.col("nxt").alias("j"))
+    for _ in range(FC_JUMPS):
+        jump = (
+            jump.alias("a")
+            .join(
+                jump.select(F.col("u").alias("j"), F.col("j").alias("j2")),
+                "j",
+            )
+            .select("u", F.col("j2").alias("j"))
+            .localCheckpoint()
+        )
+    # after 2^FC_JUMPS steps every walk is inside its cycle; a node is
+    # on a cycle iff some node's far-jump lands on it AND its own
+    # far-jump chain returns: cycle nodes = image of the far jump
+    # restricted to nodes that are in the image closure
+    img = jump.select(F.col("j").alias("u")).distinct()
+    on_cycle = img.join(jump, "u").select("u").distinct()
+    n_nodes = best.count()
+    n_cycle = on_cycle.count()
+    row = (
+        int(n_nodes),
+        int(n_cycle),
+        int(n_nodes - n_cycle),
+        int(two_cycles),
+    )
+    return spark.createDataFrame(
+        [row],
+        "nodes long, cycle_nodes long, tail_nodes long, mutual_pairs long",
+    )
+
+
+@query(
+    "tx_intra_doc_drift",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+               WHERE len({DUCK_TOKENS}) >= 10),
+    halves AS (
+      SELECT doc_id,
+             toks[1 : len(toks) // 2] AS h1,
+             toks[len(toks) // 2 + 1 : len(toks)] AS h2
+      FROM t),
+    u AS (SELECT doc_id, unnest(h1) AS tok, 1 AS half FROM halves
+          UNION ALL
+          SELECT doc_id, unnest(h2) AS tok, 2 AS half FROM halves),
+    cnt AS (SELECT doc_id, half, tok, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM u GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, half, SUM(c) AS n FROM cnt GROUP BY 1, 2),
+    p AS (SELECT cnt.doc_id, cnt.tok,
+                 MAX(CASE WHEN cnt.half = 1 THEN cnt.c / tot.n END) AS p1,
+                 MAX(CASE WHEN cnt.half = 2 THEN cnt.c / tot.n END) AS p2
+          FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+                           AND cnt.half = tot.half
+          GROUP BY 1, 2),
+    js AS (SELECT doc_id,
+                  SUM(CASE WHEN COALESCE(p1, 0) > 0
+                       THEN 0.5 * p1
+                            * LN(p1 / ((COALESCE(p1, 0)
+                                        + COALESCE(p2, 0)) / 2))
+                       ELSE 0 END)
+                  + SUM(CASE WHEN COALESCE(p2, 0) > 0
+                         THEN 0.5 * p2
+                              * LN(p2 / ((COALESCE(p1, 0)
+                                          + COALESCE(p2, 0)) / 2))
+                         ELSE 0 END) AS jsd
+           FROM p GROUP BY 1)
+    SELECT doc_id, FLOOR(jsd * 10000 + 0.5) / 10000 AS jsd
+    FROM js ORDER BY FLOOR(jsd * 10000 + 0.5) / 10000 DESC, doc_id
+    LIMIT {DRIFT_TOP}
+    """,
+)
+def tx_intra_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document topic drift: Jensen–Shannon divergence between
+    each document's first- and second-half unigram distributions,
+    top-{k} drifters. High JSD inside one document flags concatenated
+    /stitched content (two sources pasted together) — a dedup- and
+    quality-relevant defect that corpus-level statistics average
+    away.
+
+    Scale: the halves explode once (map-side slice); per-(doc, half)
+    counts are one shuffle keyed by doc; the JSD reduces per doc —
+    everything stays partitioned on doc_id."""
+    toks = tokens()
+    t = (
+        cat(spark, sf_dir)["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 10)
+    )
+    n = F.size("toks")
+    halves = t.select(
+        "doc_id",
+        F.slice("toks", 1, (n / 2).cast("int")).alias("h1"),
+        F.slice(
+            "toks",
+            (n / 2).cast("int") + 1,
+            n - (n / 2).cast("int"),
+        ).alias("h2"),
+    )
+    u = halves.select(
+        "doc_id", F.explode("h1").alias("tok"), F.lit(1).alias("half")
+    ).unionByName(
+        halves.select(
+            "doc_id", F.explode("h2").alias("tok"), F.lit(2).alias("half")
+        )
+    )
+    cnt = u.groupBy("doc_id", "half", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = cnt.groupBy("doc_id", "half").agg(F.sum("c").alias("n"))
+    p = (
+        cnt.join(tot, ["doc_id", "half"])
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.max(
+                F.when(F.col("half") == 1, F.col("c") / F.col("n"))
+            ).alias("p1"),
+            F.max(
+                F.when(F.col("half") == 2, F.col("c") / F.col("n"))
+            ).alias("p2"),
+        )
+    )
+    p1 = F.coalesce("p1", F.lit(0.0))
+    p2 = F.coalesce("p2", F.lit(0.0))
+    m = (p1 + p2) / 2
+    term1 = F.when(p1 > 0, 0.5 * p1 * F.log(p1 / m)).otherwise(0.0)
+    term2 = F.when(p2 > 0, 0.5 * p2 * F.log(p2 / m)).otherwise(0.0)
+    js = p.groupBy("doc_id").agg(
+        (F.sum(term1) + F.sum(term2)).alias("jsd_raw")
+    )
+    # round BEFORE ranking: near-tied raw floats differ in engine
+    # summation order, so the rounded value + doc_id is the total order
+    return (
+        js.select("doc_id", ratio(F.col("jsd_raw")).alias("jsd"))
+        .orderBy(F.col("jsd").desc(), "doc_id")
+        .limit(DRIFT_TOP)
+    )
+
+
+tx_intra_doc_drift.__doc__ = tx_intra_doc_drift.__doc__.format(k=DRIFT_TOP)
+
+
+@query("ev_rolling_origin_cv")  # fold loop on the day series → rows-only
+def ev_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin cross-validation of the seasonal-naive-7
+    forecaster on daily event counts: {f} folds, each training on
+    everything before its origin and scoring the next {h} days — the
+    time-respecting CV that random folds (which leak the future into
+    training) cannot replace. Emits per-fold MAE plus the pooled
+    mean and spread, the honest generalization estimate.
+
+    Scale: one rollup; the folds are O(days) driver arithmetic
+    (calendar-bounded precedent)."""
+    ev = cat(spark, sf_dir)["events"]
+    rows = (
+        ev.groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .orderBy("day")
+        .collect()
+    )
+    ys = [float(r["y"]) for r in rows]
+    n = len(ys)
+    out = []
+    maes = []
+    for fold in range(RO_FOLDS):
+        origin = n - (RO_FOLDS - fold) * RO_H
+        if origin < 8:
+            continue
+        train, test = ys[:origin], ys[origin : origin + RO_H]
+        fc = [
+            train[-7 + (j % 7)] if len(train) >= 7 else train[-1]
+            for j in range(len(test))
+        ]
+        mae = sum(abs(f - a) for f, a in zip(fc, test)) / len(test)
+        maes.append(mae)
+        out.append((fold + 1, origin, round(mae, 4)))
+    mean_mae = sum(maes) / len(maes)
+    spread = max(maes) - min(maes)
+    out.append((0, n, round(mean_mae, 4)))  # fold 0 = pooled summary
+    return spark.createDataFrame(
+        out, "fold long, origin_day long, mae double"
+    ).withColumn(
+        "mae_spread", F.lit(round(spread, 4))
+    )
+
+
+ev_rolling_origin_cv.__doc__ = ev_rolling_origin_cv.__doc__.format(
+    f=RO_FOLDS, h=RO_H
+)
