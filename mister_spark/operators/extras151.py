@@ -1,0 +1,220 @@
+"""Wave 151: clustered-write auditing, quantization sweeps, and
+multi-ranker concordance.
+
+io_clustered_write_audit measures what sortWithinPartitions before a
+write buys: per-file key-range span under sorted vs unsorted layout
+— tight non-overlapping spans are what make zone-map pruning
+actually fire; ml_quantization_sweep prices embedding quantization
+at 8/4/2 bits (cosine distortion and top-10 neighbor overlap vs
+float) — the memory-vs-recall trade measured, not guessed;
+stat_kendall_w is Kendall's coefficient of concordance across THREE
+document rankers — the k-ranker generalization of rank correlation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mister_spark.functions.ranks import global_rank
+from mister_spark.functions.text import DUCK_TOKENS, tokens
+from mister_spark.operators.common import cat, ratio
+from mister_spark.registry import query
+
+QZ_BITS = (8, 4, 2)
+QZ_TOPK = 10
+
+
+@query("io_clustered_write_audit")  # layout QA → rows-only
+def io_clustered_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-write audit: write orders 4-way (a) hash-partitioned
+    unsorted and (b) range-partitioned + sortWithinPartitions on
+    custkey, then measure from the footers the mean per-file key-span
+    fraction and the file-overlap count. Sorted/clustered files carry
+    tight disjoint ranges — the precondition for min/max zone-map
+    skipping; unsorted files all span everything and prune nothing.
+
+    Scale: two writes; the audit is footer metadata only."""
+    import pyarrow.parquet as pq
+
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+    )
+    base = os.path.join(repo_tmp, "clustered_audit")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = cat(spark, sf_dir)["orders"]
+    (
+        orders.repartition(4, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "unsorted"))
+    )
+    (
+        orders.repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "sorted"))
+    )
+    lo_g, hi_g = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).collect()[0]
+    span_g = float(hi_g - lo_g) or 1.0
+
+    def audit(d):
+        spans = []
+        ranges = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == "o_custkey" and col.statistics:
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                spans.append((hi - lo) / span_g)
+                ranges.append((lo, hi))
+        overlaps = 0
+        for i in range(len(ranges)):
+            for j in range(i + 1, len(ranges)):
+                a, b = ranges[i], ranges[j]
+                if a[0] <= b[1] and b[0] <= a[1]:
+                    overlaps += 1
+        return len(spans), sum(spans) / len(spans), overlaps
+
+    nf_u, span_u, ov_u = audit(os.path.join(base, "unsorted"))
+    nf_s, span_s, ov_s = audit(os.path.join(base, "sorted"))
+    rows = [
+        ("unsorted", nf_u, round(span_u, 4), ov_u),
+        ("sorted", nf_s, round(span_s, 4), ov_s),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "layout string, files long, mean_span_fraction double, "
+        "overlapping_pairs long",
+    )
+
+
+@query("ml_quantization_sweep")  # accuracy-vs-bits → rows-only
+def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quantization sweep: uniform symmetric quantization
+    at {b} bits, measuring (a) mean cosine distortion vs float and
+    (b) top-{k} nearest-neighbor overlap for a probe query — the
+    memory-vs-recall curve that decides a vector index's storage
+    format. 8-bit is usually free; THIS measures where 4- and 2-bit
+    stop being.
+
+    Scale: quantization and scoring are one Arrow pass per bit
+    width; only the probe's top-{k} lists are collected."""
+    import numpy as np
+
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = emb.collect()  # fixture-sized; bucketed candidates at scale
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    q = Xn[0]
+    exact_sims = Xn @ q
+    exact_top = set(
+        ids[np.argsort(-exact_sims)][1 : QZ_TOPK + 1].tolist()
+    )
+    out = []
+    for bits in QZ_BITS:
+        levels = 2 ** (bits - 1) - 1
+        scale = np.abs(Xn).max() / levels
+        Q = np.clip(np.round(Xn / scale), -levels - 1, levels) * scale
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        sims = Qn @ (Q[0] / max(np.linalg.norm(Q[0]), 1e-12))
+        top = set(ids[np.argsort(-sims)][1 : QZ_TOPK + 1].tolist())
+        distortion = float(np.mean(np.abs(sims - exact_sims)))
+        out.append(
+            (
+                bits,
+                round(distortion, 6),
+                round(len(top & exact_top) / QZ_TOPK, 4),
+            )
+        )
+    return spark.createDataFrame(
+        out, "bits long, mean_cosine_distortion double, top10_overlap double"
+    )
+
+
+ml_quantization_sweep.__doc__ = ml_quantization_sweep.__doc__.format(
+    b=QZ_BITS, k=QZ_TOPK
+)
+
+
+@query(
+    "stat_kendall_w",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      CAST(len({DUCK_TOKENS}) AS BIGINT) AS tok_n,
+                      CAST(len(list_distinct({DUCK_TOKENS})) AS DOUBLE)
+                        / NULLIF(len({DUCK_TOKENS}), 0) AS dr
+               FROM documents WHERE len({DUCK_TOKENS}) > 0),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r1,
+                 ROW_NUMBER() OVER (ORDER BY tok_n, doc_id) AS r2,
+                 ROW_NUMBER() OVER (ORDER BY dr, doc_id) AS r3
+          FROM t),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(CAST(r1 + r2 + r3 AS DOUBLE)
+                     * (r1 + r2 + r3)) AS ssum,
+                 SUM(CAST(r1 + r2 + r3 AS DOUBLE)) AS stot
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS docs,
+           FLOOR((12 * (ssum - stot * stot / n))
+                 / (9 * (n * n * n - n)) * 10000 + 0.5) / 10000
+             AS kendall_w
+    FROM s
+    """,
+)
+def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance across THREE document rankers (chars,
+    tokens, distinct ratio): W = 12·S/(k²(n³−n)) over rank-sum
+    deviations — 1 means the rankers agree perfectly, 0 means no
+    agreement beyond chance. The panel version of rank correlation:
+    one number for 'do our quality signals even point the same way'.
+
+    Scale: each axis is a two-phase `global_rank` (tie-broken by
+    doc_id for a total order); the S statistic is one aggregate of
+    exact integer rank sums."""
+    toks = tokens()
+    t = (
+        cat(spark, sf_dir)["documents"]
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(toks).cast("long").alias("tok_n"),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+            ).alias("dr"),
+        )
+        .filter(F.col("tok_n") > 0)
+        .localCheckpoint()
+    )
+    r1 = global_rank(t, "n_chars", "doc_id", rank_col="r1")
+    r2 = global_rank(r1.localCheckpoint(), "tok_n", "doc_id", rank_col="r2")
+    r3 = global_rank(r2.localCheckpoint(), "dr", "doc_id", rank_col="r3")
+    rsum = (F.col("r1") + F.col("r2") + F.col("r3")).cast("double")
+    s = r3.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(rsum * rsum).alias("ssum"),
+        F.sum(rsum).alias("stot"),
+    )
+    n = F.col("n")
+    w = (12 * (F.col("ssum") - F.col("stot") * F.col("stot") / n)) / (
+        9 * (n * n * n - n)
+    )
+    return s.select(
+        n.cast("bigint").alias("docs"), ratio(w).alias("kendall_w")
+    )
