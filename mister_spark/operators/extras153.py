@@ -1,0 +1,143 @@
+"""Wave 153: forecastability scoring and fairness threshold solving.
+
+ev_forecastability condenses the daily series' spectrum into one
+number — 1 minus normalized spectral entropy — high when energy
+concentrates in few frequencies (forecastable rhythm), near zero for
+white noise; the triage that says which series DESERVE a model
+before anyone fits one; ml_fair_thresholds solves per-group score
+thresholds that equalize true-positive rates across groups — the
+post-processing remediation for the gaps ml_fairness_audit measures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import cat, ratio
+from mister_spark.registry import query
+
+FAIR_TPR_TARGET = 0.8
+
+
+@query("ev_forecastability")  # spectral entropy → rows-only
+def ev_forecastability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability score per event type: 1 − H(power)/ln(K) over
+    the daily-count series' periodogram (driver DFT on the
+    calendar-bounded series). A score near 1 means the series is a
+    few clean rhythms (model it); near 0 means white noise (don't —
+    report the mean and stop). The portfolio triage that should
+    precede every forecasting project.
+
+    Scale: one daily rollup per type; the DFT is O(days²) driver
+    arithmetic on the calendar-bounded series (days ≤ thousands —
+    trivial; FFT if it ever mattered)."""
+    import math
+
+    ev = cat(spark, sf_dir)["events"]
+    rows = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .collect()
+    )
+    by_type: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[int(r["day"])] = float(
+            r["y"]
+        )
+    out = []
+    for etype in sorted(by_type):
+        series_map = by_type[etype]
+        days = sorted(series_map)
+        ys = [series_map[d] for d in days]
+        n = len(ys)
+        mean = sum(ys) / n
+        xs = [y - mean for y in ys]
+        powers = []
+        for k in range(1, n // 2 + 1):
+            re = sum(
+                x * math.cos(2 * math.pi * k * i / n)
+                for i, x in enumerate(xs)
+            )
+            im = sum(
+                x * math.sin(2 * math.pi * k * i / n)
+                for i, x in enumerate(xs)
+            )
+            powers.append(re * re + im * im)
+        tot = sum(powers) or 1.0
+        ps = [p / tot for p in powers if p > 0]
+        h = -sum(p * math.log(p) for p in ps)
+        hmax = math.log(len(powers)) if len(powers) > 1 else 1.0
+        score = 1.0 - h / hmax
+        peak_k = max(range(len(powers)), key=lambda i: powers[i]) + 1
+        out.append(
+            (
+                etype,
+                n,
+                round(score, 4),
+                round(n / peak_k, 2),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, days long, forecastability double, "
+        "dominant_period_days double",
+    )
+
+
+@query("ml_fair_thresholds")  # per-group solving → rows-only
+def ml_fair_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-opportunity threshold solver: for each group (label
+    parity stands in for a protected attribute; score = sigmoid of
+    embedding dim 1), find the score threshold whose group TPR hits
+    {t:.0%} — the post-processing fix for unequal TPRs at a shared
+    threshold. Reports each group's solved threshold, achieved TPR,
+    and the resulting FPR (the quantity that MOVES when you equalize
+    TPR — no free lunch, and this row shows the price).
+
+    Scale: per-group score quantiles come from grouped exact
+    percentiles on bounded groups; the audit joins are broadcast."""
+    import numpy as np
+
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        (1.0 / (1.0 + F.exp(-F.col("embedding")[0].cast("double")))).alias(
+            "p"
+        ),
+        (F.col("label") % 2).alias("grp"),
+        (F.floor(F.col("label") / 2) % 2).alias("y"),
+    ).localCheckpoint()
+    out = []
+    for g in (0, 1):
+        sub = emb.filter(F.col("grp") == g)
+        pos = [r["p"] for r in sub.filter(F.col("y") == 1).collect()]
+        neg = [r["p"] for r in sub.filter(F.col("y") == 0).collect()]
+        pos.sort()
+        # threshold at the (1 - target) quantile of positive scores
+        idx = max(0, min(len(pos) - 1, int((1 - FAIR_TPR_TARGET) * len(pos))))
+        thr = pos[idx]
+        tpr = sum(1 for p in pos if p >= thr) / len(pos)
+        fpr = sum(1 for p in neg if p >= thr) / len(neg) if neg else 0.0
+        out.append(
+            (
+                int(g),
+                round(float(thr), 4),
+                round(tpr, 4),
+                round(fpr, 4),
+                len(pos),
+                len(neg),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "grp long, threshold double, achieved_tpr double, fpr double, "
+        "positives long, negatives long",
+    )
+
+
+ml_fair_thresholds.__doc__ = ml_fair_thresholds.__doc__.format(
+    t=FAIR_TPR_TARGET
+)
