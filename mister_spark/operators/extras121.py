@@ -23,7 +23,6 @@ from mister_spark.operators.extras47 import _copurchase_edges
 from mister_spark.registry import query
 
 BO_W = 3  # boundary window (tokens; small vocab => short joins realistic)
-CORE_MAX = 12
 TARGET_PART_BYTES = 128 * 1024 * 1024
 
 
@@ -130,19 +129,24 @@ def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each peel round is a degree aggregate + an anti-join;
     k levels share the surviving-edge frame with localCheckpoint
-    lineage cuts. Rounds are bounded by the degeneracy, which the
-    basket cap keeps small."""
+    lineage cuts, and the loop runs until the k-core is EMPTY (no
+    fixed cap), so rounds are bounded by the true degeneracy. Node
+    core assignments never leave the cluster: the nodes peeled away
+    between level k-1 and level k are captured as a per-level
+    DataFrame (anti-join of the two survivor sets) and the histogram
+    is a distributed union + groupBy — driver state is O(degeneracy)
+    DataFrame handles, not O(|nodes|)."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     ).localCheckpoint()
-    core_of: dict[int, int] = {}
     live = sym
-    all_nodes = [r["u"] for r in sym.select("u").distinct().collect()]
-    for node in all_nodes:
-        core_of[node] = 0
+    prev_nodes = (
+        sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    )
+    levels: list[DataFrame] = []  # (node, core) per peel level
     k = 1
-    while k <= CORE_MAX:
+    while True:
         # peel to the k-core
         changed = True
         while changed:
@@ -157,17 +161,27 @@ def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(weak.withColumnRenamed("u", "v"), "v", "left_anti")
                 .localCheckpoint()
             )
-        survivors = [r["u"] for r in live.select("u").distinct().collect()]
-        if not survivors:
+        surv = (
+            live.select(F.col("u").alias("node")).distinct().localCheckpoint()
+        )
+        # nodes that vanished while peeling to the k-core peaked at k-1
+        levels.append(
+            prev_nodes.join(surv, "node", "left_anti")
+            .withColumn("core", F.lit(k - 1).cast("long"))
+        )
+        if surv.limit(1).count() == 0:
             break
-        for node in survivors:
-            core_of[node] = k
+        prev_nodes = surv
         k += 1
-    hist: dict[int, int] = {}
-    for c in core_of.values():
-        hist[c] = hist.get(c, 0) + 1
-    rows = [(c, n) for c, n in sorted(hist.items())]
-    return spark.createDataFrame(rows, "core long, nodes long")
+    assigned = levels[0]
+    for lvl in levels[1:]:
+        assigned = assigned.unionByName(lvl)
+    return (
+        assigned.groupBy("core")
+        .agg(F.count(F.lit(1)).alias("nodes"))
+        .orderBy("core")
+        .select(F.col("core").cast("long"), F.col("nodes").cast("long"))
+    )
 
 
 @query("io_partition_advisor")  # sizing advisory → rows-only

@@ -23,9 +23,8 @@ NW_PER = 3
 
 _DUCK_BG = f"""
     tk AS (SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents),
-    bg AS (SELECT tk.doc_id, tk.ts[s.i] AS v, tk.ts[s.i + 1] AS w
-           FROM tk, (SELECT UNNEST(generate_series(1, 200)) AS i) s
-           WHERE s.i + 1 <= len(tk.ts))
+    bg AS (SELECT doc_id, UNNEST(ts[1:len(ts) - 1]) AS v,
+                  UNNEST(ts[2:len(ts)]) AS w FROM tk)
 """
 
 
