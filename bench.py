@@ -87,6 +87,97 @@ HEADLINE = [
     "stat_logrank_test",
 ]
 
+# The 28 queries pinned in BASELINE.md (the r01 set): their sum is the
+# one number the 2x regression gate compares across rounds, emitted as
+# "baseline_subset_total" so the gate needs no per-round re-derivation.
+BASELINE_SUBSET = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q10_returned_items", "q13_order_distribution",
+    "q18_large_orders", "w_topn_per_group", "ev_sessionize", "ev_asof_join",
+    "ev_range_join", "dd_exact", "dd_minhash_lsh", "dd_embedding_cosine",
+    "sim_topk_join", "sim_rp_lsh", "tx_quality", "tx_repetition",
+    "tx_gopher_quality", "mr_wordcount", "mr_pagerank", "q9_profit_proxy",
+    "q21_blocking_supplier", "tx_tfidf", "ds_pack", "ds_contamination",
+    "scd2_upsert", "ds_curate",
+]
+
+# Scale-representative paths measured across scale factors by
+# `python bench.py --scaling` (writes BENCH_scaling.json): the ops whose
+# 100 TB story depends on the plan shape (LSH banding, IVF probe,
+# two-phase global ranks, interval overlap grids, curation pipelines).
+SCALING_QUERIES = [
+    "dd_minhash_lsh",
+    "dd_clusters",
+    "sim_ivf",
+    "ds_curate",
+    "stat_kruskal_wallis",
+    "ev_concurrency",
+    "stat_spearman",
+    "stat_ks_test",
+    "ev_rfm",
+    "tx_vocab_growth",
+    "j_interval_overlap",
+    "mr_wordcount",
+]
+
+
+def _timed(fn, spark, sf_dir: str) -> float:
+    """Warm run (plan + IO + page cache), then best-of-two timed runs."""
+    fn(spark, sf_dir).count()
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
+def scaling_main() -> None:
+    """Measure SCALING_QUERIES at every available SF and publish
+    time-vs-SF slopes (BENCH_scaling.json).
+
+    The headline number per query is the log-log slope over the two
+    LARGEST scale factors (the pair where data cost dominates Spark's
+    fixed per-query overhead): slope = log(t_hi/t_lo) / log(sf_hi/
+    sf_lo). Near-linear scaling means slope <= ~1.2; sublinear slopes
+    are expected while fixed overhead still dominates at these SFs.
+    """
+    import math
+
+    root = os.environ.get("SPARK_GRAFT_SF_ROOT", "/root/testdata")
+    sfs = sorted(
+        float(d[2:]) for d in os.listdir(root)
+        if d.startswith("sf") and os.path.isdir(os.path.join(root, d))
+    )
+    registry.load_all()
+    spark = get_session("mister_spark_bench_scaling")
+    out: dict[str, dict] = {}
+    for name in SCALING_QUERIES:
+        if name not in registry.QUERIES:
+            continue
+        fn = registry.QUERIES[name]
+        times = {}
+        for sf in sfs:
+            sf_dir = os.path.join(root, f"sf{sf:g}")
+            times[f"sf{sf:g}"] = _timed(fn, spark, sf_dir)
+        lo, hi = sfs[-2], sfs[-1]
+        slope = math.log(
+            max(times[f"sf{hi:g}"], 1e-3) / max(times[f"sf{lo:g}"], 1e-3)
+        ) / math.log(hi / lo)
+        out[name] = {"times_sec": times, "loglog_slope_top2": round(slope, 3)}
+    doc = {
+        "_meta": {
+            "sfs": sfs,
+            "slope_def": "log(t_hi/t_lo)/log(sf_hi/sf_lo) over the two largest SFs; <=1.2 = near-linear",
+            "method": "per SF: warm run then best-of-two timed runs, local[*]",
+        },
+        "queries": out,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,6 +232,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "writes": writes,
+                "baseline_subset_total": round(
+                    sum(times[n] for n in BASELINE_SUBSET if n in times), 3
+                ),
                 "sf": sf,
             }
         )
@@ -148,4 +242,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--scaling" in sys.argv[1:]:
+        scaling_main()
+    else:
+        main()

@@ -1,5 +1,6 @@
 from mister_spark.plans.inspect import (
     count_shuffles,
+    count_unpartitioned_windows,
     formatted_plan,
     has_broadcast_join,
     physical_plan,
@@ -8,6 +9,7 @@ from mister_spark.plans.inspect import (
 
 __all__ = [
     "count_shuffles",
+    "count_unpartitioned_windows",
     "formatted_plan",
     "has_broadcast_join",
     "physical_plan",

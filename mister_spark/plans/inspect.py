@@ -39,3 +39,26 @@ def count_shuffles(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
         df
     ).count("Exchange rangepartitioning")
+
+
+def count_unpartitioned_windows(df: DataFrame) -> int:
+    """Number of Window operators in the FINAL physical plan with an
+    empty PARTITION BY — the single-task global-sort shape that melts at
+    scale (WindowExec warns 'Moving all data to a single partition').
+
+    A physical Window node prints three top-level bracket groups when
+    partitioned (`Window [exprs], [partSpec], [orderSpec]`) and only two
+    when the partition spec is empty; brackets never nest inside the
+    groups (expressions use parens), so splitting on `], [` is exact.
+    """
+    plan = physical_plan(df)
+    if "== Physical Plan ==" in plan:
+        plan = plan.rsplit("== Physical Plan ==", 1)[1]
+    n = 0
+    for line in plan.splitlines():
+        body = line.split("Window [", 1)
+        if len(body) != 2:
+            continue
+        if len(("[" + body[1]).split("], [")) == 2:
+            n += 1
+    return n

@@ -1,0 +1,59 @@
+"""Gate: the committed scaling artifact must show near-linear growth.
+
+BENCH_scaling.json (written by `python bench.py --scaling`) records the
+scale-representative paths at every available SF plus their log-log
+slope over the two largest SFs. Near-linear means slope <= 1.25 (1.0 =
+perfectly linear; sublinear is expected while Spark's fixed per-query
+overhead dominates at these SFs; super-linear past ~1.25 is the
+signature of a quadratic candidate explosion or a single-task sort).
+No-Spark test — it audits the committed artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(ROOT, "BENCH_scaling.json")
+
+SLOPE_CEILING = 1.25
+
+
+def _load():
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("BENCH_scaling.json not generated yet")
+    with open(ARTIFACT) as f:
+        return json.load(f)
+
+
+def test_scaling_artifact_has_two_sfs_per_query():
+    doc = _load()
+    assert len(doc["_meta"]["sfs"]) >= 2
+    for name, rec in doc["queries"].items():
+        assert len(rec["times_sec"]) >= 2, name
+
+
+def test_scaling_slopes_near_linear():
+    doc = _load()
+    bad = {
+        name: rec["loglog_slope_top2"]
+        for name, rec in doc["queries"].items()
+        if rec["loglog_slope_top2"] > SLOPE_CEILING
+    }
+    assert not bad, f"super-linear time-vs-SF growth: {bad}"
+
+
+def test_scaling_covers_the_verdict_paths():
+    doc = _load()
+    for name in (
+        "dd_minhash_lsh",
+        "dd_clusters",
+        "sim_ivf",
+        "ds_curate",
+        "stat_kruskal_wallis",
+        "ev_concurrency",
+    ):
+        assert name in doc["queries"], name
