@@ -1,0 +1,315 @@
+"""Iceberg-spec metadata export/read for SnapshotTable.
+
+Makes the home-grown snapshot table portable: `export_iceberg` walks a
+`SnapshotTable`'s version history and writes an Apache Iceberg table
+metadata tree (format-version 2, per the public Iceberg table spec at
+https://iceberg.apache.org/spec/) next to the existing parquet data —
+no data is copied, the Iceberg tree references the snapshot table's
+immutable data files in place. `read_iceberg` then resolves any
+snapshot through that tree (current or by snapshot-id = time travel)
+back to a DataFrame.
+
+Spec-conformance notes, stated loudly:
+
+- ``metadata/v{N}.metadata.json`` and ``metadata/version-hint.text``
+  follow the spec's real JSON layout (table metadata IS JSON in
+  Iceberg; the version-hint file is the HadoopTables convention):
+  schemas with field-ids, partition-specs, sort-orders, the snapshot
+  list with parent links / sequence numbers / operation summaries, and
+  the snapshot-log.
+- Manifest lists and manifest files carry the spec's exact field names
+  (``manifest_path``, ``added_snapshot_id``, ``data_file.record_count``
+  …) but are serialized as JSON, NOT Avro: the sandbox has no Avro
+  writer (no spark-avro jar, no fastavro). A real Iceberg reader needs
+  Avro manifests, so files are suffixed ``.avro.json`` to make the
+  substitution impossible to miss; swapping the serializer is the only
+  change needed when an Avro writer is available.
+
+Schema field-ids are assigned in column order (1..N, nested element
+ids after all top-level ids) — the initial-assignment rule the spec
+prescribes for fresh tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from mister_spark.sources.snapshots import SnapshotTable
+
+_PRIMITIVES: dict[Any, str] = {}
+
+
+def _arrow_to_iceberg(t: pa.DataType, next_id: list[int]) -> Any:
+    """Map an Arrow type to the Iceberg JSON type representation."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision}, {t.scale})"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _arrow_to_iceberg(t.value_type, next_id),
+            "element-required": False,
+        }
+    if pa.types.is_struct(t):
+        fields = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _arrow_to_iceberg(f.type, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise TypeError(f"no Iceberg mapping for Arrow type {t}")
+
+
+def _iceberg_schema(arrow_schema: pa.Schema) -> dict:
+    """Iceberg struct schema with initial field-id assignment: ids
+    1..N for top-level columns, nested ids allocated afterwards."""
+    next_id = [len(arrow_schema) + 1]
+    fields = []
+    for i, f in enumerate(arrow_schema):
+        fields.append(
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _arrow_to_iceberg(f.type, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+        "_last_column_id": next_id[0] - 1,
+    }
+
+
+def _parquet_files(dir_path: str) -> list[str]:
+    return sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.endswith(".parquet")
+    )
+
+
+def export_iceberg(table: SnapshotTable, dest: str) -> str:
+    """Write an Iceberg v2 metadata tree for every version of `table`
+    under ``dest/metadata`` (data files referenced in place, absolute
+    paths — the spec permits fully-qualified file_path values).
+    Returns the path of the newest metadata.json.
+
+    One Iceberg snapshot per SnapshotTable version; snapshot-id =
+    version + 1 (ids must be non-zero-ish distinct int64s; the +1
+    keeps id 0 out of circulation), parent links follow the manifest
+    `parent` chain, sequence-number = version + 1 as the spec's
+    monotonic commit ordering.
+    """
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    versions = table.versions()
+    if not versions:
+        raise ValueError("empty table: nothing to export")
+
+    # schema from the newest version's first data file
+    head_entries = table._load(versions[-1])["entries"]
+    first_dir = os.path.join(table.path, head_entries[0]["dir"])
+    arrow_schema = pq.read_schema(_parquet_files(first_dir)[0])
+    schema = _iceberg_schema(arrow_schema)
+    last_column_id = schema.pop("_last_column_id")
+
+    # one manifest file per distinct data dir (shared across snapshots,
+    # exactly how Iceberg reuses manifests between commits)
+    manifest_for_dir: dict[str, dict] = {}
+
+    def manifest(rel_dir: str, abs_dir: str, snapshot_id: int) -> dict:
+        if rel_dir in manifest_for_dir:
+            return manifest_for_dir[rel_dir]
+        entries = []
+        n_rows = 0
+        for fp in _parquet_files(abs_dir):
+            md = pq.read_metadata(fp)
+            n_rows += md.num_rows
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": snapshot_id,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": os.path.abspath(fp),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(fp),
+                    },
+                }
+            )
+        name = f"manifest-{rel_dir.replace('/', '-')}.avro.json"
+        path = os.path.join(meta_dir, name)
+        with open(path, "w") as f:
+            json.dump({"entries": entries}, f, indent=1)
+        rec = {
+            "manifest_path": os.path.abspath(path),
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": snapshot_id,
+            "min_sequence_number": snapshot_id,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        manifest_for_dir[rel_dir] = rec
+        return rec
+
+    table_uuid = str(uuid.uuid4())
+    snapshots = []
+    snapshot_log = []
+    _OPS = {
+        "create": "append",
+        "append": "append",
+        "overwrite": "overwrite",
+        "merge": "overwrite",
+        "delete_range": "delete",
+        "clone": "replace",
+    }
+    for v in versions:
+        m = table._load(v)
+        sid = v + 1
+        ts_ms = int(os.path.getmtime(table._manifest_path(v)) * 1000)
+        mlist = []
+        total_rows = 0
+        total_files = 0
+        for e in m["entries"]:
+            abs_dir = os.path.join(table.path, e["dir"])
+            rec = manifest(e["dir"], abs_dir, sid)
+            mlist.append(rec)
+            total_rows += rec["added_rows_count"]
+            total_files += rec["added_files_count"]
+        mlist_name = f"snap-{sid}-manifest-list.avro.json"
+        mlist_path = os.path.join(meta_dir, mlist_name)
+        with open(mlist_path, "w") as f:
+            json.dump(mlist, f, indent=1)
+        parent = m.get("parent")
+        snapshots.append(
+            {
+                "snapshot-id": sid,
+                **(
+                    {"parent-snapshot-id": parent + 1}
+                    if parent is not None
+                    else {}
+                ),
+                "sequence-number": sid,
+                "timestamp-ms": ts_ms,
+                "manifest-list": os.path.abspath(mlist_path),
+                "summary": {
+                    "operation": _OPS.get(m.get("op", "append"), "overwrite"),
+                    "total-records": str(total_rows),
+                    "total-data-files": str(total_files),
+                },
+                "schema-id": 0,
+            }
+        )
+        snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": sid})
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": os.path.abspath(dest),
+        "last-sequence-number": versions[-1] + 1,
+        "last-updated-ms": snapshot_log[-1]["timestamp-ms"],
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": versions[-1] + 1,
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": [],
+    }
+    meta_version = 1
+    meta_path = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    while os.path.exists(meta_path):
+        meta_version += 1
+        meta_path = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(meta_version))
+    return meta_path
+
+
+def current_metadata(dest: str) -> dict:
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{hint}.metadata.json")) as f:
+        return json.load(f)
+
+
+def read_iceberg(
+    spark: SparkSession, dest: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Resolve a snapshot through the Iceberg metadata tree — current
+    by default, or any historical ``snapshot_id`` (time travel) — down
+    to its data files and return them as a DataFrame. Raises on an
+    unknown snapshot-id, mirroring Iceberg's behavior for expired
+    snapshots."""
+    md = current_metadata(dest)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(
+        (s for s in md["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {sid} not found (expired or never committed)")
+    with open(snap["manifest-list"]) as f:
+        mlist = json.load(f)
+    paths = []
+    for rec in mlist:
+        with open(rec["manifest_path"]) as f:
+            for entry in json.load(f)["entries"]:
+                if entry["status"] != 2:  # not DELETED
+                    paths.append(entry["data_file"]["file_path"])
+    return spark.read.parquet(*paths)
