@@ -10,7 +10,10 @@ and writes the results in the driver's record format, so the full
 coverage is auditable alongside the sampled artifact.
 
 Usage: python tools/correctness_local.py [out_path] (env ORACLE_SF to
-override the scale dir).
+override the scale dir). With --only=key1,key2 only those keys are
+re-run and their records merged into the existing artifact (for
+appending a new wave without a full 686-key sweep); the _meta block is
+recomputed over the merged set.
 """
 
 from __future__ import annotations
@@ -28,12 +31,24 @@ from tests.oracle_util import compare, run_oracle
 
 def main() -> None:
     sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_local.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    out_path = args[0] if args else "CORRECTNESS_local.json"
     registry.load_all()
     spark = get_session("correctness_local")
     results: dict[str, dict] = {}
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior.pop("_meta", None)
+        # keep only records for keys still in the registry
+        results = {k: v for k, v in prior.items() if k in registry.QUERIES}
     t0 = time.time()
-    for name in sorted(registry.QUERIES):
+    todo = sorted(registry.QUERIES) if only is None else sorted(only)
+    for name in todo:
         fn = registry.QUERIES[name]
         rec = {
             "rows_match": None,
