@@ -572,3 +572,197 @@ def test_wave83plus_two_phase_plans(spark):
     for name, marker in markers.items():
         plan = physical_plan(registry.QUERIES[name](spark, SF))
         assert marker in plan, (name, marker)
+
+
+def test_late_wave_plan_pins(spark):
+    """Waves 118-168, pinned (generated by tools/gen_plan_ceilings.py):
+    per key, (max shuffles, max unpartitioned windows) in the final
+    physical plan at sf0.001. The window numbers were audited key by
+    key: every nonzero entry rides a BOUNDED frame (|vocab|, |days|,
+    k interim looks, or the |distinct values| collapse feeding
+    global_rank/bucketed_cumsum two-phase machinery — see each op's
+    docstring), never a data-sized stream. A refactor that adds an
+    exchange or a new single-task window fails the pin."""
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        # wave 118
+        "sql_from_csv_roundtrip": (1, 0),
+        "stat_group_sequential": (1, 1),
+        "stat_maxstat_cutpoint": (0, 0),
+        # wave 119
+        "ev_rolling_origin_cv": (0, 0),
+        "graph_functional_cycles": (0, 0),
+        "tx_intra_doc_drift": (5, 0),
+        # wave 120
+        "ds_corpus_health_scorecard": (0, 0),
+        "ml_gbm_stumps": (0, 0),
+        "sql_try_math": (0, 0),
+        # wave 121
+        "dd_boundary_overlap": (1, 0),
+        "graph_core_decomposition": (10, 0),
+        "io_partition_advisor": (0, 0),
+        # wave 122
+        "sql_identifier_clause": (2, 0),
+        "stat_wilcoxon_signed_rank": (6, 2),
+        "tx_ngram_coverage": (2, 1),
+        # wave 123
+        "io_encoding_audit": (0, 0),
+        "ml_covariate_shift_weights": (0, 0),
+        "stat_mantel_haenszel": (1, 0),
+        # wave 124
+        "graph_link_prediction_eval": (0, 0),
+        "sketch_frequent_directions": (0, 0),
+        "tx_vocab_stability": (1, 2),
+        # wave 125
+        "ds_quality_length_mi": (3, 0),
+        "ev_erlang_c": (0, 0),
+        "io_nested_pruning": (0, 0),
+        # wave 126
+        "ev_catalog_turnover": (0, 0),
+        "ml_c2st": (0, 0),
+        "stat_ratio_metric_se": (1, 0),
+        # wave 127
+        "graph_tie_strength": (6, 0),
+        "io_retention_plan": (0, 0),
+        "stat_simpson_scan": (0, 0),
+        # wave 128
+        "ds_loo_ablation_plan": (2, 0),
+        "mr_partition_balance": (2, 0),
+        "stat_meta_analysis": (0, 0),
+        # wave 129
+        "dd_minhash_error_curve": (0, 0),
+        "ml_label_spreading": (0, 0),
+        "stat_prediction_interval": (0, 0),
+        # wave 130
+        "ev_sequential_patterns": (3, 0),
+        "stat_fisher_combined": (4, 0),
+        "tx_degenerate_docs": (0, 0),
+        # wave 131
+        "ev_velocity_rule": (3, 0),
+        "ml_woe_iv": (0, 0),
+        "tx_source_similarity": (1, 0),
+        # wave 132
+        "ds_review_sample": (1, 0),
+        "io_scan_cost_model": (0, 0),
+        "stat_iv_wald": (0, 0),
+        # wave 133
+        "ml_label_model": (0, 0),
+        "sql_map_ops": (2, 0),
+        "stat_control_variates": (0, 0),
+        # wave 134
+        "ds_rebalance_plan": (0, 0),
+        "ml_embedding_isotropy": (0, 0),
+        "stat_variance_components": (1, 0),
+        # wave 135
+        "ev_ab_duration_plan": (1, 0),
+        "graph_edge_turnover": (0, 0),
+        "ml_recsys_coverage": (0, 0),
+        # wave 136
+        "ev_stream_health": (3, 0),
+        "io_commit_protocol_audit": (0, 0),
+        "ml_cka": (0, 0),
+        # wave 137
+        "graph_clique_heuristic": (0, 0),
+        "io_determinism_audit": (0, 0),
+        "stat_growth_slopes": (1, 0),
+        # wave 138
+        "ds_pack_boundary_waste": (1, 0),
+        "stat_bic_bayes_factor": (0, 0),
+        # wave 139
+        "ds_randomized_response": (0, 0),
+        "sql_skyline_2d": (1, 1),
+        # wave 140
+        "ml_rbo_topk": (0, 0),
+        "stat_holm_correction": (0, 2),
+        # wave 141
+        "ev_time_in_state": (1, 0),
+        "ml_importance_weighted_eval": (0, 0),
+        # wave 142
+        "ev_markov_eval": (2, 0),
+        "graph_small_world": (0, 0),
+        # wave 143
+        "io_cache_storage_audit": (0, 0),
+        "sql_regexp_suite": (0, 0),
+        # wave 144
+        "mr_partition_strategies": (0, 0),
+        "sql_datetime_suite": (1, 0),
+        # wave 145
+        "io_column_type_advisor": (0, 0),
+        "stat_records_test": (0, 1),
+        # wave 146
+        "ds_backfill_manifest": (1, 0),
+        "stat_pot_gpd": (2, 1),
+        # wave 147
+        "ev_first_session_retention": (5, 0),
+        "tx_coding_efficiency": (2, 0),
+        # wave 148
+        "graph_percolation_curve": (0, 0),
+        "sql_explode_outer": (0, 0),
+        # wave 149
+        "graph_edge_surprise": (2, 0),
+        "stat_multinomial_ci": (2, 0),
+        # wave 150
+        "ev_quantile_forecast_eval": (0, 0),
+        "stat_pit_check": (2, 1),
+        # wave 151
+        "io_clustered_write_audit": (0, 0),
+        "ml_quantization_sweep": (0, 0),
+        "stat_kendall_w": (3, 1),
+        # wave 152
+        "ds_neyman_allocation": (2, 0),
+        "graph_neighbor_degree_curve": (4, 0),
+        # wave 153
+        "ev_forecastability": (0, 0),
+        "ml_fair_thresholds": (0, 0),
+        # wave 154
+        "ev_revenue_hhi": (2, 0),
+        "sql_range_surface": (1, 0),
+        # wave 155
+        "ev_staffing_schedule": (1, 0),
+        "stat_median_ci": (6, 3),
+        # wave 156
+        "sql_group_by_all": (1, 0),
+        "stat_prop_diff_ci": (0, 0),
+        # wave 157
+        "graph_conductance": (3, 0),
+        "io_write_modes": (0, 0),
+        # wave 158
+        "ev_payback_period": (3, 1),
+        "tx_trending_terms": (2, 0),
+        # wave 159
+        "dd_soft_dedup": (1, 0),
+        "tx_heaps_law": (3, 0),
+        # wave 160
+        "j_interval_union": (1, 0),
+        "stat_jarque_bera": (1, 0),
+        # wave 161
+        "ev_changepoint_binseg": (2, 1),
+        "stat_winsorized_mean": (4, 2),
+        # wave 162
+        "ev_stickiness": (5, 0),
+        "stat_chauvenet": (2, 0),
+        # wave 163
+        "ds_abc_xyz": (8, 1),
+        "ds_newsvendor": (4, 1),
+        # wave 164
+        "ds_eoq": (2, 0),
+        "ds_safety_stock": (1, 0),
+        # wave 165
+        "fin_discount_depth": (1, 0),
+        "fin_price_index": (2, 0),
+        # wave 166
+        "tx_kneser_ney": (7, 0),
+        "tx_next_word": (4, 0),
+        # wave 167
+        "ds_vendor_scorecard": (1, 0),
+        "fin_pvm_bridge": (4, 0),
+        # wave 168
+        "j_skew_aqe": (0, 0),
+    }
+    for name, (sh_ceil, uw_ceil) in pins.items():
+        df = registry.QUERIES[name](spark, SF)
+        sh = count_shuffles(df)
+        uw = count_unpartitioned_windows(df)
+        assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
+        assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
