@@ -281,6 +281,73 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
     return meta_path
 
 
+def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
+    """Iceberg 'expire snapshots' maintenance: write a NEW metadata
+    version (the spec's immutable-metadata evolution — old
+    metadata.json files stay on disk, version-hint moves forward)
+    whose snapshot list keeps only the newest ``retain_last``
+    snapshots, and delete manifest lists / manifests no retained
+    snapshot references. Data files are NOT touched here (that is
+    orphan-file cleanup, a separate maintenance action in real
+    Iceberg too). Returns {"expired", "kept", "deleted_files"}."""
+    meta_dir = os.path.join(dest, "metadata")
+    md = current_metadata(dest)
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    kept, expired = snaps[-retain_last:], snaps[:-retain_last]
+    keep_mlists = {s["manifest-list"] for s in kept}
+    keep_manifests = set()
+    for s in kept:
+        with open(s["manifest-list"]) as f:
+            for rec in json.load(f):
+                keep_manifests.add(rec["manifest_path"])
+    deleted = []
+    for s in expired:
+        mlist_path = s["manifest-list"]
+        if mlist_path in keep_mlists:
+            continue
+        with open(mlist_path) as f:
+            for rec in json.load(f):
+                mp = rec["manifest_path"]
+                if mp not in keep_manifests and os.path.exists(mp):
+                    os.remove(mp)
+                    deleted.append(os.path.basename(mp))
+        os.remove(mlist_path)
+        deleted.append(os.path.basename(mlist_path))
+    kept_ids = {s["snapshot-id"] for s in kept}
+    md["snapshots"] = [s for s in snaps if s["snapshot-id"] in kept_ids]
+    # parent links to expired snapshots are dropped, as the spec allows
+    for s in md["snapshots"]:
+        if s.get("parent-snapshot-id") not in kept_ids:
+            s.pop("parent-snapshot-id", None)
+    md["snapshot-log"] = [
+        e for e in md["snapshot-log"] if e["snapshot-id"] in kept_ids
+    ]
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {
+            "timestamp-ms": md["last-updated-ms"],
+            "metadata-file": os.path.join(
+                meta_dir, f"v{hint}.metadata.json"
+            ),
+        }
+    ]
+    new_version = hint + 1
+    with open(
+        os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w"
+    ) as f:
+        json.dump(md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return {
+        "expired": [s["snapshot-id"] for s in expired],
+        "kept": sorted(kept_ids),
+        "deleted_files": sorted(set(deleted)),
+    }
+
+
 def current_metadata(dest: str) -> dict:
     meta_dir = os.path.join(dest, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
