@@ -1,0 +1,173 @@
+"""Wave 175: Iceberg merge-on-read deletes and Lin's concordance.
+
+io_iceberg_mor_deletes audits the Iceberg v2 row-level delete flow:
+a position-delete parquet file (file_path, pos) commits WITHOUT
+rewriting any data file, and readers subtract the positions at scan
+time — the merge-on-read half of the spec that copy-on-write tables
+lack. stat_lin_ccc completes the method-comparison family
+(stat_bland_altman, stat_deming_regression): Lin's concordance
+correlation — how far the paired measurements sit from the y=x line,
+precision x accuracy in one number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mister_spark.operators.common import cat, ratio
+from mister_spark.registry import query
+
+
+@query(
+    "stat_lin_ccc",
+    oracle="""
+    WITH m AS (SELECT CAST(embedding[1] AS DOUBLE) AS x,
+                      CAST(embedding[2] AS DOUBLE) AS y
+               FROM embeddings),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 AVG(x) AS mx, AVG(y) AS my,
+                 AVG(x * x) AS mxx, AVG(y * y) AS myy,
+                 AVG(x * y) AS mxy
+          FROM m),
+    c AS (SELECT n, mx, my,
+                 mxx - mx * mx AS vx, myy - my * my AS vy,
+                 mxy - mx * my AS cxy
+          FROM s)
+    SELECT CAST(n AS BIGINT) AS n,
+           FLOOR(2 * cxy / (vx + vy + (mx - my) * (mx - my))
+                 * 10000 + 0.5) / 10000 AS ccc,
+           FLOOR(cxy / SQRT(vx * vy) * 10000 + 0.5) / 10000
+             AS pearson_r,
+           FLOOR((2 * cxy / (vx + vy + (mx - my) * (mx - my)))
+                 / (cxy / SQRT(vx * vy)) * 10000 + 0.5) / 10000
+             AS accuracy_cb
+    FROM c
+    """,
+)
+def stat_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between the first two
+    embedding dimensions (the method-comparison pairing the
+    Bland-Altman and Deming ops use): ccc = 2*s_xy / (s_x^2 + s_y^2 +
+    (mean_x - mean_y)^2) — Pearson r (precision) times the bias
+    correction factor C_b (accuracy), the decomposition reported
+    alongside. Agreement with y=x, not just linearity: two methods can
+    correlate perfectly yet disagree on every reading.
+
+    Scale: one aggregate of five moments; everything downstream is
+    closed-form arithmetic on a single row."""
+    m = cat(spark, sf_dir)["embeddings"].select(
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+    )
+    c = s.select(
+        "n",
+        "mx",
+        "my",
+        (F.col("mxx") - F.col("mx") * F.col("mx")).alias("vx"),
+        (F.col("myy") - F.col("my") * F.col("my")).alias("vy"),
+        (F.col("mxy") - F.col("mx") * F.col("my")).alias("cxy"),
+    )
+    ccc = (
+        2
+        * F.col("cxy")
+        / (
+            F.col("vx")
+            + F.col("vy")
+            + (F.col("mx") - F.col("my")) * (F.col("mx") - F.col("my"))
+        )
+    )
+    r = F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy"))
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        ratio(ccc).alias("ccc"),
+        ratio(r).alias("pearson_r"),
+        ratio(ccc / r).alias("accuracy_cb"),
+    )
+
+
+@query("io_iceberg_mor_deletes")  # filesystem metadata flow → rows-only
+def io_iceberg_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read audit: export a 2-version snapshot table to an
+    Iceberg tree, issue a row-level delete (o_totalprice > 200000)
+    through a POSITION DELETE file, and verify the v2 contract — no
+    data file rewritten (byte-identical census before/after), the new
+    snapshot subtracts exactly the matching rows at scan time, the
+    PRE-delete snapshot still reads the full row set (time travel
+    across a delete), and the delete file row count equals the rows
+    removed.
+
+    Scale: the delete writes only (file_path, pos) pairs via a Spark
+    job over `_metadata.row_index`; the read-side anti-join broadcasts
+    the delete set. Data bytes are never rewritten — the whole point
+    of merge-on-read."""
+    import os
+    import shutil
+    import tempfile
+
+    from mister_spark.sources.iceberg import (
+        delete_where,
+        export_iceberg,
+        read_iceberg,
+    )
+    from mister_spark.sources.snapshots import SnapshotTable
+
+    orders = cat(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_mor_")
+    try:
+        t = SnapshotTable(
+            spark, os.path.join(root, "t"), stats_cols=["o_orderkey"]
+        )
+        t.create(orders.filter(F.col("o_orderkey") < 1000))
+        t.append(orders.filter(F.col("o_orderkey") >= 1000))
+        dest = os.path.join(root, "ice")
+        export_iceberg(t, dest)
+        before = read_iceberg(spark, dest)
+        rows_before = before.count()
+        expect_deleted = before.filter("o_totalprice > 200000").count()
+        data_census = {
+            p: os.path.getsize(os.path.join(dp, p))
+            for dp in [os.path.join(root, "t", "data")]
+            for p in sorted(os.listdir(dp))
+        }
+        pre_sid = 2  # version 1 (append head) -> snapshot-id 2
+        report = delete_where(spark, dest, "o_totalprice > 200000")
+        after = read_iceberg(spark, dest)
+        rows_after = after.count()
+        still_matching = after.filter("o_totalprice > 200000").count()
+        time_travel_rows = read_iceberg(
+            spark, dest, snapshot_id=pre_sid
+        ).count()
+        data_census2 = {
+            p: os.path.getsize(os.path.join(dp, p))
+            for dp in [os.path.join(root, "t", "data")]
+            for p in sorted(os.listdir(dp))
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(rows_before),
+                int(rows_after),
+                int(report["deleted_rows"]),
+                int(expect_deleted),
+                int(still_matching),
+                int(time_travel_rows),
+                int(data_census == data_census2),
+                int(rows_before - rows_after == report["deleted_rows"]),
+            )
+        ],
+        "rows_before long, rows_after long, deleted_rows long, "
+        "expected_deleted long, still_matching long, time_travel_rows long, "
+        "data_files_untouched int, counts_reconcile int",
+    )

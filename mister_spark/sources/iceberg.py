@@ -356,14 +356,142 @@ def current_metadata(dest: str) -> dict:
         return json.load(f)
 
 
+def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
+    """Iceberg v2 MERGE-ON-READ row-level delete: rows of the CURRENT
+    snapshot matching ``condition`` (a SQL boolean expression over the
+    table columns) are recorded in a POSITION DELETE file — a parquet
+    file of (file_path, pos) pairs, the spec's position-delete layout —
+    and a new snapshot commits referencing the existing data files
+    UNTOUCHED plus a content=1 delete manifest. No data file is
+    rewritten; readers subtract the deleted positions at scan time
+    (`read_iceberg` does). Returns {"snapshot_id", "deleted_rows"}.
+
+    Scale: the matching positions are computed and written by a Spark
+    job over `_metadata.row_index` (never collected); commit cost is
+    O(metadata)."""
+    md = current_metadata(dest)
+    sid = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    data_paths, _ = _snapshot_files(snap)
+    from pyspark.sql import functions as F
+
+    matches = (
+        spark.read.parquet(*data_paths)
+        .select(
+            F.regexp_replace("_metadata.file_path", "^file:", "").alias(
+                "file_path"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        )
+        .filter(condition)
+        .select("file_path", "pos")
+    )
+    meta_dir = os.path.join(dest, "metadata")
+    new_sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    del_dir = os.path.join(meta_dir, f"delete-{new_sid}")
+    matches.write.parquet(del_dir)
+    n_deleted = spark.read.parquet(del_dir).count()
+    del_files = _parquet_files(del_dir)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": new_sid,
+            "sequence_number": new_sid,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": os.path.abspath(fp),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": pq.read_metadata(fp).num_rows,
+                "file_size_in_bytes": os.path.getsize(fp),
+            },
+        }
+        for fp in del_files
+    ]
+    dm_path = os.path.join(meta_dir, f"manifest-delete-{new_sid}.avro.json")
+    with open(dm_path, "w") as f:
+        json.dump({"entries": entries}, f, indent=1)
+    with open(snap["manifest-list"]) as f:
+        prev_mlist = json.load(f)
+    new_mlist = prev_mlist + [
+        {
+            "manifest_path": os.path.abspath(dm_path),
+            "manifest_length": os.path.getsize(dm_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": new_sid,
+            "min_sequence_number": new_sid,
+            "added_snapshot_id": new_sid,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": int(n_deleted),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    mlist_path = os.path.join(meta_dir, f"snap-{new_sid}-manifest-list.avro.json")
+    with open(mlist_path, "w") as f:
+        json.dump(new_mlist, f, indent=1)
+    md["snapshots"].append(
+        {
+            "snapshot-id": new_sid,
+            "parent-snapshot-id": sid,
+            "sequence-number": new_sid,
+            "timestamp-ms": md["last-updated-ms"],
+            "manifest-list": os.path.abspath(mlist_path),
+            "summary": {
+                "operation": "delete",
+                "total-records": str(int(n_deleted)),
+            },
+            "schema-id": 0,
+        }
+    )
+    md["snapshot-log"].append(
+        {"timestamp-ms": md["last-updated-ms"], "snapshot-id": new_sid}
+    )
+    md["current-snapshot-id"] = new_sid
+    md["last-sequence-number"] = new_sid
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+    with open(
+        os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w"
+    ) as f:
+        json.dump(md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(hint + 1))
+    return {"snapshot_id": new_sid, "deleted_rows": int(n_deleted)}
+
+
+def _snapshot_files(snap: dict) -> tuple[list[str], list[str]]:
+    """(data files, position-delete files) for a snapshot."""
+    with open(snap["manifest-list"]) as f:
+        mlist = json.load(f)
+    data, deletes = [], []
+    for rec in mlist:
+        with open(rec["manifest_path"]) as f:
+            for entry in json.load(f)["entries"]:
+                if entry["status"] == 2:  # DELETED
+                    continue
+                dfile = entry["data_file"]
+                (deletes if dfile.get("content") == 1 else data).append(
+                    dfile["file_path"]
+                )
+    return data, deletes
+
+
 def read_iceberg(
     spark: SparkSession, dest: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Resolve a snapshot through the Iceberg metadata tree — current
     by default, or any historical ``snapshot_id`` (time travel) — down
-    to its data files and return them as a DataFrame. Raises on an
-    unknown snapshot-id, mirroring Iceberg's behavior for expired
-    snapshots."""
+    to its data files and return them as a DataFrame. Position-delete
+    files (v2 merge-on-read) are applied at scan time: the data scan
+    carries `_metadata.row_index` and anti-joins the (file_path, pos)
+    delete set — the delete frame is tiny relative to data, so the
+    anti-join broadcasts. Raises on an unknown snapshot-id, mirroring
+    Iceberg's behavior for expired snapshots."""
     md = current_metadata(dest)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     snap = next(
@@ -371,12 +499,29 @@ def read_iceberg(
     )
     if snap is None:
         raise ValueError(f"snapshot {sid} not found (expired or never committed)")
-    with open(snap["manifest-list"]) as f:
-        mlist = json.load(f)
-    paths = []
-    for rec in mlist:
-        with open(rec["manifest_path"]) as f:
-            for entry in json.load(f)["entries"]:
-                if entry["status"] != 2:  # not DELETED
-                    paths.append(entry["data_file"]["file_path"])
-    return spark.read.parquet(*paths)
+    data_paths, delete_paths = _snapshot_files(snap)
+    df = spark.read.parquet(*data_paths)
+    if not delete_paths:
+        return df
+    from pyspark.sql import functions as F
+
+    dels = spark.read.parquet(*delete_paths).select(
+        F.col("file_path").alias("_del_fp"), F.col("pos").alias("_del_pos")
+    )
+    cols = df.columns
+    return (
+        df.select(
+            F.regexp_replace("_metadata.file_path", "^file:", "").alias(
+                "_fp"
+            ),
+            F.col("_metadata.row_index").alias("_pos"),
+            "*",
+        )
+        .join(
+            F.broadcast(dels),
+            (F.col("_fp") == F.col("_del_fp"))
+            & (F.col("_pos") == F.col("_del_pos")),
+            "left_anti",
+        )
+        .select(*cols)
+    )
