@@ -53,7 +53,8 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat(spark, sf_dir)["lineitem"]
     c = li.groupBy(
         F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("v")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).localCheckpoint()
+    # ^ |distinct quantity| x flag rows (~150); read by both join sides
     a = c.select("flag", F.col("v").alias("v1"), F.col("c").alias("c1"))
     b = c.select(
         F.col("flag").alias("flag_b"),

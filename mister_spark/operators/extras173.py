@@ -90,7 +90,11 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t.select(
         "doc_id", "source", F.explode(pairs).alias("p")
     ).select("doc_id", "source", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
-    tr = bg.groupBy("v", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tr = (
+        bg.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # vocab^2-bounded; read by 3 branches
+    )
     ctx = tr.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
     vocab = tr.agg(F.countDistinct("v").cast("bigint").alias("vsz"))
     wt = (

@@ -195,6 +195,7 @@ def tx_jm_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         bg.filter(F.col("doc_id") % 4 != 0)
         .groupBy("v", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint()  # vocab^2-bounded; read by 4 branches
     )
     ctx = tr.groupBy("v").agg(F.sum("c").alias("cv"))
     uni = tr.groupBy("w").agg(F.sum("c").alias("cw"))

@@ -139,7 +139,8 @@ def ev_trading_day_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("day"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum("o_totalprice").alias("rev")).localCheckpoint()
+    # ^ calendar-bounded (one row per day); read by 3 branches
     dw = d.groupBy("dow").agg(
         (F.sum("rev") / F.count(F.lit(1))).alias("day_rate")
     )

@@ -47,9 +47,13 @@ def count_unpartitioned_windows(df: DataFrame) -> int:
     scale (WindowExec warns 'Moving all data to a single partition').
 
     A physical Window node prints three top-level bracket groups when
-    partitioned (`Window [exprs], [partSpec], [orderSpec]`) and only two
-    when the partition spec is empty; brackets never nest inside the
-    groups (expressions use parens), so splitting on `], [` is exact.
+    partitioned and ordered (`Window [exprs], [partSpec], [orderSpec]`)
+    and two when either the partition or the order spec is empty;
+    brackets never nest inside the groups (expressions use parens), so
+    splitting on `], [` is exact. A 2-group node is only the dangerous
+    single-task shape when its second group is an ORDER spec (contains
+    ASC/DESC); a partition-only window (no order) is parallel and
+    fine.
     """
     plan = physical_plan(df)
     if "== Physical Plan ==" in plan:
@@ -59,6 +63,9 @@ def count_unpartitioned_windows(df: DataFrame) -> int:
         body = line.split("Window [", 1)
         if len(body) != 2:
             continue
-        if len(("[" + body[1]).split("], [")) == 2:
+        groups = ("[" + body[1]).split("], [")
+        if len(groups) == 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
             n += 1
     return n

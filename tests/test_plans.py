@@ -766,3 +766,47 @@ def test_late_wave_plan_pins(spark):
         uw = count_unpartitioned_windows(df)
         assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
         assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
+
+
+def test_round4_wave_plan_pins(spark):
+    """Waves 169-176 pins, same contract as test_late_wave_plan_pins.
+    ev_msprt's two unpartitioned ordered windows ride the 20-row look
+    frame (bounded by construction, see its docstring); every other
+    key is unpartitioned-window-free after the shared LM-count /
+    day-frame subtrees were localCheckpointed (tx_jm_interpolation
+    15 -> 7 exchanges, ds_perplexity_filter 12 -> 8,
+    ev_trading_day_adjust 7 -> 4, stat_hodges_lehmann 4 -> 2)."""
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        # wave 169
+        "io_iceberg_roundtrip": (0, 0),
+        "stat_hodges_lehmann": (2, 0),
+        # wave 170
+        "graph_betweenness_sampled": (1, 0),
+        "j_allen_relations": (3, 0),
+        # wave 171
+        "ds_dsir": (3, 0),
+        "ds_semdedup": (0, 0),
+        # wave 172
+        "ev_msprt": (1, 2),
+        "io_iceberg_expire": (0, 0),
+        # wave 173
+        "ds_perplexity_filter": (8, 0),
+        "tx_topic_nmf": (0, 0),
+        # wave 174
+        "ev_croston": (2, 0),
+        "tx_jm_interpolation": (7, 0),
+        # wave 175
+        "io_iceberg_mor_deletes": (0, 0),
+        "stat_lin_ccc": (0, 0),
+        # wave 176
+        "ev_trading_day_adjust": (4, 0),
+        "stat_cochran_q": (1, 0),
+    }
+    for name, (sh_ceil, uw_ceil) in pins.items():
+        df = registry.QUERIES[name](spark, SF)
+        sh = count_shuffles(df)
+        uw = count_unpartitioned_windows(df)
+        assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
+        assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
