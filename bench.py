@@ -85,6 +85,16 @@ HEADLINE = [
     "ev_time_to_value",
     "sketch_ddsketch",
     "stat_logrank_test",
+    # round-4 waves 168-176: new scale-representative paths
+    "stat_hodges_lehmann",
+    "j_allen_relations",
+    "graph_betweenness_sampled",
+    "ds_dsir",
+    "ds_semdedup",
+    "ds_perplexity_filter",
+    "ev_msprt",
+    "ev_croston",
+    "tx_topic_nmf",
 ]
 
 # The 28 queries pinned in BASELINE.md (the r01 set): their sum is the
@@ -118,6 +128,11 @@ SCALING_QUERIES = [
     "tx_vocab_growth",
     "j_interval_overlap",
     "mr_wordcount",
+    # round-4 additions
+    "ds_semdedup",
+    "ds_perplexity_filter",
+    "graph_betweenness_sampled",
+    "ds_dsir",
 ]
 
 

@@ -140,9 +140,13 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair budget is sum over clusters of n_c^2 instead of
     N^2 — the clustering IS the blocking structure; each iteration of
     the upstream k-means is a broadcast assignment + one (cid, dim)
-    partial-agg shuffle (O(k*d) driver state only); the pair join is
-    an equi-join on cid; the TF vectors are vocab-bounded (the vocab
-    index broadcasts)."""
+    partial-agg shuffle (O(k*d) driver state only); the within-cluster
+    similarity block is ONE numpy GEMM per cluster inside an
+    Arrow-batched applyInPandas kernel (the dd_embedding_cosine
+    block-matmul lesson — measured 11.6 s -> ~1 s at sf0.1 vs the
+    per-pair zip_with join), and only survivor (i, j) rows plus one
+    pair-count row per cluster leave it; the TF vectors are
+    vocab-bounded (the vocab index broadcasts)."""
     from mister_spark.operators.ml import _sq_dist
 
     docs = cat(spark, sf_dir)["documents"]
@@ -211,39 +215,62 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["cid"]), [float(x) for x in r["cvec"]])
             for r in new_c.collect()
         ]
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+    # within-cluster pairwise cosine as ONE Arrow-batched GEMM per
+    # cluster (applyInPandas on cid): the n_c x n_c similarity block is
+    # a numpy matmul instead of n_c^2 zip_with row allocations — the
+    # dd_embedding_cosine block-GEMM lesson applied to the blocked
+    # (clustered) pair space. Only (i, j, cos) survivor rows leave the
+    # kernel; pair counts come back as exact integers per cluster.
+    def _cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        Xn = X / np.maximum(
+            np.linalg.norm(X, axis=1, keepdims=True), 1e-12
         )
-    )
-    a = assign.select(
-        "cid",
-        F.col("vec_id").alias("i"),
-        F.col("embedding").alias("ei"),
-        norm.alias("ni"),
-    ).localCheckpoint()
-    b = a.select(
-        F.col("cid").alias("cid_b"),
-        F.col("i").alias("j"),
-        F.col("ei").alias("ej"),
-        F.col("ni").alias("nj"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ei"), F.col("ej"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("i") < F.col("j")))
-        .select(
-            "i",
-            "j",
-            (dot / (F.col("ni") * F.col("nj"))).alias("cos"),
+        S = Xn @ Xn.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        hit = S[iu, ju] >= SEMDEDUP_TAU
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "i": ids[iu[hit]],
+                        "j": ids[ju[hit]],
+                        "cluster_pairs": np.full(
+                            int(hit.sum()), -1, dtype=np.int64
+                        ),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "i": [-1],
+                        "j": [-1],
+                        "cluster_pairs": [len(ids) * (len(ids) - 1) // 2],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    blocks = (
+        assign.select("cid", "vec_id", "embedding")
+        .groupBy("cid")
+        .applyInPandas(
+            _cluster_pairs, "i long, j long, cluster_pairs long"
         )
         .localCheckpoint()
     )
-    n_pairs = pairs.count()
-    dups = pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
+    n_pairs = (
+        blocks.filter(F.col("cluster_pairs") >= 0)
+        .agg(F.sum("cluster_pairs"))
+        .collect()[0][0]
+    )
+    dups = blocks.filter(F.col("i") >= 0)
     n_dup_pairs = dups.count()
     removed = dups.select(F.col("j").alias("vec_id")).distinct().count()
     n = assign.count()
