@@ -803,6 +803,11 @@ def test_round4_wave_plan_pins(spark):
         # wave 176
         "ev_trading_day_adjust": (4, 0),
         "stat_cochran_q": (1, 0),
+        # wave 177
+        "ev_nrr": (2, 0),
+        "stat_wilks_manova": (1, 0),
+        # wave 178
+        "ds_quality_classifier": (0, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
