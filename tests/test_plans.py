@@ -808,6 +808,9 @@ def test_round4_wave_plan_pins(spark):
         "stat_wilks_manova": (1, 0),
         # wave 178
         "ds_quality_classifier": (0, 0),
+        # wave 179
+        "stat_icc": (1, 0),
+        "stat_page_trend": (1, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
