@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mister_spark.registry import query
 from mister_spark.streaming import (
+    run_stream_cdc_merge,
     run_stream_dedup,
     run_stream_enrich,
     run_stream_quota,
@@ -72,3 +73,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_quota")  # streaming execution → rows-only; pytest parity
 def stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_quota(spark, sf_dir)
+
+
+@query("stream_cdc_merge")  # streaming execution → rows-only; pytest parity
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_cdc_merge(spark, sf_dir)

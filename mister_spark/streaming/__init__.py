@@ -1,4 +1,5 @@
 from mister_spark.streaming.jobs import (
+    run_stream_cdc_merge,
     run_stream_dedup,
     run_stream_quota,
     run_stream_enrich,
@@ -18,6 +19,7 @@ from mister_spark.streaming.kafka import (
 )
 
 __all__ = [
+    "run_stream_cdc_merge",
     "run_stream_dedup",
     "run_stream_quota",
     "run_stream_enrich",
