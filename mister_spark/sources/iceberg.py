@@ -95,28 +95,6 @@ def _arrow_to_iceberg(t: pa.DataType, next_id: list[int]) -> Any:
     raise TypeError(f"no Iceberg mapping for Arrow type {t}")
 
 
-def _iceberg_schema(arrow_schema: pa.Schema) -> dict:
-    """Iceberg struct schema with initial field-id assignment: ids
-    1..N for top-level columns, nested ids allocated afterwards."""
-    next_id = [len(arrow_schema) + 1]
-    fields = []
-    for i, f in enumerate(arrow_schema):
-        fields.append(
-            {
-                "id": i + 1,
-                "name": f.name,
-                "required": False,
-                "type": _arrow_to_iceberg(f.type, next_id),
-            }
-        )
-    return {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": fields,
-        "_last_column_id": next_id[0] - 1,
-    }
-
-
 def _parquet_files(dir_path: str) -> list[str]:
     return sorted(
         os.path.join(dir_path, f)
@@ -143,12 +121,69 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
     if not versions:
         raise ValueError("empty table: nothing to export")
 
-    # schema from the newest version's first data file
-    head_entries = table._load(versions[-1])["entries"]
-    first_dir = os.path.join(table.path, head_entries[0]["dir"])
-    arrow_schema = pq.read_schema(_parquet_files(first_dir)[0])
-    schema = _iceberg_schema(arrow_schema)
-    last_column_id = schema.pop("_last_column_id")
+    # Schema per version with STABLE field-ids across evolution: the
+    # first version assigns ids by the spec's fresh-table rule (1..N
+    # top-level, nested after); columns first appearing in a LATER
+    # version append ids past the current last-column-id — the spec's
+    # add-column evolution rule, so a reader can map columns by id
+    # across every snapshot.
+    assigned: dict[str, dict] = {}  # name -> {"id", "type"}
+    next_id = [1]
+    schemas: list[dict] = []
+    sig_to_schema_id: dict[tuple, int] = {}
+    version_schema_id: dict[int, int] = {}
+
+    def _version_arrow_fields(v: int) -> list:
+        fields: dict[str, Any] = {}
+        for e in table._load(v)["entries"]:
+            d = os.path.join(table.path, e["dir"])
+            sch = pq.read_schema(_parquet_files(d)[0])
+            for fld in sch:
+                fields.setdefault(fld.name, fld.type)
+        return list(fields.items())
+
+    for vi, v in enumerate(versions):
+        vfields = _version_arrow_fields(v)
+        if vi == 0:
+            # fresh-table rule: top-level 1..N first, nested after
+            for name, _t in vfields:
+                assigned[name] = {"id": next_id[0], "type": None}
+                next_id[0] += 1
+            for name, t in vfields:
+                assigned[name]["type"] = _arrow_to_iceberg(t, next_id)
+        else:
+            for name, t in vfields:
+                if name not in assigned:
+                    fid = next_id[0]
+                    next_id[0] += 1
+                    assigned[name] = {
+                        "id": fid,
+                        "type": _arrow_to_iceberg(t, next_id),
+                    }
+        fields = sorted(
+            (
+                {
+                    "id": assigned[name]["id"],
+                    "name": name,
+                    "required": False,
+                    "type": assigned[name]["type"],
+                }
+                for name, _t in vfields
+            ),
+            key=lambda f: f["id"],
+        )
+        sig = tuple(f["id"] for f in fields)
+        if sig not in sig_to_schema_id:
+            sig_to_schema_id[sig] = len(schemas)
+            schemas.append(
+                {
+                    "type": "struct",
+                    "schema-id": len(schemas),
+                    "fields": fields,
+                }
+            )
+        version_schema_id[v] = sig_to_schema_id[sig]
+    last_column_id = next_id[0] - 1
 
     # one manifest file per distinct data dir (shared across snapshots,
     # exactly how Iceberg reuses manifests between commits)
@@ -244,7 +279,7 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
                     "total-records": str(total_rows),
                     "total-data-files": str(total_files),
                 },
-                "schema-id": 0,
+                "schema-id": version_schema_id[v],
             }
         )
         snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": sid})
@@ -256,8 +291,8 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
         "last-sequence-number": versions[-1] + 1,
         "last-updated-ms": snapshot_log[-1]["timestamp-ms"],
         "last-column-id": last_column_id,
-        "current-schema-id": 0,
-        "schemas": [schema],
+        "current-schema-id": version_schema_id[versions[-1]],
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,
@@ -376,7 +411,7 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
     from pyspark.sql import functions as F
 
     matches = (
-        spark.read.parquet(*data_paths)
+        spark.read.option("mergeSchema", "true").parquet(*data_paths)
         .select(
             F.regexp_replace("_metadata.file_path", "^file:", "").alias(
                 "file_path"
@@ -445,7 +480,7 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
                 "operation": "delete",
                 "total-records": str(int(n_deleted)),
             },
-            "schema-id": 0,
+            "schema-id": md["current-schema-id"],
         }
     )
     md["snapshot-log"].append(
@@ -500,7 +535,7 @@ def read_iceberg(
     if snap is None:
         raise ValueError(f"snapshot {sid} not found (expired or never committed)")
     data_paths, delete_paths = _snapshot_files(snap)
-    df = spark.read.parquet(*data_paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*data_paths)
     if not delete_paths:
         return df
     from pyspark.sql import functions as F

@@ -279,7 +279,10 @@ class SnapshotTable:
         if not entries:
             return self.spark.createDataFrame([], schema="dummy string").limit(0)
         paths = [os.path.join(self.path, e["dir"]) for e in entries]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: commits may ADD columns (schema evolution); older
+        # dirs surface the new columns as null, exactly like the table
+        # formats this mirrors
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def row_count(self, version: int | None = None) -> int:
         v = self.current_version() if version is None else version
