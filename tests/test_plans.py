@@ -811,6 +811,12 @@ def test_round4_wave_plan_pins(spark):
         # wave 179
         "stat_icc": (1, 0),
         "stat_page_trend": (1, 0),
+        # wave 181 (wave 180's stream_cdc_merge executes eagerly and
+        # returns an audit frame; streaming plans are gated in
+        # tests/test_streaming.py, not here)
+        "io_iceberg_schema_evolution": (0, 0),
+        # wave 182
+        "ev_hts_reconcile": (4, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
