@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.common import cat
 from mister_spark.registry import query
 
 HTS_Y0, HTS_Y1, HTS_Y2 = 1996, 1997, 1998  # growth base, last obs, held-out

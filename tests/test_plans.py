@@ -817,6 +817,10 @@ def test_round4_wave_plan_pins(spark):
         "io_iceberg_schema_evolution": (0, 0),
         # wave 182
         "ev_hts_reconcile": (4, 0),
+        # wave 183 (all three return eagerly-computed audit frames)
+        "io_python_datasource": (0, 0),
+        "io_python_datasink": (0, 0),
+        "stream_python_source": (0, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
