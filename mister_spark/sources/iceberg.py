@@ -408,6 +408,8 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
     sid = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     data_paths, _ = _snapshot_files(snap)
+    if not data_paths:
+        return {"snapshot_id": sid, "deleted_rows": 0}
     from pyspark.sql import functions as F
 
     matches = (
@@ -499,6 +501,41 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
     return {"snapshot_id": new_sid, "deleted_rows": int(n_deleted)}
 
 
+def _iceberg_type_to_spark(t: Any) -> str:
+    if isinstance(t, dict):
+        if t.get("type") == "list":
+            return f"array<{_iceberg_type_to_spark(t['element'])}>"
+        if t.get("type") == "struct":
+            inner = ", ".join(
+                f"{f['name']}: {_iceberg_type_to_spark(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+    return {
+        "long": "bigint",
+        "int": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamptz": "timestamp",
+        "binary": "binary",
+    }.get(t, str(t))
+
+
+def _empty_frame(spark: SparkSession, md: dict, snap: dict) -> DataFrame:
+    schema = next(
+        s for s in md["schemas"] if s["schema-id"] == snap.get("schema-id", 0)
+    )
+    ddl = ", ".join(
+        f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+        for f in schema["fields"]
+    ) or "k bigint"
+    return spark.createDataFrame([], schema=ddl)
+
+
 def _snapshot_files(snap: dict) -> tuple[list[str], list[str]]:
     """(data files, position-delete files) for a snapshot."""
     with open(snap["manifest-list"]) as f:
@@ -535,6 +572,10 @@ def read_iceberg(
     if snap is None:
         raise ValueError(f"snapshot {sid} not found (expired or never committed)")
     data_paths, delete_paths = _snapshot_files(snap)
+    if not data_paths:
+        # an empty snapshot (e.g. a delete wiped every file): surface
+        # its schema, zero rows — never a scan error
+        return _empty_frame(spark, md, snap)
     df = spark.read.option("mergeSchema", "true").parquet(*data_paths)
     if not delete_paths:
         return df
