@@ -821,6 +821,9 @@ def test_round4_wave_plan_pins(spark):
         "io_python_datasource": (0, 0),
         "io_python_datasink": (0, 0),
         "stream_python_source": (0, 0),
+        # wave 184
+        "ml_hbos_outliers": (4, 0),
+        "sql_pipe_syntax": (2, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
