@@ -824,6 +824,9 @@ def test_round4_wave_plan_pins(spark):
         # wave 184
         "ml_hbos_outliers": (4, 0),
         "sql_pipe_syntax": (2, 0),
+        # wave 185
+        "stat_capture_recapture": (3, 0),
+        "stat_zip_fit": (2, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
