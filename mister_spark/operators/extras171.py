@@ -20,9 +20,12 @@ from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
 DSIR_K = 40  # docs kept by importance resampling
-SEMDEDUP_K = 8  # k-means clusters
+SEMDEDUP_K_MIN = 8  # k-means cluster floor (k scales with corpus size)
+SEMDEDUP_TARGET = 512  # target docs per cluster: k = max(K_MIN, ceil(n/TARGET))
+SEMDEDUP_DIM = 256  # feature-hashed clustering dims (fixed, data-independent)
 SEMDEDUP_ITERS = 4
 SEMDEDUP_TAU = 0.95  # intra-cluster cosine dedup threshold
+SEMDEDUP_GEMM_CAP = 2048  # kernel bisects clusters above this row count
 
 
 @query(
@@ -123,61 +126,152 @@ def ds_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 ds_dsir.__doc__ = ds_dsir.__doc__.format(k=DSIR_K)
 
 
+def _semdedup_pair_kernel(pdf, tau, cap):
+    """Per-cluster similarity kernel: EXACT sparse cosine over the
+    cluster's documents. Builds a cluster-LOCAL dense matrix from the
+    64-bit token-hash sparse vectors (the local vocabulary is bounded
+    by cluster-size x doc-length, never the corpus vocabulary), then
+    compares pairs with a numpy GEMM. Clusters larger than `cap` are
+    recursively bisected with a deterministic 2-means (seeded by the
+    lowest-id row and its cosine-farthest row) so no similarity block
+    ever exceeds cap^2 — the GEMM budget is bounded by construction,
+    not by hoping k-means balanced the space. Emits survivor (i, j)
+    rows plus one summary row carrying the exact count of pairs
+    actually compared."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    tids = [np.asarray(pdf["tids"].iloc[int(o)], dtype=np.int64) for o in order]
+    tvals = [
+        np.asarray(pdf["tvals"].iloc[int(o)], dtype=np.float64) for o in order
+    ]
+    uniq = np.unique(np.concatenate(tids)) if tids else np.array([], np.int64)
+    X = np.zeros((len(ids), len(uniq)))
+    for r, (ti, tv) in enumerate(zip(tids, tvals)):
+        X[r, np.searchsorted(uniq, ti)] = tv
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    out_i, out_j, compared = [], [], 0
+
+    def rec(idx):
+        nonlocal compared
+        if len(idx) > cap:
+            a = Xn[idx[0]]
+            b = Xn[idx[int(np.argmin(Xn[idx] @ a))]]
+            left = right = None
+            for _ in range(3):
+                da = ((Xn[idx] - a) ** 2).sum(axis=1)
+                db = ((Xn[idx] - b) ** 2).sum(axis=1)
+                mask = da <= db
+                left, right = idx[mask], idx[~mask]
+                if len(left) == 0 or len(right) == 0:
+                    break
+                a = Xn[left].mean(axis=0)
+                b = Xn[right].mean(axis=0)
+            if left is None or len(left) == 0 or len(right) == 0:
+                mid = len(idx) // 2  # degenerate split: halve by id
+                left, right = idx[:mid], idx[mid:]
+            rec(left)
+            rec(right)
+            return
+        if len(idx) < 2:
+            return
+        S = Xn[idx] @ Xn[idx].T
+        iu, ju = np.triu_indices(len(idx), 1)
+        hit = S[iu, ju] >= tau
+        compared += len(iu)
+        out_i.extend(ids[idx[iu[hit]]])
+        out_j.extend(ids[idx[ju[hit]]])
+
+    rec(np.arange(len(ids)))
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "i": np.asarray(out_i, dtype=np.int64),
+                    "j": np.asarray(out_j, dtype=np.int64),
+                    "cluster_pairs": np.full(len(out_i), -1, dtype=np.int64),
+                }
+            ),
+            pd.DataFrame({"i": [-1], "j": [-1], "cluster_pairs": [compared]}),
+        ],
+        ignore_index=True,
+    )
+
+
 @query("ds_semdedup")  # iterative k-means upstream → rows-only
 def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over DOCUMENT term-frequency vectors (the raw
     embeddings table is isotropic noise — max pairwise cosine 0.51 —
-    so the semantic structure lives in the text): each document
-    becomes its vocab-dimension TF vector, Lloyd's k-means (k={k},
-    {it} iters, deterministic lowest-doc_id init — the ml.py recipe)
-    partitions the space, then ONLY within-cluster pairs are
-    cosine-compared; a document is dropped when a LOWER-id
-    cluster-mate exceeds cosine {tau} (greedy keep-first, the paper's
-    convention). Emits the audit row: vectors, clusters, candidate
-    pairs actually compared, duplicate pairs, documents removed/kept,
-    and the share of the quadratic pair space the clustering pruned.
+    so the semantic structure lives in the text). Two representations,
+    each sized for its job: (1) a FEATURE-HASHED {d}-dim TF vector
+    (token -> xxhash64 mod {d}) drives Lloyd's k-means — the dimension
+    is fixed and data-independent, so no corpus vocabulary is ever
+    collected to the driver and centroid state is O(k*{d}) regardless
+    of Heaps-law vocab growth; (2) the EXACT sparse TF vector keyed by
+    64-bit token hashes rides into the pair kernel, so the cosine that
+    decides duplicates is exact, not hashed. k scales with corpus
+    size (k = max({kmin}, ceil(n/{tgt})) — expected cluster size stays
+    constant at 100x the data), {it} Lloyd iterations, deterministic
+    lowest-doc_id init. Within each cluster a document is dropped when
+    a LOWER-id cluster-mate exceeds cosine {tau} (greedy keep-first,
+    the paper's convention). Emits the audit row: vectors, clusters,
+    candidate pairs actually compared, duplicate pairs, documents
+    removed/kept, the share of the quadratic pair space pruned, and
+    the largest cluster's share of all vectors (the skew signal).
 
-    Scale: the pair budget is sum over clusters of n_c^2 instead of
-    N^2 — the clustering IS the blocking structure; each iteration of
-    the upstream k-means is a broadcast assignment + one (cid, dim)
-    partial-agg shuffle (O(k*d) driver state only); the within-cluster
-    similarity block is ONE numpy GEMM per cluster inside an
-    Arrow-batched applyInPandas kernel (the dd_embedding_cosine
-    block-matmul lesson — measured 11.6 s -> ~1 s at sf0.1 vs the
-    per-pair zip_with join), and only survivor (i, j) rows plus one
-    pair-count row per cluster leave it; the TF vectors are
-    vocab-bounded (the vocab index broadcasts)."""
+    Scale: the pair budget is sum over clusters of n_c^2 with
+    E[n_c] = {tgt} fixed; each k-means iteration is a broadcast
+    assignment + one (cid, dim) partial-agg shuffle; the similarity
+    stage is one Arrow-batched applyInPandas GEMM per cluster
+    (block-matmul, the dd_embedding_cosine lesson), and the kernel
+    recursively bisects any cluster above {cap} rows before the GEMM
+    so a skewed cluster can never go quadratic in the corpus; only
+    survivor (i, j) rows plus one count row per cluster leave it."""
     from mister_spark.operators.ml import _sq_dist
 
     docs = cat(spark, sf_dir)["documents"]
-    tf = (
+    feat = (
         docs.select("doc_id", F.explode(tokens()).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .select(
+            "doc_id",
+            F.xxhash64("w").alias("tid"),
+            F.pmod(F.xxhash64("w"), F.lit(SEMDEDUP_DIM)).cast("int").alias("hidx"),
+            "c",
+        )
     )
-    vocab = sorted(
-        r["w"] for r in tf.select("w").distinct().collect()
-    )  # O(vocab) driver state — the model, not the data
-    vidx = F.broadcast(
-        spark.createDataFrame(list(enumerate(vocab)), "idx int, w string")
-    )
-    dim = len(vocab)
-    emb = (
-        tf.join(vidx, "w")
+    hashed = (
+        feat.groupBy("doc_id", "hidx")
+        .agg(F.sum("c").alias("hc"))
         .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "c"))).alias("m"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("hidx", "hc"))).alias("m"))
         .select(
             F.col("doc_id").alias("vec_id"),
             F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.sequence(F.lit(0), F.lit(SEMDEDUP_DIM - 1)),
                 lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
             ).alias("embedding"),
         )
         .localCheckpoint()
     )
+    sparse = (
+        feat.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("tid", "c"))).alias("sp"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("sp.tid").alias("tids"),
+            F.col("sp.c").alias("tvals"),
+        )
+    )
+    n = hashed.count()
+    k = max(SEMDEDUP_K_MIN, -(-n // SEMDEDUP_TARGET))
     cent_rows = [
         [float(x) for x in r["embedding"]]
-        for r in emb.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+        for r in hashed.orderBy("vec_id").limit(k).collect()
     ]
     centroids = list(enumerate(cent_rows))
     assign = None
@@ -186,7 +280,7 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(centroids, "cid int, cvec array<double>")
         )
         assign = (
-            emb.crossJoin(cdf)
+            hashed.crossJoin(cdf)
             .select(
                 "vec_id",
                 "embedding",
@@ -215,53 +309,20 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["cid"]), [float(x) for x in r["cvec"]])
             for r in new_c.collect()
         ]
-    # within-cluster pairwise cosine as ONE Arrow-batched GEMM per
-    # cluster (applyInPandas on cid): the n_c x n_c similarity block is
-    # a numpy matmul instead of n_c^2 zip_with row allocations — the
-    # dd_embedding_cosine block-GEMM lesson applied to the blocked
-    # (clustered) pair space. Only (i, j, cos) survivor rows leave the
-    # kernel; pair counts come back as exact integers per cluster.
-    def _cluster_pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        X = np.array(list(pdf["embedding"]), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids, X = ids[order], X[order]
-        Xn = X / np.maximum(
-            np.linalg.norm(X, axis=1, keepdims=True), 1e-12
-        )
-        S = Xn @ Xn.T
-        iu, ju = np.triu_indices(len(ids), 1)
-        hit = S[iu, ju] >= SEMDEDUP_TAU
-        return pd.concat(
-            [
-                pd.DataFrame(
-                    {
-                        "i": ids[iu[hit]],
-                        "j": ids[ju[hit]],
-                        "cluster_pairs": np.full(
-                            int(hit.sum()), -1, dtype=np.int64
-                        ),
-                    }
-                ),
-                pd.DataFrame(
-                    {
-                        "i": [-1],
-                        "j": [-1],
-                        "cluster_pairs": [len(ids) * (len(ids) - 1) // 2],
-                    }
-                ),
-            ],
-            ignore_index=True,
-        )
-
+    final = assign.select("vec_id", "cid").localCheckpoint()
+    max_share = (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg((F.max("sz") / F.lit(float(n))).alias("s"))
+        .collect()[0]["s"]
+    )
+    tau, cap = SEMDEDUP_TAU, SEMDEDUP_GEMM_CAP
     blocks = (
-        assign.select("cid", "vec_id", "embedding")
+        sparse.join(final, "vec_id")
         .groupBy("cid")
         .applyInPandas(
-            _cluster_pairs, "i long, j long, cluster_pairs long"
+            lambda pdf: _semdedup_pair_kernel(pdf, tau, cap),
+            "i long, j long, cluster_pairs long",
         )
         .localCheckpoint()
     )
@@ -273,25 +334,31 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = blocks.filter(F.col("i") >= 0)
     n_dup_pairs = dups.count()
     removed = dups.select(F.col("j").alias("vec_id")).distinct().count()
-    n = assign.count()
     quad = n * (n - 1) // 2
     return spark.createDataFrame(
         [
             (
                 n,
-                SEMDEDUP_K,
+                k,
                 n_pairs,
                 n_dup_pairs,
                 removed,
                 n - removed,
                 round(1.0 - n_pairs / quad, 4),
+                round(float(max_share), 4),
             )
         ],
         "vectors long, clusters int, candidate_pairs long, dup_pairs long, "
-        "removed long, kept long, pair_space_pruned double",
+        "removed long, kept long, pair_space_pruned double, "
+        "max_cluster_share double",
     )
 
 
 ds_semdedup.__doc__ = ds_semdedup.__doc__.format(
-    k=SEMDEDUP_K, it=SEMDEDUP_ITERS, tau=SEMDEDUP_TAU
+    kmin=SEMDEDUP_K_MIN,
+    tgt=SEMDEDUP_TARGET,
+    d=SEMDEDUP_DIM,
+    it=SEMDEDUP_ITERS,
+    tau=SEMDEDUP_TAU,
+    cap=SEMDEDUP_GEMM_CAP,
 )

@@ -21,6 +21,7 @@ from mister_spark.registry import query
 PPL_GATE = 1.02  # relative-perplexity gate (corpus is homogeneous synthetic)
 NMF_K = 4
 NMF_ITERS = 6
+NMF_VOCAB_CAP = 4096  # model vocabulary: top-N corpus terms by frequency
 
 
 @query(
@@ -164,12 +165,15 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiplicative-update NMF topic model over the document-term
     matrix: V (docs x vocab, TF counts) ~= H W^T with k={k} topics,
-    {it} Lee-Seung update pairs. H (doc x k) stays DISTRIBUTED as an
-    array column; W (vocab x k) is the model — O(|vocab| * k) — and
-    lives on the driver between iterations, exactly the k-means
-    centroid pattern. Deterministic seed-free init (doc-id / word-
-    index phase offsets). Emits one row per topic: its mass (share of
-    total H weight) and top-3 words by W.
+    {it} Lee-Seung update pairs. The MODELED vocabulary is capped to
+    the top-{cap} corpus terms by frequency (one TakeOrdered — the
+    standard topic-model truncation), so W (vocab x k) is genuinely
+    model-sized on the driver — O(cap * k) — regardless of Heaps-law
+    vocab growth at 100x the corpus; H (doc x k) stays DISTRIBUTED as
+    an array column, exactly the k-means centroid pattern.
+    Deterministic seed-free init (doc-id / word-index phase offsets).
+    Emits one row per topic: its mass (share of total H weight) and
+    top-3 words by W.
 
     Scale per iteration: H update is a broadcast-W map over the
     sparse (doc, word, c) rows + one doc-keyed partial-agg shuffle
@@ -182,7 +186,13 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    vocab = sorted(r["w"] for r in tf.select("w").distinct().collect())
+    top = (
+        tf.groupBy("w")
+        .agg(F.sum("c").alias("cf"))
+        .orderBy(F.desc("cf"), "w")
+        .limit(NMF_VOCAB_CAP)  # TakeOrderedAndProject, never a full sort
+    )
+    vocab = sorted(r["w"] for r in top.collect())
     vidx = {w: i for i, w in enumerate(vocab)}
     nv, k = len(vocab), NMF_K
     vmap = F.broadcast(
@@ -318,4 +328,6 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-tx_topic_nmf.__doc__ = tx_topic_nmf.__doc__.format(k=NMF_K, it=NMF_ITERS)
+tx_topic_nmf.__doc__ = tx_topic_nmf.__doc__.format(
+    k=NMF_K, it=NMF_ITERS, cap=NMF_VOCAB_CAP
+)

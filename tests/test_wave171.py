@@ -53,7 +53,11 @@ def _tf_matrix(spark):
 
 
 def test_semdedup_audit_row(spark):
-    from mister_spark.operators.extras171 import SEMDEDUP_TAU
+    from mister_spark.operators.extras171 import (
+        SEMDEDUP_K_MIN,
+        SEMDEDUP_TARGET,
+        SEMDEDUP_TAU,
+    )
 
     r = registry.QUERIES["ds_semdedup"](spark, SF).collect()[0]
     X = _tf_matrix(spark)
@@ -62,7 +66,13 @@ def test_semdedup_audit_row(spark):
     iu = np.triu_indices(len(X), 1)
     brute_pairs = int((S[iu] >= SEMDEDUP_TAU - 1e-9).sum())
     assert r["vectors"] == len(X)
+    # k scales with corpus size (floor applies at this SF)
+    assert r["clusters"] == max(
+        SEMDEDUP_K_MIN, -(-len(X) // SEMDEDUP_TARGET)
+    )
     # soundness: within-cluster dups are a subset of true >=tau pairs
+    # (the kernel cosine is EXACT — sparse 64-bit-token-hash vectors,
+    # not the hashed clustering features)
     assert 0 < r["dup_pairs"] <= brute_pairs
     # recall: clustering may split a few pairs across clusters, not most
     assert r["dup_pairs"] >= 0.7 * brute_pairs, (r["dup_pairs"], brute_pairs)
@@ -70,3 +80,50 @@ def test_semdedup_audit_row(spark):
     assert r["kept"] + r["removed"] == r["vectors"]
     # the clustering must actually prune the quadratic pair space
     assert r["pair_space_pruned"] > 0.5
+    # no cluster may dominate the corpus (the GEMM-skew signal)
+    assert 0.0 < r["max_cluster_share"] <= 0.6, r["max_cluster_share"]
+
+
+def test_semdedup_kernel_bisects_oversized_clusters():
+    """The pair kernel must cap its GEMM block: clusters above `cap`
+    rows are recursively bisected, so compared pairs < full quadratic
+    while every found pair is still a true >=tau pair and near-exact
+    duplicates sitting in the same half are still found."""
+    import pandas as pd
+
+    from mister_spark.operators.extras171 import _semdedup_pair_kernel
+
+    rng = np.random.default_rng(171)
+    n, d, cap, tau = 300, 16, 64, 0.95
+    base = rng.integers(1, 5, size=(n, d)).astype(float)
+    # plant exact duplicates at adjacent ids: (10,11), (200,201)
+    base[11] = base[10]
+    base[201] = base[200]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "tids": [np.arange(d, dtype=np.int64)] * n,
+            "tvals": list(base),
+        }
+    )
+    out = _semdedup_pair_kernel(pdf, tau, cap)
+    compared = int(out.loc[out["cluster_pairs"] >= 0, "cluster_pairs"].sum())
+    assert 0 < compared < n * (n - 1) // 2  # bisection pruned the block
+    found = {
+        (int(r["i"]), int(r["j"]))
+        for _, r in out[out["i"] >= 0].iterrows()
+    }
+    Xn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    for i, j in found:  # soundness under bisection
+        assert S[i, j] >= tau - 1e-9
+    # exact duplicates are cosine-identical, so 2-means puts them in
+    # the same half every split — they must survive the bisection
+    assert (10, 11) in found and (200, 201) in found
+    # uncapped run finds a superset of the capped run's pairs
+    full = _semdedup_pair_kernel(pdf, tau, n + 1)
+    full_found = {
+        (int(r["i"]), int(r["j"]))
+        for _, r in full[full["i"] >= 0].iterrows()
+    }
+    assert found <= full_found

@@ -23,6 +23,14 @@ def test_perplexity_filter_report(spark):
         assert r["avg_nll_per_tok"] > 0
 
 
+def test_nmf_vocab_cap_is_model_sized():
+    """W's driver footprint is bounded by an explicit constant, not by
+    the corpus vocabulary (the 100x-scale contract)."""
+    from mister_spark.operators.extras173 import NMF_K, NMF_VOCAB_CAP
+
+    assert NMF_VOCAB_CAP * NMF_K <= 1 << 20  # O(model), never O(data)
+
+
 def test_nmf_topics(spark):
     from mister_spark.operators.extras173 import NMF_K
 
