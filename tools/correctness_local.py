@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -47,6 +48,20 @@ def main() -> None:
         # keep only records for keys still in the registry
         results = {k: v for k, v in prior.items() if k in registry.QUERIES}
     t0 = time.time()
+    # Sweep provenance (round-4 verdict ask): every record produced by
+    # THIS run carries the commit it was swept at and a wall-clock
+    # timestamp, so tests/test_artifact_sync.py can mechanically detect
+    # a record that predates the last commit touching its source file.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _git(*a: str) -> str:
+        return subprocess.run(
+            ["git", *a], cwd=root, capture_output=True, text=True
+        ).stdout.strip()
+
+    commit = _git("rev-parse", "--short", "HEAD") or "unknown"
+    dirty = bool(_git("status", "--porcelain", "--untracked-files=no"))
+    swept_at = int(t0)
     todo = sorted(registry.QUERIES) if only is None else sorted(only)
     for name in todo:
         fn = registry.QUERIES[name]
@@ -57,6 +72,8 @@ def main() -> None:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            "commit": commit + ("+dirty" if dirty else ""),
+            "swept_at": swept_at,
         }
         try:
             df = fn(spark, sf_dir)
@@ -88,6 +105,9 @@ def main() -> None:
                 or (r["err"] == "no_oracle" and r["spark_rows"] is not None)
             ),
             "elapsed_sec": round(time.time() - t0, 1),
+            "commit": commit + ("+dirty" if dirty else ""),
+            "swept_at": swept_at,
+            "swept_keys": len(todo),
             "contract": "tests/oracle_util.compare — sorted columns, sorted rows, exact values (the driver's hash-equality twin)",
         }
     }
