@@ -16,16 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.text import DUCK_TOKENS, tokens
-from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.common import cat
 from mister_spark.registry import query
 
 DSIR_K = 40  # docs kept by importance resampling
-SEMDEDUP_K_MIN = 8  # k-means cluster floor (k scales with corpus size)
-SEMDEDUP_TARGET = 512  # target docs per cluster: k = max(K_MIN, ceil(n/TARGET))
+SEMDEDUP_K_MIN = 8  # k-means cluster floor
+SEMDEDUP_K_MAX = 16384  # hard cap: centroid state never exceeds K_MAX x DIM
+SEMDEDUP_SAMPLE_CAP = 32768  # k-means fit sample rows (bounded driver state)
 SEMDEDUP_DIM = 256  # feature-hashed clustering dims (fixed, data-independent)
-SEMDEDUP_ITERS = 4
+SEMDEDUP_ITERS = 8  # driver-side numpy Lloyd iterations on the sample
 SEMDEDUP_TAU = 0.95  # intra-cluster cosine dedup threshold
 SEMDEDUP_GEMM_CAP = 2048  # kernel bisects clusters above this row count
+SEMDEDUP_CELL_CAP = 1 << 25  # max dense cells per leaf GEMM block (~256 MB f64)
 
 
 @query(
@@ -126,66 +128,149 @@ def ds_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 ds_dsir.__doc__ = ds_dsir.__doc__.format(k=DSIR_K)
 
 
+def _semdedup_hvecs(tids_list, tvals_list, dim):
+    """Dense feature-hashed TF matrix (batch x dim) from sparse rows:
+    dim j of row r sums the TF of every token whose 64-bit hash is
+    congruent to j mod dim. One vectorized scatter-add — no per-row
+    Python loop, no corpus vocabulary."""
+    import numpy as np
+
+    n = len(tids_list)
+    H = np.zeros((n, dim))
+    if n == 0:
+        return H
+    lens = np.fromiter((len(t) for t in tids_list), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return H
+    rows = np.repeat(np.arange(n), lens)
+    at = np.concatenate([np.asarray(t, dtype=np.int64) for t in tids_list])
+    av = np.concatenate([np.asarray(v, dtype=np.float64) for v in tvals_list])
+    np.add.at(H, (rows, np.mod(at, dim)), av)
+    return H
+
+
+def _semdedup_nearest(X, C, chunk=8192):
+    """argmin_c ||x - c||^2 per row of X, BLAS-blocked: the x^2 term is
+    constant per row so D = c^2 - 2 X C^T suffices for the argmin."""
+    import numpy as np
+
+    c2 = (C**2).sum(axis=1)
+    out = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), chunk):
+        xb = X[s : s + chunk]
+        out[s : s + chunk] = np.argmin(c2[None, :] - 2.0 * (xb @ C.T), axis=1)
+    return out
+
+
+def _semdedup_lloyd(X, k, iters):
+    """Deterministic driver-side Lloyd: init = the k lowest-id sample
+    rows (caller pre-sorts X by id), empty clusters re-seed to the
+    points farthest from their assigned centroid (stable order). X is
+    a BOUNDED sample (<= SEMDEDUP_SAMPLE_CAP rows), so this is
+    model-sized work regardless of corpus size."""
+    import numpy as np
+
+    k = min(k, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        a = _semdedup_nearest(X, C)
+        cnt = np.bincount(a, minlength=k).astype(float)
+        Cn = np.zeros_like(C)
+        np.add.at(Cn, a, X)
+        empty = np.where(cnt == 0)[0]
+        if len(empty):
+            d = ((X - C[a]) ** 2).sum(axis=1)
+            far = np.argsort(-d, kind="stable")[: len(empty)]
+            Cn[empty] = X[far]
+            cnt[empty] = 1.0
+        C = Cn / cnt[:, None]
+    return C
+
+
 def _semdedup_pair_kernel(pdf, tau, cap):
     """Per-cluster similarity kernel: EXACT sparse cosine over the
-    cluster's documents. Builds a cluster-LOCAL dense matrix from the
-    64-bit token-hash sparse vectors (the local vocabulary is bounded
-    by cluster-size x doc-length, never the corpus vocabulary), then
-    compares pairs with a numpy GEMM. Clusters larger than `cap` are
-    recursively bisected with a deterministic 2-means (seeded by the
-    lowest-id row and its cosine-farthest row) so no similarity block
-    ever exceeds cap^2 — the GEMM budget is bounded by construction,
-    not by hoping k-means balanced the space. Emits survivor (i, j)
-    rows plus one summary row carrying the exact count of pairs
-    actually compared."""
+    cluster's documents, with both the GEMM size and the dense memory
+    bounded BY CONSTRUCTION. The cluster's sparse rows (64-bit
+    token-hash TF vectors) are held in CSR-style flat arrays; a block
+    is recursively bisected with a deterministic 2-means on the
+    SEMDEDUP_DIM-dim feature-hashed vectors (computed locally from the sparse
+    rows — cheap, O(rows x {dim}) memory) whenever it has more than
+    `cap` rows OR its dense local-vocab matrix could exceed
+    SEMDEDUP_CELL_CAP cells (rows x nnz is an upper bound on rows x
+    local vocabulary, so the densification that decides duplicates can
+    never OOM on a skewed cluster of long documents). Only a leaf
+    block is densified: one np.unique(return_inverse) builds the
+    hash->local-index map in a single vectorized pass, then a numpy
+    GEMM on exact TF values compares pairs — the cosine that decides
+    duplicates is exact, the bisection heuristic only decides which
+    pairs get compared. Emits survivor (i, j) rows plus one summary
+    row per cluster carrying the exact pair count compared and the
+    cluster size."""
     import numpy as np
     import pandas as pd
 
     ids = pdf["vec_id"].to_numpy()
     order = np.argsort(ids)
     ids = ids[order]
-    tids = [np.asarray(pdf["tids"].iloc[int(o)], dtype=np.int64) for o in order]
-    tvals = [
-        np.asarray(pdf["tvals"].iloc[int(o)], dtype=np.float64) for o in order
-    ]
-    uniq = np.unique(np.concatenate(tids)) if tids else np.array([], np.int64)
-    X = np.zeros((len(ids), len(uniq)))
-    for r, (ti, tv) in enumerate(zip(tids, tvals)):
-        X[r, np.searchsorted(uniq, ti)] = tv
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(ids)
+    tl = [np.asarray(pdf["tids"].iloc[int(o)], dtype=np.int64) for o in order]
+    vl = [np.asarray(pdf["tvals"].iloc[int(o)], dtype=np.float64) for o in order]
+    lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=n)
+    indptr = np.concatenate([[0], np.cumsum(lens)])
+    at = np.concatenate(tl) if n else np.array([], np.int64)
+    av = np.concatenate(vl) if n else np.array([], np.float64)
+    rows_of = np.repeat(np.arange(n), lens)
+    norms = np.sqrt(
+        np.maximum(np.bincount(rows_of, weights=av * av, minlength=n), 1e-24)
+    )
+    H = _semdedup_hvecs(tl, vl, SEMDEDUP_DIM)
+    Hn = H / np.maximum(np.linalg.norm(H, axis=1, keepdims=True), 1e-12)
     out_i, out_j, compared = [], [], 0
 
-    def rec(idx):
+    def leaf(idx):
         nonlocal compared
-        if len(idx) > cap:
-            a = Xn[idx[0]]
-            b = Xn[idx[int(np.argmin(Xn[idx] @ a))]]
-            left = right = None
-            for _ in range(3):
-                da = ((Xn[idx] - a) ** 2).sum(axis=1)
-                db = ((Xn[idx] - b) ** 2).sum(axis=1)
-                mask = da <= db
-                left, right = idx[mask], idx[~mask]
-                if len(left) == 0 or len(right) == 0:
-                    break
-                a = Xn[left].mean(axis=0)
-                b = Xn[right].mean(axis=0)
-            if left is None or len(left) == 0 or len(right) == 0:
-                mid = len(idx) // 2  # degenerate split: halve by id
-                left, right = idx[:mid], idx[mid:]
-            rec(left)
-            rec(right)
-            return
         if len(idx) < 2:
             return
-        S = Xn[idx] @ Xn[idx].T
+        seg = np.concatenate([at[indptr[i] : indptr[i + 1]] for i in idx])
+        segv = np.concatenate([av[indptr[i] : indptr[i + 1]] for i in idx])
+        segr = np.repeat(np.arange(len(idx)), lens[idx])
+        uniq, inv = np.unique(seg, return_inverse=True)
+        X = np.zeros((len(idx), len(uniq)))
+        X[segr, inv] = segv
+        Xn = X / norms[idx][:, None]
+        S = Xn @ Xn.T
         iu, ju = np.triu_indices(len(idx), 1)
         hit = S[iu, ju] >= tau
         compared += len(iu)
         out_i.extend(ids[idx[iu[hit]]])
         out_j.extend(ids[idx[ju[hit]]])
 
-    rec(np.arange(len(ids)))
+    def rec(idx):
+        too_big = len(idx) > cap or (
+            len(idx) * int(lens[idx].sum()) > SEMDEDUP_CELL_CAP
+        )
+        if len(idx) < 2 or not too_big:
+            leaf(idx)
+            return
+        a = Hn[idx[0]]
+        b = Hn[idx[int(np.argmin(Hn[idx] @ a))]]
+        left = right = None
+        for _ in range(3):
+            da = ((Hn[idx] - a) ** 2).sum(axis=1)
+            db = ((Hn[idx] - b) ** 2).sum(axis=1)
+            mask = da <= db
+            left, right = idx[mask], idx[~mask]
+            if len(left) == 0 or len(right) == 0:
+                break
+            a = Hn[left].mean(axis=0)
+            b = Hn[right].mean(axis=0)
+        if left is None or len(left) == 0 or len(right) == 0:
+            mid = len(idx) // 2  # degenerate split: halve by id
+            left, right = idx[:mid], idx[mid:]
+        rec(left)
+        rec(right)
+
+    rec(np.arange(n))
     return pd.concat(
         [
             pd.DataFrame(
@@ -193,143 +278,162 @@ def _semdedup_pair_kernel(pdf, tau, cap):
                     "i": np.asarray(out_i, dtype=np.int64),
                     "j": np.asarray(out_j, dtype=np.int64),
                     "cluster_pairs": np.full(len(out_i), -1, dtype=np.int64),
+                    "cluster_size": np.full(len(out_i), -1, dtype=np.int64),
                 }
             ),
-            pd.DataFrame({"i": [-1], "j": [-1], "cluster_pairs": [compared]}),
+            pd.DataFrame(
+                {
+                    "i": [-1],
+                    "j": [-1],
+                    "cluster_pairs": [compared],
+                    "cluster_size": [n],
+                }
+            ),
         ],
         ignore_index=True,
     )
 
 
-@query("ds_semdedup")  # iterative k-means upstream → rows-only
+_SEMDEDUP_AUDIT_SCHEMA = (
+    "vectors long, clusters int, candidate_pairs long, dup_pairs long, "
+    "removed long, kept long, pair_space_pruned double, "
+    "max_cluster_share double"
+)
+
+
+def _semdedup_hv_iter(batches):
+    """mapInPandas: sparse TF rows -> (SEMDEDUP_DIM-dim hashed vector)
+    rows, for the bounded k-means fit sample."""
+    import pandas as pd
+
+    for pdf in batches:
+        H = _semdedup_hvecs(list(pdf["tids"]), list(pdf["tvals"]), SEMDEDUP_DIM)
+        yield pd.DataFrame(
+            {"vec_id": pdf["vec_id"].to_numpy(), "hvec": list(H)}
+        )
+
+
+@query("ds_semdedup")  # sample-fit k-means upstream → rows-only
 def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over DOCUMENT term-frequency vectors (the raw
     embeddings table is isotropic noise — max pairwise cosine 0.51 —
     so the semantic structure lives in the text). Two representations,
     each sized for its job: (1) a FEATURE-HASHED {d}-dim TF vector
-    (token -> xxhash64 mod {d}) drives Lloyd's k-means — the dimension
-    is fixed and data-independent, so no corpus vocabulary is ever
-    collected to the driver and centroid state is O(k*{d}) regardless
-    of Heaps-law vocab growth; (2) the EXACT sparse TF vector keyed by
+    (token hash mod {d}) drives the k-means blocking — the dimension is
+    fixed and data-independent, so no corpus vocabulary is ever
+    collected to the driver; (2) the EXACT sparse TF vector keyed by
     64-bit token hashes rides into the pair kernel, so the cosine that
-    decides duplicates is exact, not hashed. k scales with corpus
-    size (k = max({kmin}, ceil(n/{tgt})) — expected cluster size stays
-    constant at 100x the data), {it} Lloyd iterations, deterministic
-    lowest-doc_id init. Within each cluster a document is dropped when
-    a LOWER-id cluster-mate exceeds cosine {tau} (greedy keep-first,
-    the paper's convention). Emits the audit row: vectors, clusters,
-    candidate pairs actually compared, duplicate pairs, documents
-    removed/kept, the share of the quadratic pair space pruned, and
-    the largest cluster's share of all vectors (the skew signal).
+    decides duplicates is exact, not hashed. The k-means model is FIT
+    ON A BOUNDED SAMPLE ({samp} hash-lowest rows, deterministic) with
+    {it} numpy Lloyd iterations on the driver — model-sized work and
+    state no matter the corpus — and k = max({kmin},
+    min(ceil(sqrt(n)), {kmax})): sublinear centroid growth, centroid
+    state hard-capped at {kmax}x{d} doubles, with oversized clusters
+    absorbed by the kernel's recursive bisection instead of by growing
+    k. Assignment is ONE distributed pass: an Arrow-batched
+    mapInPandas scores each doc against ceil(sqrt(k)) coarse cells
+    then only that cell's fine centroids (two-level / IVF-style, the
+    standard O(n*sqrt(k)) approximation), so there is no per-iteration
+    Spark job chain and no crossJoin against all k centroids. Within
+    each cluster a document is dropped when a LOWER-id cluster-mate
+    exceeds cosine {tau} (greedy keep-first, the paper's convention).
+    Emits the audit row: vectors, surviving clusters, candidate pairs
+    actually compared, duplicate pairs, documents removed/kept, the
+    share of the quadratic pair space pruned, and the largest
+    cluster's share of all vectors (the skew signal).
 
-    Scale: the pair budget is sum over clusters of n_c^2 with
-    E[n_c] = {tgt} fixed; each k-means iteration is a broadcast
-    assignment + one (cid, dim) partial-agg shuffle; the similarity
-    stage is one Arrow-batched applyInPandas GEMM per cluster
-    (block-matmul, the dd_embedding_cosine lesson), and the kernel
-    recursively bisects any cluster above {cap} rows before the GEMM
-    so a skewed cluster can never go quadratic in the corpus; only
-    survivor (i, j) rows plus one count row per cluster leave it."""
-    from mister_spark.operators.ml import _sq_dist
+    Scale: two token shuffles build the sparse vectors, one shuffle
+    keys them by cluster id; the fit sample is a TakeOrdered of {samp}
+    x {d}-double rows; the similarity stage is one Arrow-batched
+    applyInPandas per cluster whose GEMM blocks are capped at {cap}
+    rows AND SEMDEDUP_CELL_CAP dense cells by recursive bisection, so
+    neither compute nor memory can go quadratic in the corpus; only
+    survivor (i, j) rows plus one summary row per cluster leave it."""
+    import numpy as np
 
     docs = cat(spark, sf_dir)["documents"]
-    feat = (
+    sparse = (
         docs.select("doc_id", F.explode(tokens()).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .select(
-            "doc_id",
-            F.xxhash64("w").alias("tid"),
-            F.pmod(F.xxhash64("w"), F.lit(SEMDEDUP_DIM)).cast("int").alias("hidx"),
-            "c",
-        )
-    )
-    hashed = (
-        feat.groupBy("doc_id", "hidx")
-        .agg(F.sum("c").alias("hc"))
+        .select("doc_id", F.xxhash64("w").alias("tid"), "c")
         .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("hidx", "hc"))).alias("m"))
-        .select(
-            F.col("doc_id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SEMDEDUP_DIM - 1)),
-                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
-            ).alias("embedding"),
-        )
-        .localCheckpoint()
-    )
-    sparse = (
-        feat.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("tid", "c"))).alias("sp"))
         .select(
             F.col("doc_id").alias("vec_id"),
             F.col("sp.tid").alias("tids"),
             F.col("sp.c").alias("tvals"),
         )
+        .localCheckpoint()
     )
-    n = hashed.count()
-    k = max(SEMDEDUP_K_MIN, -(-n // SEMDEDUP_TARGET))
-    cent_rows = [
-        [float(x) for x in r["embedding"]]
-        for r in hashed.orderBy("vec_id").limit(k).collect()
-    ]
-    centroids = list(enumerate(cent_rows))
-    assign = None
-    for _ in range(SEMDEDUP_ITERS):
-        cdf = F.broadcast(
-            spark.createDataFrame(centroids, "cid int, cvec array<double>")
+    n = sparse.count()
+    if n < 2:
+        return spark.createDataFrame(
+            [(n, n, 0, 0, 0, n, 1.0, 1.0 if n else 0.0)],
+            _SEMDEDUP_AUDIT_SCHEMA,
         )
-        assign = (
-            hashed.crossJoin(cdf)
-            .select(
-                "vec_id",
-                "embedding",
-                "cid",
-                _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("cid", "d2").alias("cid"),
-                F.first("embedding").alias("embedding"),
-            )
+    k = max(SEMDEDUP_K_MIN, min(int(np.ceil(np.sqrt(n))), SEMDEDUP_K_MAX, n))
+    # fit sample: deterministic hash-order cap (uniform, reproducible),
+    # re-sorted by id so Lloyd's lowest-id init is stable
+    samp = (
+        sparse.mapInPandas(
+            _semdedup_hv_iter, "vec_id long, hvec array<double>"
         )
-        new_c = (
-            assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
-            )
-        )
-        centroids = [
-            (int(r["cid"]), [float(x) for x in r["cvec"]])
-            for r in new_c.collect()
-        ]
-    final = assign.select("vec_id", "cid").localCheckpoint()
-    max_share = (
-        final.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .agg((F.max("sz") / F.lit(float(n))).alias("s"))
-        .collect()[0]["s"]
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(SEMDEDUP_SAMPLE_CAP)
+        .collect()
     )
+    samp.sort(key=lambda r: r["vec_id"])
+    fit = np.array([r["hvec"] for r in samp])
+    fine = _semdedup_lloyd(fit, k, SEMDEDUP_ITERS)
+    # two-level index: mini-Lloyd groups the k fine centroids into
+    # ceil(sqrt(k)) coarse cells; empty cells are dropped
+    coarse = _semdedup_lloyd(fine, int(np.ceil(np.sqrt(len(fine)))), 4)
+    f2c = _semdedup_nearest(fine, coarse)
+    members = [np.where(f2c == cc)[0] for cc in range(len(coarse))]
+    keep = [cc for cc in range(len(coarse)) if len(members[cc])]
+    coarse, members = coarse[keep], [members[cc] for cc in keep]
+    model = spark.sparkContext.broadcast(
+        {"coarse": coarse, "fine": fine, "members": members}
+    )
+
+    def assign_iter(batches):
+        m = model.value
+        for pdf in batches:
+            H = _semdedup_hvecs(
+                list(pdf["tids"]), list(pdf["tvals"]), SEMDEDUP_DIM
+            )
+            cc = _semdedup_nearest(H, m["coarse"])
+            cid = np.empty(len(H), dtype=np.int64)
+            for cell in np.unique(cc):
+                rows = np.where(cc == cell)[0]
+                mem = m["members"][cell]
+                cid[rows] = mem[_semdedup_nearest(H[rows], m["fine"][mem])]
+            out = pdf[["vec_id", "tids", "tvals"]].copy()
+            out.insert(0, "cid", cid)
+            yield out
+
     tau, cap = SEMDEDUP_TAU, SEMDEDUP_GEMM_CAP
     blocks = (
-        sparse.join(final, "vec_id")
+        sparse.mapInPandas(
+            assign_iter,
+            "cid long, vec_id long, tids array<bigint>, tvals array<double>",
+        )
         .groupBy("cid")
         .applyInPandas(
             lambda pdf: _semdedup_pair_kernel(pdf, tau, cap),
-            "i long, j long, cluster_pairs long",
+            "i long, j long, cluster_pairs long, cluster_size long",
         )
         .localCheckpoint()
     )
-    n_pairs = (
+    summary = (
         blocks.filter(F.col("cluster_pairs") >= 0)
-        .agg(F.sum("cluster_pairs"))
-        .collect()[0][0]
+        .agg(
+            F.sum("cluster_pairs").alias("pairs"),
+            F.count(F.lit(1)).alias("surviving"),
+            F.max("cluster_size").alias("max_sz"),
+        )
+        .collect()[0]
     )
     dups = blocks.filter(F.col("i") >= 0)
     n_dup_pairs = dups.count()
@@ -339,24 +443,23 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n,
-                k,
-                n_pairs,
+                int(summary["surviving"]),
+                int(summary["pairs"]),
                 n_dup_pairs,
                 removed,
                 n - removed,
-                round(1.0 - n_pairs / quad, 4),
-                round(float(max_share), 4),
+                round(1.0 - summary["pairs"] / quad, 4),
+                round(summary["max_sz"] / n, 4),
             )
         ],
-        "vectors long, clusters int, candidate_pairs long, dup_pairs long, "
-        "removed long, kept long, pair_space_pruned double, "
-        "max_cluster_share double",
+        _SEMDEDUP_AUDIT_SCHEMA,
     )
 
 
 ds_semdedup.__doc__ = ds_semdedup.__doc__.format(
     kmin=SEMDEDUP_K_MIN,
-    tgt=SEMDEDUP_TARGET,
+    kmax=SEMDEDUP_K_MAX,
+    samp=SEMDEDUP_SAMPLE_CAP,
     d=SEMDEDUP_DIM,
     it=SEMDEDUP_ITERS,
     tau=SEMDEDUP_TAU,

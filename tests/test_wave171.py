@@ -54,8 +54,8 @@ def _tf_matrix(spark):
 
 def test_semdedup_audit_row(spark):
     from mister_spark.operators.extras171 import (
+        SEMDEDUP_K_MAX,
         SEMDEDUP_K_MIN,
-        SEMDEDUP_TARGET,
         SEMDEDUP_TAU,
     )
 
@@ -66,10 +66,12 @@ def test_semdedup_audit_row(spark):
     iu = np.triu_indices(len(X), 1)
     brute_pairs = int((S[iu] >= SEMDEDUP_TAU - 1e-9).sum())
     assert r["vectors"] == len(X)
-    # k scales with corpus size (floor applies at this SF)
-    assert r["clusters"] == max(
-        SEMDEDUP_K_MIN, -(-len(X) // SEMDEDUP_TARGET)
+    # k grows SUBLINEARLY (ceil(sqrt(n)), capped): the audit reports
+    # surviving clusters, which can only be <= the k formula
+    k_formula = max(
+        SEMDEDUP_K_MIN, min(-(-int(np.ceil(np.sqrt(len(X))))), SEMDEDUP_K_MAX)
     )
+    assert SEMDEDUP_K_MIN < r["clusters"] <= k_formula
     # soundness: within-cluster dups are a subset of true >=tau pairs
     # (the kernel cosine is EXACT — sparse 64-bit-token-hash vectors,
     # not the hashed clustering features)
@@ -127,3 +129,43 @@ def test_semdedup_kernel_bisects_oversized_clusters():
         for _, r in full[full["i"] >= 0].iterrows()
     }
     assert found <= full_found
+
+
+def test_semdedup_kernel_cell_cap_bounds_dense_memory(monkeypatch):
+    """The kernel must bisect a block whose DENSE local-vocab matrix
+    would exceed SEMDEDUP_CELL_CAP cells even when the row count is
+    under the GEMM cap — the memory bound is by construction, not by
+    hoping clusters have small vocabularies. Planted exact duplicates
+    must still be found (identical rows land on the same side of every
+    2-means split), and every emitted pair is a true >=tau pair."""
+    import pandas as pd
+
+    from mister_spark.operators import extras171
+    from mister_spark.operators.extras171 import _semdedup_pair_kernel
+
+    rng = np.random.default_rng(172)
+    n, d, tau = 200, 32, 0.95
+    base = rng.integers(1, 5, size=(n, d)).astype(float)
+    base[51] = base[50]
+    # mostly-disjoint vocabularies: row r's token ids live in its own
+    # 32-id band, so the union vocab is n*d — the dense-densify trap
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "tids": [np.arange(r * d, (r + 1) * d, dtype=np.int64) for r in range(n)],
+            "tvals": list(base),
+        }
+    )
+    pdf.at[51, "tids"] = pdf.at[50, "tids"]  # duplicates share tokens
+    # force the cell cap below n * nnz so the guard must bisect
+    monkeypatch.setattr(extras171, "SEMDEDUP_CELL_CAP", 64 * n)
+    out = _semdedup_pair_kernel(pdf, tau, cap=n + 1)
+    compared = int(out.loc[out["cluster_pairs"] >= 0, "cluster_pairs"].sum())
+    assert 0 < compared < n * (n - 1) // 2  # the cap pruned the block
+    found = {
+        (int(r["i"]), int(r["j"])) for _, r in out[out["i"] >= 0].iterrows()
+    }
+    assert (50, 51) in found
+    # soundness: disjoint-vocab rows have cosine 0, so only the
+    # planted duplicate pair may ever be emitted
+    assert found == {(50, 51)}
