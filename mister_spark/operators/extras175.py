@@ -102,7 +102,11 @@ def io_iceberg_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot subtracts exactly the matching rows at scan time, the
     PRE-delete snapshot still reads the full row set (time travel
     across a delete), and the delete file row count equals the rows
-    removed.
+    removed. A SECOND, OVERLAPPING delete (o_totalprice > 150000, a
+    superset predicate) then verifies the stacked-delete contract:
+    already-deleted positions are never re-matched, (file_path, pos)
+    pairs stay unique across every delete file, and
+    rows_before - rows_after == sum of both reports' deleted_rows.
 
     Scale: the delete writes only (file_path, pos) pairs via a Spark
     job over `_metadata.row_index`; the read-side anti-join broadcasts
@@ -152,6 +156,30 @@ def io_iceberg_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             for dp in [os.path.join(root, "t", "data")]
             for p in sorted(os.listdir(dp))
         }
+        # stacked, OVERLAPPING delete: the superset predicate re-covers
+        # every already-deleted row; only live rows may match
+        expect_deleted2 = after.filter("o_totalprice > 150000").count()
+        report2 = delete_where(spark, dest, "o_totalprice > 150000")
+        rows_after2 = read_iceberg(spark, dest).count()
+        from mister_spark.sources.iceberg import (
+            _snapshot_files,
+            current_metadata,
+        )
+
+        md = current_metadata(dest)
+        snap = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, delete_paths = _snapshot_files(snap)
+        dup_delete_pairs = (
+            spark.read.parquet(*delete_paths)
+            .groupBy("file_path", "pos")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -165,9 +193,18 @@ def io_iceberg_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(time_travel_rows),
                 int(data_census == data_census2),
                 int(rows_before - rows_after == report["deleted_rows"]),
+                int(report2["deleted_rows"]),
+                int(expect_deleted2),
+                int(
+                    rows_before - rows_after2
+                    == report["deleted_rows"] + report2["deleted_rows"]
+                ),
+                int(dup_delete_pairs),
             )
         ],
         "rows_before long, rows_after long, deleted_rows long, "
         "expected_deleted long, still_matching long, time_travel_rows long, "
-        "data_files_untouched int, counts_reconcile int",
+        "data_files_untouched int, counts_reconcile int, "
+        "deleted_rows_2 long, expected_deleted_2 long, "
+        "stacked_counts_reconcile int, dup_delete_pairs long",
     )

@@ -324,7 +324,13 @@ def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
     snapshots, and delete manifest lists / manifests no retained
     snapshot references. Data files are NOT touched here (that is
     orphan-file cleanup, a separate maintenance action in real
-    Iceberg too). Returns {"expired", "kept", "deleted_files"}."""
+    Iceberg too) — but POSITION-DELETE files are: they live inside
+    ``metadata/delete-<sid>`` directories this module wrote, so a
+    delete file (and its directory, once empty of parquet) is removed
+    together with the last manifest that references it. Returns
+    {"expired", "kept", "deleted_files"}."""
+    import shutil
+
     meta_dir = os.path.join(dest, "metadata")
     md = current_metadata(dest)
     if retain_last < 1:
@@ -333,11 +339,17 @@ def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
     kept, expired = snaps[-retain_last:], snaps[:-retain_last]
     keep_mlists = {s["manifest-list"] for s in kept}
     keep_manifests = set()
+    keep_delete_files = set()
     for s in kept:
         with open(s["manifest-list"]) as f:
             for rec in json.load(f):
                 keep_manifests.add(rec["manifest_path"])
+                with open(rec["manifest_path"]) as mf:
+                    for e in json.load(mf)["entries"]:
+                        if e["data_file"].get("content") == 1:
+                            keep_delete_files.add(e["data_file"]["file_path"])
     deleted = []
+    abs_meta = os.path.abspath(meta_dir)
     for s in expired:
         mlist_path = s["manifest-list"]
         if mlist_path in keep_mlists:
@@ -345,9 +357,26 @@ def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
         with open(mlist_path) as f:
             for rec in json.load(f):
                 mp = rec["manifest_path"]
-                if mp not in keep_manifests and os.path.exists(mp):
-                    os.remove(mp)
-                    deleted.append(os.path.basename(mp))
+                if mp in keep_manifests or not os.path.exists(mp):
+                    continue
+                with open(mp) as mf:
+                    entries = json.load(mf)["entries"]
+                for e in entries:
+                    d = e["data_file"]
+                    fp = d["file_path"]
+                    if (
+                        d.get("content") == 1
+                        and fp not in keep_delete_files
+                        and os.path.abspath(fp).startswith(abs_meta + os.sep)
+                        and os.path.exists(fp)
+                    ):
+                        os.remove(fp)
+                        deleted.append(os.path.basename(fp))
+                        pd_ = os.path.dirname(fp)
+                        if not _parquet_files(pd_):
+                            shutil.rmtree(pd_, ignore_errors=True)
+                os.remove(mp)
+                deleted.append(os.path.basename(mp))
         os.remove(mlist_path)
         deleted.append(os.path.basename(mlist_path))
     kept_ids = {s["snapshot-id"] for s in kept}
@@ -383,6 +412,24 @@ def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
     }
 
 
+def _mlist_total_records(mlist: list[dict]) -> int:
+    """Live table row count implied by a manifest list: data-file rows
+    (content=0) minus position-delete rows (content=1). Exact as long
+    as delete files never repeat a (file_path, pos) pair — which
+    `delete_where` guarantees by matching against the delete-applied
+    view."""
+    total = 0
+    for rec in mlist:
+        with open(rec["manifest_path"]) as f:
+            for e in json.load(f)["entries"]:
+                if e["status"] == 2:  # DELETED
+                    continue
+                d = e["data_file"]
+                rc = int(d["record_count"])
+                total += -rc if d.get("content") == 1 else rc
+    return total
+
+
 def current_metadata(dest: str) -> dict:
     meta_dir = os.path.join(dest, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
@@ -401,28 +448,54 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
     rewritten; readers subtract the deleted positions at scan time
     (`read_iceberg` does). Returns {"snapshot_id", "deleted_rows"}.
 
+    Stacked deletes are handled the way the spec's sequence numbers
+    imply: the match scan runs against the DELETE-APPLIED view (prior
+    content=1 files are anti-joined out first), so a second delete
+    whose condition overlaps an earlier one can neither re-count nor
+    re-write already-deleted positions — (file_path, pos) pairs stay
+    unique across the whole delete set and
+    rows_before - rows_after == sum(deleted_rows) holds for any
+    sequence of deletes. Helper columns use the reserved ``__ice_``
+    prefix so a table column literally named ``file_path``/``pos``
+    cannot collide with the scan's bookkeeping.
+
     Scale: the matching positions are computed and written by a Spark
     job over `_metadata.row_index` (never collected); commit cost is
     O(metadata)."""
     md = current_metadata(dest)
     sid = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-    data_paths, _ = _snapshot_files(snap)
+    data_paths, delete_paths = _snapshot_files(snap)
     if not data_paths:
         return {"snapshot_id": sid, "deleted_rows": 0}
     from pyspark.sql import functions as F
 
-    matches = (
+    scan = (
         spark.read.option("mergeSchema", "true").parquet(*data_paths)
         .select(
             F.regexp_replace("_metadata.file_path", "^file:", "").alias(
-                "file_path"
+                "__ice_fp"
             ),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
             "*",
         )
-        .filter(condition)
-        .select("file_path", "pos")
+    )
+    if delete_paths:
+        # subtract rows earlier deletes already removed: a stacked
+        # delete must only match LIVE rows
+        prior = spark.read.parquet(*delete_paths).select(
+            F.col("file_path").alias("__ice_del_fp"),
+            F.col("pos").alias("__ice_del_pos"),
+        )
+        scan = scan.join(
+            F.broadcast(prior),
+            (F.col("__ice_fp") == F.col("__ice_del_fp"))
+            & (F.col("__ice_pos") == F.col("__ice_del_pos")),
+            "left_anti",
+        )
+    matches = scan.filter(condition).select(
+        F.col("__ice_fp").alias("file_path"),
+        F.col("__ice_pos").alias("pos"),
     )
     meta_dir = os.path.join(dest, "metadata")
     new_sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
@@ -471,25 +544,36 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
     mlist_path = os.path.join(meta_dir, f"snap-{new_sid}-manifest-list.avro.json")
     with open(mlist_path, "w") as f:
         json.dump(new_mlist, f, indent=1)
+    # summary total-records is the TABLE total after the commit (the
+    # spec's semantics), i.e. live data rows minus every position
+    # delete — exact because stacked deletes never duplicate a
+    # (file_path, pos) pair; the commit timestamp advances
+    # monotonically even when the wall clock stalls within one ms
+    total_records = _mlist_total_records(new_mlist)
+    import time
+
+    ts_ms = max(int(time.time() * 1000), md["last-updated-ms"] + 1)
     md["snapshots"].append(
         {
             "snapshot-id": new_sid,
             "parent-snapshot-id": sid,
             "sequence-number": new_sid,
-            "timestamp-ms": md["last-updated-ms"],
+            "timestamp-ms": ts_ms,
             "manifest-list": os.path.abspath(mlist_path),
             "summary": {
                 "operation": "delete",
-                "total-records": str(int(n_deleted)),
+                "deleted-records": str(int(n_deleted)),
+                "total-records": str(int(total_records)),
             },
             "schema-id": md["current-schema-id"],
         }
     )
     md["snapshot-log"].append(
-        {"timestamp-ms": md["last-updated-ms"], "snapshot-id": new_sid}
+        {"timestamp-ms": ts_ms, "snapshot-id": new_sid}
     )
     md["current-snapshot-id"] = new_sid
     md["last-sequence-number"] = new_sid
+    md["last-updated-ms"] = ts_ms
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
         hint = int(f.read().strip())
     with open(
@@ -582,21 +666,22 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     dels = spark.read.parquet(*delete_paths).select(
-        F.col("file_path").alias("_del_fp"), F.col("pos").alias("_del_pos")
+        F.col("file_path").alias("__ice_del_fp"),
+        F.col("pos").alias("__ice_del_pos"),
     )
     cols = df.columns
     return (
         df.select(
             F.regexp_replace("_metadata.file_path", "^file:", "").alias(
-                "_fp"
+                "__ice_fp"
             ),
-            F.col("_metadata.row_index").alias("_pos"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
             "*",
         )
         .join(
             F.broadcast(dels),
-            (F.col("_fp") == F.col("_del_fp"))
-            & (F.col("_pos") == F.col("_del_pos")),
+            (F.col("__ice_fp") == F.col("__ice_del_fp"))
+            & (F.col("__ice_pos") == F.col("__ice_del_pos")),
             "left_anti",
         )
         .select(*cols)

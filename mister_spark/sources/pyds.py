@@ -124,7 +124,11 @@ class JsonlSinkWriter(DataSourceWriter):
 
         total = 0
         for m in messages:
-            _os.rename(m.path, m.path.replace("_tmp_", ""))
+            # strip the staging prefix from the BASENAME only — a
+            # destination directory whose own name contains "_tmp_"
+            # must not be rewritten by the rename
+            d, b = _os.path.split(m.path)
+            _os.rename(m.path, _os.path.join(d, b.replace("_tmp_", "", 1)))
             total += m.rows
         with open(_os.path.join(self.dir, "_SUCCESS"), "w") as f:
             f.write(str(total))

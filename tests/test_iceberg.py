@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from mister_spark.sources.iceberg import (
     current_metadata,
+    delete_where,
+    expire_snapshots,
     export_iceberg,
     read_iceberg,
 )
@@ -101,6 +103,102 @@ def test_metadata_tree_is_spec_shaped(spark, tmp_path, table):
     # the Avro-substitution is impossible to miss
     assert meta_path.endswith(".metadata.json")
     assert all(r["manifest_path"].endswith(".avro.json") for r in mlist)
+
+
+def test_stacked_overlapping_deletes_reconcile(spark, tmp_path, table):
+    """Two deletes whose predicates overlap: the second must only
+    remove rows still live after the first — deleted_rows never
+    double-counts, no (file_path, pos) pair repeats, the summary's
+    total-records tracks the live row count, and snapshot timestamps
+    advance monotonically."""
+    dest = str(tmp_path / "ice")
+    export_iceberg(table, dest)
+    before = read_iceberg(spark, dest).count()
+    r1 = delete_where(spark, dest, "o_totalprice > 200000")
+    live = read_iceberg(spark, dest)
+    expect2 = live.filter("o_totalprice > 150000").count()
+    r2 = delete_where(spark, dest, "o_totalprice > 150000")  # superset
+    after = read_iceberg(spark, dest).count()
+    assert r1["deleted_rows"] > 0 and r2["deleted_rows"] == expect2 > 0
+    assert before - after == r1["deleted_rows"] + r2["deleted_rows"]
+    md = current_metadata(dest)
+    snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    from mister_spark.sources.iceberg import _snapshot_files
+
+    _, delete_paths = _snapshot_files(snap)
+    pairs = spark.read.parquet(*delete_paths).collect()
+    assert len(pairs) == len({(p["file_path"], p["pos"]) for p in pairs})
+    # spec summary semantics: total-records = live rows after commit
+    assert int(snap["summary"]["total-records"]) == after
+    assert int(snap["summary"]["deleted-records"]) == r2["deleted_rows"]
+    ts = [s["timestamp-ms"] for s in md["snapshots"]]
+    assert all(a < b for a, b in zip(ts[-3:], ts[-2:]))
+
+
+def test_expire_removes_orphaned_delete_files(spark, tmp_path, table):
+    """Expiring past a delete snapshot must also remove the position
+    delete parquet (and its metadata/delete-<sid> dir) once no kept
+    snapshot references it — no orphans left behind. A delete file
+    becomes unreferenced when a later REWRITE/compaction commit drops
+    the delete manifest from its manifest list (real Iceberg's
+    rewrite_data_files), so the test appends such a commit by hand."""
+    dest = str(tmp_path / "ice")
+    export_iceberg(table, dest)
+    delete_where(spark, dest, "o_totalprice > 200000")
+    meta_dir = os.path.join(dest, "metadata")
+    assert [d for d in os.listdir(meta_dir) if d.startswith("delete-")]
+    # expire keeps the delete snapshot -> its file stays referenced
+    expire_snapshots(dest, retain_last=1)
+    assert [d for d in os.listdir(meta_dir) if d.startswith("delete-")]
+    # hand-craft a rewrite commit: same data manifests, delete
+    # manifests dropped (as a compaction that applied them would do)
+    md = current_metadata(dest)
+    cur = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(cur["manifest-list"]) as f:
+        mlist = json.load(f)
+    data_only = [rec for rec in mlist if rec.get("content") != 1]
+    assert len(data_only) < len(mlist)  # a delete manifest existed
+    new_sid = cur["snapshot-id"] + 1
+    new_mlist_path = os.path.join(
+        meta_dir, f"snap-{new_sid}-manifest-list.avro.json"
+    )
+    with open(new_mlist_path, "w") as f:
+        json.dump(data_only, f)
+    md["snapshots"].append(
+        {
+            "snapshot-id": new_sid,
+            "parent-snapshot-id": cur["snapshot-id"],
+            "sequence-number": new_sid,
+            "timestamp-ms": cur["timestamp-ms"] + 1,
+            "manifest-list": os.path.abspath(new_mlist_path),
+            "summary": {"operation": "replace"},
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md["snapshot-log"].append(
+        {"timestamp-ms": cur["timestamp-ms"] + 1, "snapshot-id": new_sid}
+    )
+    md["current-snapshot-id"] = new_sid
+    md["last-sequence-number"] = new_sid
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(hint + 1))
+    # expiring down to the rewrite commit orphans the delete manifest:
+    # its parquet and delete-<sid> dir must be cleaned with it
+    rep = expire_snapshots(dest, retain_last=1)
+    assert any(n.startswith("manifest-delete-") for n in rep["deleted_files"])
+    remaining = [d for d in os.listdir(meta_dir) if d.startswith("delete-")]
+    assert remaining == [], (remaining, rep)
+    assert read_iceberg(spark, dest).count() > 0
 
 
 def test_list_typed_columns_export(spark, tmp_path):

@@ -38,3 +38,9 @@ def test_iceberg_mor_delete_contract(spark):
     assert r["still_matching"] == 0
     # time travel to the pre-delete snapshot still sees every row
     assert r["time_travel_rows"] == r["rows_before"]
+    # stacked OVERLAPPING delete: only live rows match the superset
+    # predicate, positions never duplicate, and the row arithmetic
+    # holds across BOTH deletes
+    assert r["deleted_rows_2"] == r["expected_deleted_2"] > 0
+    assert r["stacked_counts_reconcile"] == 1
+    assert r["dup_delete_pairs"] == 0
