@@ -17,13 +17,12 @@ Spec-conformance notes, stated loudly:
   schemas with field-ids, partition-specs, sort-orders, the snapshot
   list with parent links / sequence numbers / operation summaries, and
   the snapshot-log.
-- Manifest lists and manifest files carry the spec's exact field names
-  (``manifest_path``, ``added_snapshot_id``, ``data_file.record_count``
-  …) but are serialized as JSON, NOT Avro: the sandbox has no Avro
-  writer (no spark-avro jar, no fastavro). A real Iceberg reader needs
-  Avro manifests, so files are suffixed ``.avro.json`` to make the
-  substitution impossible to miss; swapping the serializer is the only
-  change needed when an Avro writer is available.
+- Manifest lists and manifest files are REAL Avro object container
+  files (``.avro``), written by the pure-Python codec in
+  ``mister_spark.sources.avro`` with the spec's v2 field names and
+  field-ids (``manifest_path``/500, ``added_data_files_count``/504,
+  ``data_file.record_count``/103, …) embedded in the Avro schema —
+  the layout a real Iceberg reader expects.
 
 Schema field-ids are assigned in column order (1..N, nested element
 ids after all top-level ids) — the initial-assignment rule the spec
@@ -41,9 +40,90 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
+from mister_spark.sources.avro import read_container, write_container
 from mister_spark.sources.snapshots import SnapshotTable
 
 _PRIMITIVES: dict[Any, str] = {}
+
+
+def _af(name: str, typ: Any, fid: int) -> dict:
+    """Avro record field carrying Iceberg's field-id attribute (rides
+    through the codec verbatim — real Iceberg readers map by id)."""
+    f = {"name": name, "type": typ, "field-id": fid}
+    if isinstance(typ, list) and "null" in typ:
+        f["default"] = None
+    return f
+
+
+# manifest_file — the manifest-list entry record (spec v2 names + ids)
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _af("manifest_path", "string", 500),
+        _af("manifest_length", "long", 501),
+        _af("partition_spec_id", "int", 502),
+        _af("content", "int", 517),
+        _af("sequence_number", "long", 515),
+        _af("min_sequence_number", "long", 516),
+        _af("added_snapshot_id", "long", 503),
+        _af("added_data_files_count", "int", 504),
+        _af("existing_data_files_count", "int", 505),
+        _af("deleted_data_files_count", "int", 506),
+        _af("added_rows_count", "long", 512),
+        _af("existing_rows_count", "long", 513),
+        _af("deleted_rows_count", "long", 514),
+    ],
+}
+
+# manifest_entry — one data/delete file per record (spec v2 names+ids);
+# partition is the unpartitioned spec's empty struct r102
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _af("status", "int", 0),
+        _af("snapshot_id", ["null", "long"], 1),
+        _af("sequence_number", ["null", "long"], 3),
+        _af("file_sequence_number", ["null", "long"], 4),
+        _af(
+            "data_file",
+            {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    _af("content", "int", 134),
+                    _af("file_path", "string", 100),
+                    _af("file_format", "string", 101),
+                    _af(
+                        "partition",
+                        {"type": "record", "name": "r102", "fields": []},
+                        102,
+                    ),
+                    _af("record_count", "long", 103),
+                    _af("file_size_in_bytes", "long", 104),
+                ],
+            },
+            2,
+        ),
+    ],
+}
+
+
+def _write_manifest(path: str, entries: list[dict]) -> None:
+    write_container(path, MANIFEST_ENTRY_SCHEMA, entries)
+
+
+def _read_manifest(path: str) -> list[dict]:
+    return read_container(path)[1]
+
+
+def _write_manifest_list(path: str, recs: list[dict]) -> None:
+    write_container(path, MANIFEST_FILE_SCHEMA, recs)
+
+
+def _read_manifest_list(path: str) -> list[dict]:
+    return read_container(path)[1]
 
 
 def _arrow_to_iceberg(t: pa.DataType, next_id: list[int]) -> Any:
@@ -212,10 +292,9 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
                     },
                 }
             )
-        name = f"manifest-{rel_dir.replace('/', '-')}.avro.json"
+        name = f"manifest-{rel_dir.replace('/', '-')}.avro"
         path = os.path.join(meta_dir, name)
-        with open(path, "w") as f:
-            json.dump({"entries": entries}, f, indent=1)
+        _write_manifest(path, entries)
         rec = {
             "manifest_path": os.path.abspath(path),
             "manifest_length": os.path.getsize(path),
@@ -224,9 +303,9 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
             "sequence_number": snapshot_id,
             "min_sequence_number": snapshot_id,
             "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
             "added_rows_count": n_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
@@ -257,11 +336,10 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
             rec = manifest(e["dir"], abs_dir, sid)
             mlist.append(rec)
             total_rows += rec["added_rows_count"]
-            total_files += rec["added_files_count"]
-        mlist_name = f"snap-{sid}-manifest-list.avro.json"
+            total_files += rec["added_data_files_count"]
+        mlist_name = f"snap-{sid}-manifest-list.avro"
         mlist_path = os.path.join(meta_dir, mlist_name)
-        with open(mlist_path, "w") as f:
-            json.dump(mlist, f, indent=1)
+        _write_manifest_list(mlist_path, mlist)
         parent = m.get("parent")
         snapshots.append(
             {
@@ -341,26 +419,23 @@ def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
     keep_manifests = set()
     keep_delete_files = set()
     for s in kept:
-        with open(s["manifest-list"]) as f:
-            for rec in json.load(f):
-                keep_manifests.add(rec["manifest_path"])
-                with open(rec["manifest_path"]) as mf:
-                    for e in json.load(mf)["entries"]:
-                        if e["data_file"].get("content") == 1:
-                            keep_delete_files.add(e["data_file"]["file_path"])
+        for rec in _read_manifest_list(s["manifest-list"]):
+            keep_manifests.add(rec["manifest_path"])
+            for e in _read_manifest(rec["manifest_path"]):
+                if e["data_file"].get("content") == 1:
+                    keep_delete_files.add(e["data_file"]["file_path"])
     deleted = []
     abs_meta = os.path.abspath(meta_dir)
     for s in expired:
         mlist_path = s["manifest-list"]
         if mlist_path in keep_mlists:
             continue
-        with open(mlist_path) as f:
-            for rec in json.load(f):
+        if os.path.exists(mlist_path):
+            for rec in _read_manifest_list(mlist_path):
                 mp = rec["manifest_path"]
                 if mp in keep_manifests or not os.path.exists(mp):
                     continue
-                with open(mp) as mf:
-                    entries = json.load(mf)["entries"]
+                entries = _read_manifest(mp)
                 for e in entries:
                     d = e["data_file"]
                     fp = d["file_path"]
@@ -377,8 +452,8 @@ def expire_snapshots(dest: str, retain_last: int = 1) -> dict:
                             shutil.rmtree(pd_, ignore_errors=True)
                 os.remove(mp)
                 deleted.append(os.path.basename(mp))
-        os.remove(mlist_path)
-        deleted.append(os.path.basename(mlist_path))
+            os.remove(mlist_path)
+            deleted.append(os.path.basename(mlist_path))
     kept_ids = {s["snapshot-id"] for s in kept}
     md["snapshots"] = [s for s in snaps if s["snapshot-id"] in kept_ids]
     # parent links to expired snapshots are dropped, as the spec allows
@@ -420,13 +495,12 @@ def _mlist_total_records(mlist: list[dict]) -> int:
     view."""
     total = 0
     for rec in mlist:
-        with open(rec["manifest_path"]) as f:
-            for e in json.load(f)["entries"]:
-                if e["status"] == 2:  # DELETED
-                    continue
-                d = e["data_file"]
-                rc = int(d["record_count"])
-                total += -rc if d.get("content") == 1 else rc
+        for e in _read_manifest(rec["manifest_path"]):
+            if e["status"] == 2:  # DELETED
+                continue
+            d = e["data_file"]
+            rc = int(d["record_count"])
+            total += -rc if d.get("content") == 1 else rc
     return total
 
 
@@ -519,11 +593,9 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
         }
         for fp in del_files
     ]
-    dm_path = os.path.join(meta_dir, f"manifest-delete-{new_sid}.avro.json")
-    with open(dm_path, "w") as f:
-        json.dump({"entries": entries}, f, indent=1)
-    with open(snap["manifest-list"]) as f:
-        prev_mlist = json.load(f)
+    dm_path = os.path.join(meta_dir, f"manifest-delete-{new_sid}.avro")
+    _write_manifest(dm_path, entries)
+    prev_mlist = _read_manifest_list(snap["manifest-list"])
     new_mlist = prev_mlist + [
         {
             "manifest_path": os.path.abspath(dm_path),
@@ -533,17 +605,16 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
             "sequence_number": new_sid,
             "min_sequence_number": new_sid,
             "added_snapshot_id": new_sid,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
             "added_rows_count": int(n_deleted),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
     ]
-    mlist_path = os.path.join(meta_dir, f"snap-{new_sid}-manifest-list.avro.json")
-    with open(mlist_path, "w") as f:
-        json.dump(new_mlist, f, indent=1)
+    mlist_path = os.path.join(meta_dir, f"snap-{new_sid}-manifest-list.avro")
+    _write_manifest_list(mlist_path, new_mlist)
     # summary total-records is the TABLE total after the commit (the
     # spec's semantics), i.e. live data rows minus every position
     # delete — exact because stacked deletes never duplicate a
@@ -622,18 +693,15 @@ def _empty_frame(spark: SparkSession, md: dict, snap: dict) -> DataFrame:
 
 def _snapshot_files(snap: dict) -> tuple[list[str], list[str]]:
     """(data files, position-delete files) for a snapshot."""
-    with open(snap["manifest-list"]) as f:
-        mlist = json.load(f)
     data, deletes = [], []
-    for rec in mlist:
-        with open(rec["manifest_path"]) as f:
-            for entry in json.load(f)["entries"]:
-                if entry["status"] == 2:  # DELETED
-                    continue
-                dfile = entry["data_file"]
-                (deletes if dfile.get("content") == 1 else data).append(
-                    dfile["file_path"]
-                )
+    for rec in _read_manifest_list(snap["manifest-list"]):
+        for entry in _read_manifest(rec["manifest_path"]):
+            if entry["status"] == 2:  # DELETED
+                continue
+            dfile = entry["data_file"]
+            (deletes if dfile.get("content") == 1 else data).append(
+                dfile["file_path"]
+            )
     return data, deletes
 
 

@@ -81,28 +81,39 @@ def test_metadata_tree_is_spec_shaped(spark, tmp_path, table):
     # schema: field-ids assigned 1..N in column order
     ids = [f["id"] for f in md["schemas"][0]["fields"]]
     assert ids == list(range(1, len(ids) + 1))
-    # manifest lists / manifests carry the spec's field names; data
-    # files resolve and record_count sums to the table row count
+    # manifest lists / manifests are REAL Avro object container files
+    # carrying the spec's v2 field names and field-ids; data files
+    # resolve and record_count sums to the table row count
+    from mister_spark.sources.avro import MAGIC, read_container
+
     snap = by_id[md["current-snapshot-id"]]
-    with open(snap["manifest-list"]) as f:
-        mlist = json.load(f)
+    with open(snap["manifest-list"], "rb") as f:
+        assert f.read(4) == MAGIC  # Avro object container magic
+    mlist_schema, mlist = read_container(snap["manifest-list"])
+    by_name = {f["name"]: f for f in mlist_schema["fields"]}
+    assert by_name["manifest_path"]["field-id"] == 500
+    assert by_name["added_data_files_count"]["field-id"] == 504
     total = 0
     for rec in mlist:
         for field in (
             "manifest_path", "manifest_length", "added_snapshot_id",
-            "added_files_count", "added_rows_count", "content",
+            "added_data_files_count", "added_rows_count", "content",
         ):
             assert field in rec, field
-        with open(rec["manifest_path"]) as f:
-            for entry in json.load(f)["entries"]:
-                dfile = entry["data_file"]
-                assert dfile["file_format"] == "PARQUET"
-                assert os.path.exists(dfile["file_path"])
-                total += dfile["record_count"]
+        entry_schema, entries = read_container(rec["manifest_path"])
+        dfs = next(
+            f for f in entry_schema["fields"] if f["name"] == "data_file"
+        )
+        df_ids = {f["name"]: f["field-id"] for f in dfs["type"]["fields"]}
+        assert df_ids["file_path"] == 100 and df_ids["record_count"] == 103
+        for entry in entries:
+            dfile = entry["data_file"]
+            assert dfile["file_format"] == "PARQUET"
+            assert os.path.exists(dfile["file_path"])
+            total += dfile["record_count"]
     assert total == table.read().count()
-    # the Avro-substitution is impossible to miss
     assert meta_path.endswith(".metadata.json")
-    assert all(r["manifest_path"].endswith(".avro.json") for r in mlist)
+    assert all(r["manifest_path"].endswith(".avro") for r in mlist)
 
 
 def test_stacked_overlapping_deletes_reconcile(spark, tmp_path, table):
@@ -160,16 +171,19 @@ def test_expire_removes_orphaned_delete_files(spark, tmp_path, table):
         s for s in md["snapshots"]
         if s["snapshot-id"] == md["current-snapshot-id"]
     )
-    with open(cur["manifest-list"]) as f:
-        mlist = json.load(f)
+    from mister_spark.sources.iceberg import (
+        _read_manifest_list,
+        _write_manifest_list,
+    )
+
+    mlist = _read_manifest_list(cur["manifest-list"])
     data_only = [rec for rec in mlist if rec.get("content") != 1]
     assert len(data_only) < len(mlist)  # a delete manifest existed
     new_sid = cur["snapshot-id"] + 1
     new_mlist_path = os.path.join(
-        meta_dir, f"snap-{new_sid}-manifest-list.avro.json"
+        meta_dir, f"snap-{new_sid}-manifest-list.avro"
     )
-    with open(new_mlist_path, "w") as f:
-        json.dump(data_only, f)
+    _write_manifest_list(new_mlist_path, data_only)
     md["snapshots"].append(
         {
             "snapshot-id": new_sid,
