@@ -235,8 +235,118 @@ def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NoTimeout keeps the availableNow replay bounded (a processing-
         # time timeout schedules extra timer batches and the query never
         # terminates). A long-running deployment would use
-        # EventTimeTimeout + watermark to evict idle users' state.
+        # EventTimeTimeout + watermark to evict idle users' state —
+        # that configuration is run_stream_sessionize_evicting below,
+        # with its eviction contract pinned in test_streaming.py.
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sess, "append")
+
+
+# state for the evicting sessionizer: the still-open session rides in
+# state so a timeout can emit it exactly once
+SESSION_EVICT_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("open_sess", LongType()),
+        StructField("open_n", LongType()),
+        StructField("open_start", LongType()),
+        StructField("open_end", LongType()),
+    ]
+)
+SESSION_EVICT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("closed_by_timeout", LongType()),  # 0/1
+    ]
+)
+
+GAP_MS = GAP_US // 1_000
+
+
+def _sessionize_evict_group(key: tuple, pdfs, state: GroupState):
+    """EventTimeTimeout sessionizer: sessions closed by a gap WITHIN the
+    stream are emitted immediately; the still-open session is held in
+    state and emitted EXACTLY ONCE when the watermark passes the
+    session gap past its last event (state.hasTimedOut), after which
+    the state is removed — idle keys cost nothing forever after."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        last_us, open_sess, open_n, open_start, open_end = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "sess_id": [open_sess],
+                "n_events": [open_n],
+                "start_us": [open_start],
+                "end_us": [open_end],
+                "closed_by_timeout": [1],
+            }
+        )
+        return
+    if state.exists:
+        last_us, open_sess, open_n, open_start, open_end = state.get
+    else:
+        last_us, open_sess, open_n, open_start, open_end = None, 0, 0, 0, 0
+    times: list[int] = []
+    for pdf in pdfs:
+        times.extend(int(t) for t in pdf["tus"])
+    times.sort()
+    closed = []  # (sess_id, n, start, end)
+    for t in times:
+        if last_us is None:
+            open_sess, open_n, open_start, open_end = 1, 1, t, t
+        elif t - last_us > GAP_US:
+            closed.append((open_sess, open_n, open_start, open_end))
+            open_sess += 1
+            open_n, open_start, open_end = 1, t, t
+        else:
+            open_n += 1
+            open_end = t
+        last_us = t
+    state.update((last_us, open_sess, open_n, open_start, open_end))
+    # evict once event time passes the gap beyond this key's last event
+    state.setTimeoutTimestamp(last_us // 1_000 + GAP_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "sess_id": [c[0] for c in closed],
+            "n_events": [c[1] for c in closed],
+            "start_us": [c[2] for c in closed],
+            "end_us": [c[3] for c in closed],
+            "closed_by_timeout": [0] * len(closed),
+        }
+    )
+
+
+def run_stream_sessionize_evicting(
+    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The long-running deployment configuration of the stateful
+    sessionizer: EventTimeTimeout + watermark evicts idle keys' state
+    (bounded state at 100 TB/day arrival rates) and emits each evicted
+    open session exactly once, flagged closed_by_timeout=1. Reads a
+    staged parquet directory (user_id long, ts timestamp) one file per
+    micro-batch so multi-batch watermark advancement is reproducible
+    in tests."""
+    ev = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", F.unix_micros("ts").alias("tus"), "ts")
+    )
+    sess = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_evict_group,
+        outputStructType=SESSION_EVICT_OUT_SCHEMA,
+        stateStructType=SESSION_EVICT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return _run_to_memory(sess, "append")
 

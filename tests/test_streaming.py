@@ -47,6 +47,71 @@ def test_stream_sessionize_matches_batch(spark):
     assert b == s
 
 
+def test_stream_session_state_event_time_eviction(spark, tmp_path):
+    """EventTimeTimeout eviction contract (round-4 verdict item 8): an
+    idle user's open session is evicted when the watermark passes their
+    last event + gap, emitted EXACTLY ONCE and flagged
+    closed_by_timeout; gap-closed sessions emit immediately without
+    the flag. Three single-file micro-batches drive the watermark."""
+    import datetime as dt
+    import os
+
+    from mister_spark.streaming.jobs import run_stream_sessionize_evicting
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        p = str(tmp_path / "staging" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        part = next(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        dest = str(tmp_path / "in" / f"{name}.parquet")
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        os.rename(os.path.join(p, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # batch 1: user 1 (3 events, will go idle), user 2 (1 event)
+    write_file(
+        "f1",
+        [(1, mins(0)), (1, mins(2)), (1, mins(5)), (2, mins(0))],
+        1_700_000_000,
+    )
+    # batch 2: user 2 returns after a 3 h gap -> closes their session 1
+    # by gap and advances the watermark past user 1's timeout
+    write_file("f2", [(2, mins(180))], 1_700_000_010)
+    # batch 3: a later dummy event so the timeout fires in a batch that
+    # actually runs (timeouts are evaluated against the watermark set
+    # at the END of the previous batch)
+    write_file("f3", [(3, mins(240))], 1_700_000_020)
+
+    out = run_stream_sessionize_evicting(
+        spark, str(tmp_path / "in"), watermark="10 minutes"
+    ).collect()
+    rows = {
+        (r["user_id"], r["sess_id"]): r for r in out
+    }
+    assert len(out) == len(rows) == 3, out  # each session exactly once
+    # user 1: idle -> evicted by EventTimeTimeout, full session intact
+    r1 = rows[(1, 1)]
+    assert r1["closed_by_timeout"] == 1
+    assert r1["n_events"] == 3
+    assert r1["start_us"] == int(t0.timestamp() * 1e6)
+    assert r1["end_us"] == int(mins(5).timestamp() * 1e6)
+    # user 2 session 1: closed by an in-stream gap, not by timeout
+    r2 = rows[(2, 1)]
+    assert r2["closed_by_timeout"] == 0
+    assert r2["n_events"] == 1
+    # user 2 session 2: evicted in availableNow's final timer batch
+    # (final watermark 03:50 passes its 03:30 timeout)
+    assert rows[(2, 2)]["closed_by_timeout"] == 1
+    # user 3's session (timeout 04:30) outlives the final watermark ->
+    # still open in state, not emitted
+    assert (3, 1) not in rows
+
+
 def test_stream_foreach_batch_sink(spark):
     import os
 
