@@ -62,3 +62,77 @@ def test_oracle_keys_recorded_as_oracle_passes():
     assert not weak, (
         f"oracle-bearing keys recorded without a 3/3 pass: {weak[:10]}..."
     )
+
+
+def _git(*args: str) -> "subprocess.CompletedProcess":
+    import subprocess
+
+    return subprocess.run(
+        ["git", *args], cwd=ROOT, capture_output=True, text=True
+    )
+
+
+def _stale_records(doc: dict) -> list[tuple[str, str]]:
+    """Records whose sweep commit PREDATES the last commit touching the
+    key's source file (or that carry no commit at all). The round-5
+    verdict found the committed artifact silently describing deleted
+    code — this makes that state mechanically detectable: a record is
+    fresh only if the source file's last commit is an ancestor of the
+    record's sweep commit."""
+    import inspect
+
+    stale: list[tuple[str, str]] = []
+    file_last: dict[str, str] = {}
+    pair_ok: dict[tuple[str, str], bool] = {}
+    for name, fn in registry.QUERIES.items():
+        rec = doc.get(name)
+        if rec is None:
+            continue  # the missing-keys gate reports absences
+        commit = (rec.get("commit") or "").replace("+dirty", "")
+        if not commit or commit == "unknown":
+            stale.append((name, "no sweep commit recorded"))
+            continue
+        src = os.path.relpath(inspect.getfile(inspect.unwrap(fn)), ROOT)
+        if src not in file_last:
+            file_last[src] = _git(
+                "log", "-1", "--format=%H", "--", src
+            ).stdout.strip()
+        last = file_last[src]
+        if not last:
+            continue  # file not tracked yet — nothing to compare against
+        key = (last, commit)
+        if key not in pair_ok:
+            pair_ok[key] = (
+                _git("merge-base", "--is-ancestor", last, commit).returncode
+                == 0
+            )
+        if not pair_ok[key]:
+            stale.append(
+                (name, f"{src} changed at {last[:10]} after sweep {commit}")
+            )
+    return stale
+
+
+def test_records_not_stale_vs_source_commits():
+    stale = _stale_records(_load())
+    assert not stale, (
+        f"{len(stale)} stale records (re-run tools/correctness_local.py): "
+        f"{stale[:5]}..."
+    )
+
+
+def test_staleness_gate_catches_a_doctored_record():
+    """Sanity: the gate must flag a record pinned to the repo's root
+    commit when the key's source file changed later, and a record with
+    no commit field at all."""
+    root_commit = _git("rev-list", "--max-parents=0", "HEAD").stdout.strip()
+    doc = _load()
+    # ds_semdedup's source has changed since the root commit, so a
+    # record pinned to the root commit is stale by construction
+    victim = "ds_semdedup"
+    doctored = {victim: {**doc.get(victim, {}), "commit": root_commit}}
+    assert any(n == victim for n, _ in _stale_records(doctored))
+    assert any(
+        "no sweep commit" in why
+        for _, why in _stale_records({victim: {"hash_match": True}})
+    )

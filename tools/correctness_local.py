@@ -48,10 +48,12 @@ def main() -> None:
         # keep only records for keys still in the registry
         results = {k: v for k, v in prior.items() if k in registry.QUERIES}
     t0 = time.time()
-    # Sweep provenance (round-4 verdict ask): every record produced by
-    # THIS run carries the commit it was swept at and a wall-clock
-    # timestamp, so tests/test_artifact_sync.py can mechanically detect
-    # a record that predates the last commit touching its source file.
+    # Sweep provenance: every record produced by THIS run carries the
+    # commit it was swept at and a wall-clock timestamp.
+    # tests/test_artifact_sync.py::test_records_not_stale_vs_source_commits
+    # fails any record whose commit predates the last commit touching
+    # the key's source file (records without a commit fail outright),
+    # so a sweep that trails a code change can no longer sit unnoticed.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def _git(*a: str) -> str:
