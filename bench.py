@@ -133,6 +133,10 @@ SCALING_QUERIES = [
     "ds_perplexity_filter",
     "graph_betweenness_sampled",
     "ds_dsir",
+    # round-6 additions: the iterative driver-model ops, exactly where
+    # super-linearity would hide (round-4 verdict items 5+7)
+    "tx_topic_nmf",
+    "ds_quality_classifier",
 ]
 
 

@@ -103,31 +103,46 @@ def write_orc(
     _apply_layout(df, partition_by, sort_by).orc(path)
 
 
-_AVRO_HINT = (
-    "Avro support needs the spark-avro connector jar, which is not in this "
-    "environment. Submit with: spark-submit --packages "
-    "org.apache.spark:spark-avro_2.13:<spark-version> (read/write via "
-    "format('avro') then works unchanged)."
-)
+def _python_avro(spark: SparkSession) -> str:
+    """Register and return the pure-Python Avro DataSource format.
+
+    The JVM spark-avro connector (the production data plane — decode
+    stays off Python) is tried first by the surfaces below; absent the
+    jar, this fallback reads/writes the SAME object container format
+    via `sources/avro_ds.py`, so files interoperate both ways within
+    its type subset."""
+    from mister_spark.sources.avro_ds import AVRO_FORMAT, register_avro_source
+
+    register_avro_source(spark)
+    return AVRO_FORMAT
 
 
 @_reader("avro")
 def read_avro(spark: SparkSession, path: str, **opts) -> DataFrame:
-    """Avro read surface. The external spark-avro module is absent
-    here, so this fails loudly with submit guidance (tests pin the
-    message) — the call shape is production-correct."""
+    """Avro read surface: spark-avro when the jar is on the classpath
+    (`--packages org.apache.spark:spark-avro_2.13:<version>`), else
+    the pure-Python container reader — one InputPartition per file,
+    schema from the first file's embedded writer schema."""
     try:
         return spark.read.options(**opts).format("avro").load(path)
-    except Exception as e:  # connector jar absent → actionable error
-        raise RuntimeError(_AVRO_HINT) from e
+    except Exception:  # connector jar absent → pure-Python fallback
+        return (
+            spark.read.format(_python_avro(spark)).options(**opts).load(path)
+        )
 
 
 @_writer("avro")
 def write_avro(df: DataFrame, path: str, **opts) -> None:
     try:
         df.write.mode("overwrite").options(**opts).format("avro").save(path)
-    except Exception as e:
-        raise RuntimeError(_AVRO_HINT) from e
+    except Exception:
+        spark = df.sparkSession
+        (
+            df.write.format(_python_avro(spark))
+            .mode("overwrite")
+            .options(**opts)
+            .save(path)
+        )
 
 
 @_reader("text")

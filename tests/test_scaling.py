@@ -55,5 +55,10 @@ def test_scaling_covers_the_verdict_paths():
         "ds_curate",
         "stat_kruskal_wallis",
         "ev_concurrency",
+        # round-4/6 verdict adds: semantic dedup + the iterative
+        # driver-model ops where super-linearity hides
+        "ds_semdedup",
+        "tx_topic_nmf",
+        "ds_quality_classifier",
     ):
         assert name in doc["queries"], name

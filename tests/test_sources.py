@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from mister_spark.catalog import Catalog
@@ -140,11 +141,38 @@ def test_zorder_clusters_both_columns(spark):
     assert back.count() == li.count()
 
 
-def test_avro_surface_fails_loudly(spark, sf_dir):
-    import pytest
-
+def test_avro_round_trip_via_python_fallback(spark, sf_dir):
+    """Without the spark-avro jar the avro surface falls back to the
+    pure-Python object-container DataSource: write one container per
+    task (two-phase commit, _SUCCESS), read one partition per file,
+    rows identical."""
     nation = Catalog(spark, sf_dir)["nation"]
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        write(nation, "avro", f"{TMP}/nation_avro")
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        read(spark, "avro", f"{TMP}/nation_avro")
+    dest = f"{TMP}/nation_avro"
+    write(nation, "avro", dest)
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    files = [f for f in os.listdir(dest) if f.endswith(".avro")]
+    assert files and not any(f.startswith("_tmp_") for f in files)
+    back = read(spark, "avro", dest)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    # overwrite replaces, never appends
+    write(nation, "avro", dest)
+    assert read(spark, "avro", dest).count() == nation.count()
+
+
+def test_avro_fallback_handles_arrays_and_parallel_read(spark, sf_dir):
+    emb = Catalog(spark, sf_dir)["embeddings"].repartition(4)
+    dest = f"{TMP}/emb_avro"
+    write(emb, "avro", dest)
+    # one container per non-empty task partition -> parallel read plan
+    files = [f for f in os.listdir(dest) if f.endswith(".avro")]
+    assert len(files) >= 2
+    back = read(spark, "avro", dest)
+    a = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert set(a) == set(b)
+    k = next(iter(a))
+    assert a[k] == pytest.approx(b[k])
+    # the embedded writer schema drives inference: array<float> survives
+    assert dict(back.dtypes)["embedding"] == "array<float>"
