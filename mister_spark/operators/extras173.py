@@ -161,6 +161,78 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nmf_h_update(W: "np.ndarray", k: int):
+    """mapInPandas factory: one Lee-Seung H step, vectorized per batch.
+
+    Input rows carry the doc's sparse term row (wi, c) AND its factor
+    h — V and H travel together, so the step is a pure map (no join,
+    no shuffle). num = V_doc · W is one gather-GEMM over the batch's
+    concatenated nonzeros; the k×k Gram W^T W ships in the closure."""
+    import numpy as np
+
+    G = W.T @ W  # k x k
+
+    def f(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["wi"].map(len).to_numpy()
+            off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            wi = np.concatenate(pdf["wi"].to_list()).astype(np.int64)
+            c = np.concatenate(pdf["c"].to_list())
+            H = np.array(pdf["h"].to_list())  # m x k
+            num = np.add.reduceat(c[:, None] * W[wi], off, axis=0)
+            H = H * num / (H @ G + 1e-9)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wi": pdf["wi"],
+                    "c": pdf["c"],
+                    "h": list(map(list, H)),
+                }
+            )
+
+    return f
+
+
+def _nmf_partials(nv: int, k: int):
+    """mapInPandas factory: per-partition V^T H (nv×k scatter-add),
+    H^T H (k×k GEMM) and column sums of H — everything the driver-side
+    W step and the final mass report need, in ONE pass. Each partition
+    emits a single flattened row, so the collected state is
+    O(partitions · nv · k): model-sized, corpus-independent."""
+    import numpy as np
+
+    def f(batches):
+        import pandas as pd
+
+        vth = np.zeros((nv, k))
+        hth = np.zeros((k, k))
+        hsum = np.zeros(k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["wi"].map(len).to_numpy()
+            wi = np.concatenate(pdf["wi"].to_list()).astype(np.int64)
+            c = np.concatenate(pdf["c"].to_list())
+            H = np.array(pdf["h"].to_list())
+            Hrep = np.repeat(H, lens, axis=0)
+            np.add.at(vth, wi, c[:, None] * Hrep)
+            hth += H.T @ H
+            hsum += H.sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "vth": [vth.ravel().tolist()],
+                "hth": [hth.ravel().tolist()],
+                "hsum": [hsum.tolist()],
+            }
+        )
+
+    return f
+
+
 @query("tx_topic_nmf")  # iterative multiplicative updates → rows-only
 def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiplicative-update NMF topic model over the document-term
@@ -169,17 +241,23 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-{cap} corpus terms by frequency (one TakeOrdered — the
     standard topic-model truncation), so W (vocab x k) is genuinely
     model-sized on the driver — O(cap * k) — regardless of Heaps-law
-    vocab growth at 100x the corpus; H (doc x k) stays DISTRIBUTED as
-    an array column, exactly the k-means centroid pattern.
-    Deterministic seed-free init (doc-id / word-index phase offsets).
-    Emits one row per topic: its mass (share of total H weight) and
-    top-3 words by W.
+    vocab growth at 100x the corpus; H (doc x k) stays DISTRIBUTED,
+    exactly the k-means centroid pattern. Deterministic seed-free
+    init (doc-id / word-index phase offsets). Emits one row per
+    topic: its mass (share of total H weight) and top-3 words by W.
 
-    Scale per iteration: H update is a broadcast-W map over the
-    sparse (doc, word, c) rows + one doc-keyed partial-agg shuffle
-    (numerator V W), with the k x k Gram W^T W broadcast; the W
-    update aggregates V^T H by word (vocab-bounded shuffle) and
-    H^T H (k x k) — no step moves more than the sparse matrix once."""
+    Scale: the sparse doc row (wi, c) and its factor h live in ONE
+    co-located frame, so after the single build shuffle each
+    iteration is two SHUFFLE-FREE vectorized passes — (1) the H step,
+    a pure map with W and the k×k Gram broadcast in the closure,
+    re-checkpointed so lineage stays flat (superseded checkpoint
+    blocks are reclaimed by the context cleaner; a cluster run would
+    truncate to reliable checkpoints); (2) a partial-aggregation pass
+    whose per-partition output is the O(cap·k) V^T H + k×k H^T H the
+    driver-side W step needs. Nothing corpus-sized ever moves after
+    the build; the final mass report reuses pass (2)'s column sums."""
+    import numpy as np
+
     docs = cat(spark, sf_dir)["documents"]
     tf = (
         docs.select("doc_id", F.explode(tokens()).alias("w"))
@@ -193,24 +271,25 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(NMF_VOCAB_CAP)  # TakeOrderedAndProject, never a full sort
     )
     vocab = sorted(r["w"] for r in top.collect())
-    vidx = {w: i for i, w in enumerate(vocab)}
     nv, k = len(vocab), NMF_K
     vmap = F.broadcast(
         spark.createDataFrame(
-            [(w, i) for w, i in vidx.items()], "w string, widx int"
+            [(w, i) for i, w in enumerate(vocab)], "w string, widx int"
         )
     )
-    V = tf.join(vmap, "w").select("doc_id", "widx", "c").localCheckpoint()
-    # deterministic strictly-positive init
-    W = [
-        [1.0 + 0.1 * ((wi * 7 + j * 3) % 5) for j in range(k)]
-        for wi in range(nv)
-    ]
-    H = (
-        V.select("doc_id")
-        .distinct()
+    # one frame: sparse row + factor, checkpointed once; deterministic
+    # strictly-positive H init
+    vh = (
+        tf.join(vmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("widx").alias("wi"),
+            F.collect_list("c").alias("c"),
+        )
         .select(
             "doc_id",
+            "wi",
+            "c",
             F.transform(
                 F.sequence(F.lit(0), F.lit(k - 1)),
                 lambda j: 1.0
@@ -219,106 +298,45 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    eps = 1e-9
-    for _ in range(NMF_ITERS):
-        wdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, row) for i, row in enumerate(W)],
-                "widx int, wrow array<double>",
-            )
-        )
-        # numerator_d = sum_w c * W_w  (k-vector per doc)
-        num = (
-            V.join(wdf, "widx")
-            .groupBy("doc_id")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col("c") * F.col("wrow")[j]).alias(f"n{j}")
-                        for j in range(k)
-                    ]
-                ).alias("num")
-            )
-        )
-        # Gram = W^T W (k x k, driver-side)
-        gram = [
-            [sum(W[w][a] * W[w][b] for w in range(nv)) for b in range(k)]
-            for a in range(k)
-        ]
-        gflat = [x for row in gram for x in row]
-        H = (
-            H.join(num, "doc_id")
-            .select(
-                "doc_id",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(k - 1)),
-                    lambda j: F.col("h")[j]
-                    * F.col("num")[j]
-                    / (
-                        F.aggregate(
-                            F.sequence(F.lit(0), F.lit(k - 1)),
-                            F.lit(0.0),
-                            lambda acc, b: acc
-                            + F.col("h")[b]
-                            * F.element_at(
-                                F.array(*[F.lit(x) for x in gflat]),
-                                j * k + b + 1,
-                            ),
-                        )
-                        + eps
-                    ),
-                ).alias("h"),
-            )
-            .localCheckpoint()
-        )
-        # V^T H by word (vocab-bounded) and H^T H (k x k)
-        vth_rows = (
-            V.join(H, "doc_id")
-            .groupBy("widx")
-            .agg(
-                *[
-                    F.sum(F.col("c") * F.col("h")[j]).alias(f"v{j}")
-                    for j in range(k)
-                ]
-            )
-            .collect()
-        )
-        vth = {r["widx"]: [r[f"v{j}"] for j in range(k)] for r in vth_rows}
-        hth_row = H.agg(
-            *[
-                F.sum(F.col("h")[a] * F.col("h")[b]).alias(f"g{a}_{b}")
-                for a in range(k)
-                for b in range(k)
-            ]
-        ).collect()[0]
-        hth = [
-            [hth_row[f"g{a}_{b}"] for b in range(k)] for a in range(k)
-        ]
-        W = [
-            [
-                W[wi][j]
-                * vth.get(wi, [0.0] * k)[j]
-                / (
-                    sum(W[wi][b] * hth[b][j] for b in range(k)) + eps
-                )
-                for j in range(k)
-            ]
+    schema = (
+        "doc_id bigint, wi array<int>, c array<double>, h array<double>"
+    )
+    W = np.array(
+        [
+            [1.0 + 0.1 * ((wi * 7 + j * 3) % 5) for j in range(k)]
             for wi in range(nv)
         ]
-    mass = H.agg(
-        *[F.sum(F.col("h")[j]).alias(f"m{j}") for j in range(k)]
-    ).collect()[0]
-    total = sum(mass[f"m{j}"] for j in range(k))
+    )
+    hsum = np.zeros(k)
+    for _ in range(NMF_ITERS):
+        vh = vh.mapInPandas(_nmf_h_update(W, k), schema).localCheckpoint()
+        parts = vh.mapInPandas(
+            _nmf_partials(nv, k),
+            "vth array<double>, hth array<double>, hsum array<double>",
+        ).collect()
+        vth = sum(
+            (np.array(p["vth"]).reshape(nv, k) for p in parts),
+            np.zeros((nv, k)),
+        )
+        hth = sum(
+            (np.array(p["hth"]).reshape(k, k) for p in parts),
+            np.zeros((k, k)),
+        )
+        hsum = sum((np.array(p["hsum"]) for p in parts), np.zeros(k))
+        W = W * vth / (W @ hth + 1e-9)
+    # hsum describes H AFTER the final H step (the partials pass reads
+    # the updated frame), i.e. the H the final W was fit against
+    total = float(hsum.sum())
     rows = []
     for j in range(k):
-        top = sorted(range(nv), key=lambda wi: (-W[wi][j], wi))[:3]
+        order = sorted(range(nv), key=lambda i: (-W[i][j], i))[:3]
         rows.append(
             (
                 j,
-                round(mass[f"m{j}"] / total, 4),
-                vocab[top[0]],
-                vocab[top[1]],
-                vocab[top[2]],
+                round(float(hsum[j]) / total, 4),
+                vocab[order[0]],
+                vocab[order[1]],
+                vocab[order[2]],
             )
         )
     return spark.createDataFrame(
