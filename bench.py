@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import shutil
@@ -170,8 +171,22 @@ def scaling_main() -> None:
     )
     registry.load_all()
     spark = get_session("mister_spark_bench_scaling")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json"
+    )
+    # --only=a,b re-measures just those queries and merges their rows
+    # into the committed artifact (for refreshing a rewritten operator
+    # without the multi-hour full sweep); prior rows are kept verbatim.
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     out: dict[str, dict] = {}
-    for name in SCALING_QUERIES:
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f).get("queries", {})
+    todo = SCALING_QUERIES if only is None else [q for q in SCALING_QUERIES if q in only]
+    for name in todo:
         if name not in registry.QUERIES:
             continue
         fn = registry.QUERIES[name]
@@ -192,7 +207,6 @@ def scaling_main() -> None:
         },
         "queries": out,
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc))
