@@ -99,7 +99,54 @@ PAGERANK_ITERS = 5
 DAMPING = 0.85
 
 
-@query("mr_pagerank")  # iterative → rows-only; pytest checks invariants
+@query(
+    "mr_pagerank",
+    # The fixed-iteration loop is exactly expressible as a DuckDB
+    # recursive CTE (aggregates and multiple self-references are legal
+    # in its recursive term), so this iterative op gets a REAL oracle:
+    # same damping, same dangling redistribution, same round-6 output.
+    # Helper CTEs deliberately avoid top-level UNION (under WITH
+    # RECURSIVE DuckDB 1.0 treats `a UNION b` CTE bodies as
+    # union-CTEs and skips the dedup) — DISTINCT over UNION ALL.
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    out_w AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    pr AS (
+      SELECT 0 AS it, node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+      UNION ALL
+      SELECT d.it + 1, n.node,
+             (1.0 - {DAMPING}) / nn.n
+             + {DAMPING} * (COALESCE(c.in_rank, 0.0) + d.dang / nn.n)
+      FROM nodes n
+      CROSS JOIN nn
+      CROSS JOIN (SELECT it,
+                    COALESCE(SUM(CASE WHEN ow.src IS NULL THEN rank END),
+                             0.0) AS dang
+                  FROM pr LEFT JOIN out_w ow ON ow.src = pr.node
+                  GROUP BY it) d
+      LEFT JOIN (SELECT e.dst AS node, SUM(p2.rank * e.w / ow.ow) AS in_rank
+                 FROM pr p2
+                 JOIN out_w ow ON ow.src = p2.node
+                 JOIN edges e ON e.src = p2.node
+                 GROUP BY 1) c ON c.node = n.node
+      WHERE d.it < {PAGERANK_ITERS}
+    )
+    SELECT node, FLOOR(rank * 1e6 + 0.5) / 1e6 AS rank
+    FROM pr WHERE it = {PAGERANK_ITERS}
+    """,
+)
 def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation-to-nation trade graph (supplier nation →
     customer nation, edge weight = lineitem count), the canonical

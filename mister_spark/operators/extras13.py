@@ -167,7 +167,41 @@ def ds_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_k_core")  # iterative peeling → rows-only; pytest vs python peel
+@query(
+    "graph_k_core",
+    # Real oracle: synchronized peeling as a stamped recursive CTE —
+    # each step keeps edges whose BOTH endpoints have current degree
+    # >= k (window counts over the working table), for the same 20
+    # rounds the Spark loop caps at; a stable nonempty fixpoint keeps
+    # re-emitting itself so iteration 20 always exists, and a graph
+    # that peels to empty yields no it=20 rows = the empty result the
+    # Spark loop returns. Integer output.
+    oracle=f"""
+    WITH RECURSIVE de AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (SELECT DISTINCT a, b FROM (
+              SELECT src AS a, dst AS b FROM de
+              UNION ALL SELECT dst, src FROM de)),
+    peel AS (
+      SELECT 0 AS it, a, b FROM und
+      UNION ALL
+      SELECT it + 1, a, b FROM (
+        SELECT it, a, b,
+               COUNT(*) OVER (PARTITION BY a) AS da,
+               COUNT(*) OVER (PARTITION BY b) AS db
+        FROM peel) t
+      WHERE it < 20 AND da >= {K_CORE} AND db >= {K_CORE}
+    )
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM peel WHERE it = 20 GROUP BY a
+    """,
+)
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=16) of the undirected nation trade graph:
     iteratively peel nodes with degree < k until fixpoint; the surviving

@@ -121,7 +121,41 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_markov_stationary")  # power iteration → rows-only; pytest vs numpy eig
+@query(
+    "ev_markov_stationary",
+    # Real oracle: the power iteration is a recursive CTE — the
+    # transition matrix (ev_markov's oracle SQL, row-normalized and
+    # ROUNDED to 4dp exactly like the frame the Spark loop consumes)
+    # is applied {MARKOV_ITERS} times with a GROUP BY in the recursive
+    # term. States with no inbound transitions drop after step 1 in
+    # both engines (the aggregate keys on to_type).
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT user_id, event_type,
+                                lead(event_type) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                                  AS next_type
+                         FROM events),
+    tc AS (SELECT event_type AS from_type, next_type AS to_type,
+                  CAST(COUNT(*) AS DOUBLE) AS n
+           FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, to_type,
+                 FLOOR(n / SUM(n) OVER (PARTITION BY from_type) * 10000
+                       + 0.5) / 10000 AS p
+          FROM tc),
+    states AS (SELECT DISTINCT from_type AS state FROM t),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+    pw AS (
+      SELECT 0 AS it, state, 1.0 / ns.n AS prob FROM states CROSS JOIN ns
+      UNION ALL
+      SELECT pw.it + 1, t.to_type, SUM(t.p * pw.prob)
+      FROM pw JOIN t ON t.from_type = pw.state
+      WHERE pw.it < {MARKOV_ITERS}
+      GROUP BY pw.it, t.to_type
+    )
+    SELECT state, FLOOR(prob * 10000 + 0.5) / 10000 AS pi
+    FROM pw WHERE it = {MARKOV_ITERS}
+    """,
+)
 def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the user-journey Markov chain: where
     does a long random session end up spending its time? Power

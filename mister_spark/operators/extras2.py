@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, money, revenue, ts
+from mister_spark.operators.dedup import DD_NGRAM_ORACLE
 from mister_spark.registry import query
 
 
@@ -110,7 +111,27 @@ def tx_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_ITERS = 6
 
 
-@query("dd_clusters")  # iterative → rows-only; pytest checks vs union-find
+@query(
+    "dd_clusters",
+    # Real oracle: reuse dd_ngram_jaccard's pair SQL as the edge list,
+    # then transitive-closure min-label reachability (UNION-distinct
+    # recursion) — the fixpoint the Spark loop's {CC_ITERS}-round
+    # min-label propagation reaches (near-dup components are tiny, so
+    # diameter << rounds; pytest pins equality to union-find).
+    # Integer output.
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({DD_NGRAM_ORACLE})),
+    sym AS (SELECT DISTINCT a, b FROM (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs)),
+    reach AS (
+      SELECT a AS node, a AS lab FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    """,
+)
 def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard
     pair graph via label propagation (each node adopts the min label in

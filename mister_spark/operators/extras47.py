@@ -58,6 +58,23 @@ _DUCK_BASKETS = f"""
                FROM raw) WHERE rk <= {COP_BASKET_CAP})
 """
 
+# Symmetrized support-thresholded co-purchase edges as a shareable CTE
+# block (csym has both directions of every edge) — the DuckDB twin of
+# _copurchase_edges for the iterative-graph oracles. Deliberately no
+# top-level UNION in any CTE body: under WITH RECURSIVE, DuckDB 1.0
+# parses `a UNION b` CTE bodies as union-CTEs and skips the dedup, so
+# dedup is spelled DISTINCT-over-UNION-ALL.
+DUCK_COPURCHASE_SYM = f"""{_DUCK_BASKETS},
+      ce AS (SELECT p1, p2 FROM (
+               SELECT x.l_partkey AS p1, y.l_partkey AS p2, COUNT(*) AS w
+               FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                                  AND x.l_partkey < y.l_partkey
+               GROUP BY 1, 2) WHERE w >= {COP_SUPPORT}),
+      csym AS (SELECT DISTINCT p1, p2 FROM (
+                 SELECT p1, p2 FROM ce
+                 UNION ALL SELECT p2, p1 FROM ce))
+"""
+
 
 @query(
     "graph_copurchase",
@@ -85,7 +102,30 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.orderBy(F.col("w").desc(), "p1", "p2").limit(20)
 
 
-@query("graph_components")  # iterative; rows-only + union-find pytest gate
+@query(
+    "graph_components",
+    # Real oracle: connected components via transitive-closure
+    # reachability (UNION-distinct recursion), component label =
+    # MIN(reachable id) — the converged fixpoint the Spark loop's
+    # hash-to-min + pointer jumping reaches (pointer jumping covers
+    # diameter 2^{CC_MAX_ITERS}; co-purchase components are tiny, so
+    # both engines are at the true components). Integer output. The
+    # closure is |component|² pairs — fine at oracle scale because
+    # support-{COP_SUPPORT} co-purchase components stay small.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    reach AS (
+      SELECT p1 AS node, p1 AS lab FROM csym
+      UNION
+      SELECT s.p2, r.lab FROM reach r JOIN csym s ON s.p1 = r.node
+    ),
+    lbl AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lbl GROUP BY component
+    ORDER BY n_nodes DESC, component LIMIT 20
+    """,
+)
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the co-purchase graph (support ≥
     {COP_SUPPORT}) via hash-to-min with POINTER JUMPING: each round

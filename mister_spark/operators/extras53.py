@@ -185,8 +185,62 @@ def hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_hits")  # rows-only: iterative fixed point; pytest replays
-# the power iteration in numpy at sf0.001.
+@query(
+    "graph_hits",
+    # Real oracle: each recursive step runs the FULL HITS iteration —
+    # authorities from the working hubs (L2-normalized via a window),
+    # then hubs from those authorities (the authority subquery is
+    # repeated inline for the hub half-step; multiple self-references
+    # are legal in DuckDB's recursive terms and both copies evaluate
+    # identically). Rows are tagged 'a'/'h' so iteration {it}'s pair is
+    # read back for the two top-{top} lists, ordered by the ROUNDED
+    # score exactly like the Spark frame.
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hits AS (
+      -- CAST: a bare 1.0 would type the recursive score column
+      -- DECIMAL(2,1) and truncate every normalized score
+      SELECT 0 AS it, 'h' AS side, src AS node, CAST(1.0 AS DOUBLE) AS sc
+      FROM (SELECT DISTINCT src FROM e)
+      UNION ALL
+      SELECT it + 1, side, node, sc FROM (
+        SELECT ar.it, 'a' AS side, ar.node,
+               ar.s / SQRT(SUM(ar.s * ar.s) OVER (PARTITION BY ar.it)) AS sc
+        FROM (SELECT h.it, e.dst AS node, SUM(h.sc) AS s
+              FROM hits h JOIN e ON e.src = h.node
+              WHERE h.side = 'h' AND h.it < {HITS_ITERS}
+              GROUP BY h.it, e.dst) ar
+        UNION ALL
+        SELECT hr.it, 'h' AS side, hr.node,
+               hr.s / SQRT(SUM(hr.s * hr.s) OVER (PARTITION BY hr.it)) AS sc
+        FROM (SELECT an.it, e2.src AS node, SUM(an.sc) AS s
+              FROM (SELECT ar.it, ar.node,
+                           ar.s / SQRT(SUM(ar.s * ar.s)
+                                       OVER (PARTITION BY ar.it)) AS sc
+                    FROM (SELECT h.it, e.dst AS node, SUM(h.sc) AS s
+                          FROM hits h JOIN e ON e.src = h.node
+                          WHERE h.side = 'h' AND h.it < {HITS_ITERS}
+                          GROUP BY h.it, e.dst) ar) an
+              JOIN e e2 ON e2.dst = an.node
+              GROUP BY an.it, e2.src) hr
+      ) step
+    )
+    SELECT node_type, node_id, score FROM (
+      SELECT 'supplier' AS node_type, node AS node_id,
+             FLOOR(sc * 1e6 + 0.5) / 1e6 AS score
+      FROM hits WHERE it = {HITS_ITERS} AND side = 'a'
+      ORDER BY score DESC, node_id LIMIT {HITS_TOP}) ta
+    UNION ALL
+    SELECT node_type, node_id, score FROM (
+      SELECT 'customer' AS node_type, node AS node_id,
+             FLOOR(sc * 1e6 + 0.5) / 1e6 AS score
+      FROM hits WHERE it = {HITS_ITERS} AND side = 'h'
+      ORDER BY score DESC, node_id LIMIT {HITS_TOP}) th
+    """,
+)
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the customer→supplier purchase
     graph: {it} power iterations of a = Eᵀh, h = Ea with L2

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
 from mister_spark.registry import query
 
 EIG_ITERS = 12
@@ -25,8 +26,36 @@ CANARIES = ("scan", "melonberry", "canary_xyzzy_7")  # 1 real + 2 absent
 OUTLIER_PER_SOURCE = 2
 
 
-@query("graph_eigencentrality")  # rows-only: power iteration; pytest
-# replays in numpy.
+@query(
+    "graph_eigencentrality",
+    # Real oracle: x ← Ax / ‖Ax‖ as a recursive CTE — the neighbor-sum
+    # aggregate and the L2 window normalization both run inside the
+    # recursive term; output rounded to 6dp under the shared
+    # floor-rounding rule, ordered by (rounded score, node) exactly
+    # like the Spark frame.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    eig AS (
+      -- CAST: the base term fixes the recursive column's type, and a
+      -- bare 1.0 is DECIMAL(2,1) — every later score would be
+      -- truncated to one decimal digit
+      SELECT 0 AS it, p1 AS node, CAST(1.0 AS DOUBLE) AS s
+      FROM (SELECT DISTINCT p1 FROM csym)
+      UNION ALL
+      SELECT it + 1, node, s FROM (
+        SELECT r.it, r.node,
+               r.s / SQRT(SUM(r.s * r.s) OVER (PARTITION BY r.it)) AS s
+        FROM (SELECT x.it, e.p1 AS node, SUM(x.s) AS s
+              FROM eig x JOIN csym e ON e.p2 = x.node
+              WHERE x.it < {EIG_ITERS}
+              GROUP BY x.it, e.p1) r) n
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           FLOOR(s * 1e6 + 0.5) / 1e6 AS centrality
+    FROM eig WHERE it = {EIG_ITERS}
+    ORDER BY centrality DESC, node LIMIT {EIG_TOP}
+    """,
+)
 def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality of the co-purchase graph: {it} power
     iterations of x ← Ax / ‖Ax‖ on the symmetric adjacency — a node is

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
 from mister_spark.registry import query
 
 LPA_ITERS = 6
@@ -176,8 +177,42 @@ def ml_error_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_error_slices.__doc__ = ml_error_slices.__doc__.format(z=SLICE_Z)
 
 
-@query("graph_label_propagation")  # rows-only: iterative min-label
-# majority; pytest checks community validity.
+@query(
+    "graph_label_propagation",
+    # Real oracle: the synchronous majority-vote rounds are a stamped
+    # recursive CTE — per round, count neighbor labels and keep the
+    # ROW_NUMBER()=1 row under (count DESC, label ASC), the exact
+    # deterministic tiebreak the Spark loop uses. All-integer label
+    # state; only the final internal-edge share is a (rounded) ratio.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    lp AS (
+      SELECT 0 AS it, p1 AS node, p1 AS lbl FROM (SELECT DISTINCT p1 FROM csym)
+      UNION ALL
+      SELECT it + 1, node, lbl FROM (
+        SELECT l.it, e2.p1 AS node, l.lbl,
+               ROW_NUMBER() OVER (PARTITION BY l.it, e2.p1
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM csym e2 JOIN lp l ON l.node = e2.p2
+        WHERE l.it < {LPA_ITERS}
+        GROUP BY l.it, e2.p1, l.lbl) v
+      WHERE rn = 1
+    ),
+    fin AS (SELECT node, lbl FROM lp WHERE it = {LPA_ITERS}),
+    sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size
+              FROM fin GROUP BY lbl),
+    internal AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                        CAST(SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
+                             AS DOUBLE) AS mi
+                 FROM csym s
+                 JOIN fin la ON la.node = s.p1
+                 JOIN fin lb ON lb.node = s.p2)
+    SELECT CAST(s.lbl AS BIGINT) AS community, s.size,
+           FLOOR(i.mi / i.m * 10000 + 0.5) / 10000 AS internal_edge_share
+    FROM sizes s CROSS JOIN internal i
+    ORDER BY s.size DESC, community LIMIT 20
+    """,
+)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by label propagation on the co-purchase
     graph: every node starts as its own label; each round it adopts

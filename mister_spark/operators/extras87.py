@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.ranks import global_rank
 from mister_spark.operators.common import cat, money, ratio, rnd
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    DUCK_COPURCHASE_SYM,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 HILL_K = 100
@@ -266,7 +269,52 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_ppr")  # iterative power method → rows-only; pytest invariants
+@query(
+    "graph_ppr",
+    # Real oracle: the personalized power iteration as a recursive CTE.
+    # Each step scatters pr/deg along edges, re-bases missing nodes at
+    # 0 inflow (the LEFT JOIN), folds the float residual 1 − Σinflow
+    # back into the seed (mirroring the Spark loop's collected mass),
+    # teleports α to the seed, and stamps it+1. The iteration counter
+    # rides a 1-row self-reference so LEFT-JOIN nulls can't eat it.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    nodes AS (SELECT DISTINCT p1 AS node FROM csym),
+    deg AS (SELECT p1 AS node, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM csym GROUP BY p1),
+    seed AS (SELECT MIN(node) AS s FROM nodes),
+    ppr AS (
+      -- CAST: a bare 1.0/0.0 would type the recursive pr column
+      -- DECIMAL and truncate every iterate
+      SELECT 0 AS it, n.node,
+             CAST(CASE WHEN n.node = sd.s THEN 1.0 ELSE 0.0 END
+                  AS DOUBLE) AS pr
+      FROM nodes n CROSS JOIN seed sd
+      UNION ALL
+      SELECT ci.it + 1, sp.node,
+             (1.0 - {PPR_ALPHA})
+             * (sp.inflow
+                + CASE WHEN sp.node = sd.s
+                       THEN 1.0 - SUM(sp.inflow) OVER () ELSE 0.0 END)
+             + CASE WHEN sp.node = sd.s THEN {PPR_ALPHA} ELSE 0.0 END
+      FROM (
+        SELECT n.node, COALESCE(c.inflow, 0.0) AS inflow
+        FROM nodes n
+        LEFT JOIN (SELECT e.p2 AS node, SUM(p.pr / d.d) AS inflow
+                   FROM ppr p
+                   JOIN deg d ON d.node = p.node
+                   JOIN csym e ON e.p1 = p.node
+                   GROUP BY e.p2) c ON c.node = n.node
+      ) sp
+      CROSS JOIN seed sd
+      CROSS JOIN (SELECT DISTINCT it FROM ppr) ci
+      WHERE ci.it < {PPR_ITERS}
+    )
+    SELECT node, FLOOR(pr * 1e6 + 0.5) / 1e6 AS ppr
+    FROM (SELECT node, pr FROM ppr WHERE it = {PPR_ITERS}
+          ORDER BY pr DESC, node LIMIT {PPR_TOP}) t
+    """,
+)
 def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from a seed product (the minimum partkey
     in the co-purchase graph): restart probability {a} teleports to

@@ -123,7 +123,37 @@ BFS_SOURCE = 0
 BFS_MAX_HOPS = 6
 
 
-@query("graph_bfs")  # iterative frontier expansion → rows-only; pytest vs python BFS
+@query(
+    "graph_bfs",
+    # Real oracle: BFS min-hop distance is a textbook recursive CTE —
+    # enumerate (node, hops) pairs up to the hop cap with UNION
+    # (distinct) recursion, then MIN(hops) per node. Integer output,
+    # so no cross-engine float risk at all. Helper CTEs avoid
+    # top-level UNION (WITH RECURSIVE parsing quirk): DISTINCT over
+    # UNION ALL.
+    oracle=f"""
+    WITH RECURSIVE de AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (SELECT DISTINCT a, b FROM (
+              SELECT src AS a, dst AS b FROM de
+              UNION ALL SELECT dst, src FROM de)),
+    bfs AS (
+      SELECT {BFS_SOURCE} AS node, 0 AS hops
+      UNION
+      SELECT u.b, bfs.hops + 1
+      FROM bfs JOIN und u ON u.a = bfs.node
+      WHERE bfs.hops < {BFS_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
 def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted single-source shortest hop counts from nation
     {BFS_SOURCE} over the undirected trade graph — Pregel-style
