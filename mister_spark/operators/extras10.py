@@ -427,7 +427,48 @@ def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_DIMS = 64
 
 
-@query("ml_gaussian_nb")  # float argmax scoring → rows-only; pytest gates accuracy
+@query(
+    "ml_gaussian_nb",
+    # Real oracle: train/score/argmax are all plain SQL — per-(label,
+    # dim) mean/var_pop, the Gaussian log-likelihood sum, log-prior,
+    # and the (score DESC, cand) argmax window, then integer confusion
+    # counts. The multiple-unnest SELECT zips position and value like
+    # posexplode.
+    oracle="""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+    tr0 AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+    tr AS (SELECT label, unnest(generate_series(1, len(v))) AS i,
+                  unnest(v) AS x
+           FROM tr0),
+    model AS (SELECT label AS cand, i, AVG(x) AS mu,
+                     VAR_POP(x) + 1e-9 AS var
+              FROM tr GROUP BY 1, 2),
+    priors AS (SELECT label AS cand, CAST(COUNT(*) AS DOUBLE) AS n_lab
+               FROM tr0 GROUP BY 1),
+    ntr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tr0),
+    te AS (SELECT vec_id, label AS true_label,
+                  unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+           FROM emb WHERE vec_id % 5 = 0),
+    scored AS (SELECT t.vec_id, t.true_label, m.cand,
+                      SUM(-0.5 * LN(2 * PI() * m.var)
+                          - (t.x - m.mu) * (t.x - m.mu) / (2 * m.var))
+                        AS ll_sum
+               FROM te t JOIN model m ON m.i = t.i
+               GROUP BY 1, 2, 3),
+    fin AS (SELECT s.vec_id, s.true_label, s.cand,
+                   s.ll_sum + LN(p.n_lab / nt.n) AS score
+            FROM scored s JOIN priors p ON p.cand = s.cand
+            CROSS JOIN ntr nt),
+    pred AS (SELECT true_label, cand,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, cand) AS rk
+             FROM fin)
+    SELECT true_label AS label, cand AS pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
 def ml_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaussian naive Bayes over the embeddings table: train per-(label,
     dim) mean/variance on the vec_id%5≠0 split, score the held-out 20%

@@ -23,7 +23,46 @@ IPF_ITERS = 5
 ASPECTS = (0.5, 0.75, 1.0, 1.3333, 2.0)
 
 
-@query("stat_raking_ipf")  # iterative reweighting → rows-only; margin gates
+@query(
+    "stat_raking_ipf",
+    # Real oracle: every row's weight is a function of its (dw, pr)
+    # cell, so IPF iterates on the 35-cell contingency table inside a
+    # recursive CTE — each step is the dw-margin scale then the
+    # pr-margin scale via window sums of wt·count. The margins the
+    # Spark loop computes as row sums are the same cell sums.
+    oracle=f"""
+    WITH RECURSIVE o AS (
+      SELECT isodow(CAST(o_orderdate AS DATE)) AS dw,
+             CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS pr
+      FROM orders
+    ),
+    cells AS (SELECT dw, pr, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM o GROUP BY 1, 2),
+    nn AS (SELECT SUM(c) AS n FROM cells),
+    ipf AS (
+      SELECT 0 AS it, dw, pr, c, CAST(1.0 AS DOUBLE) AS wt FROM cells
+      UNION ALL
+      SELECT it + 1, dw, pr, c,
+             wt1 * (n / 5.0) / (SUM(wt1 * c) OVER (PARTITION BY it, pr))
+      FROM (
+        SELECT f.it, f.dw, f.pr, f.c, nn.n,
+               f.wt * (nn.n / 7.0)
+               / (SUM(f.wt * f.c) OVER (PARTITION BY f.it, f.dw)) AS wt1
+        FROM ipf f CROSS JOIN nn
+        WHERE f.it < {IPF_ITERS}) h
+    ),
+    fin AS (SELECT dw, pr, c, wt FROM ipf WHERE it = {IPF_ITERS}),
+    spread AS (SELECT MAX(wt) / MIN(wt) AS ws FROM fin)
+    SELECT CAST(f.dw AS BIGINT) AS dw,
+           CAST(SUM(f.c) AS BIGINT) AS n_raw,
+           FLOOR(SUM(f.wt * f.c) / MAX(nn.n) * 10000 + 0.5) / 10000
+             AS weighted_share,
+           FLOOR(1.0 / 7.0 * 10000 + 0.5) / 10000 AS target_share,
+           FLOOR(MAX(sp.ws) * 10000 + 0.5) / 10000 AS weight_spread
+    FROM fin f CROSS JOIN nn CROSS JOIN spread sp
+    GROUP BY f.dw
+    """,
+)
 def stat_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raking (iterative proportional fitting) of order weights to
     UNIFORM target margins over weekday (7) and priority (5)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
+from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
@@ -107,7 +108,40 @@ def stat_holm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_rbo_topk")  # top-weighted rank agreement → rows-only
+@query(
+    "ml_rbo_topk",
+    # Real oracle: RBO's prefix overlaps are closed-form — for a doc in
+    # both top-k lists, it is inside both depth-d prefixes iff
+    # max(rank_a, rank_b) <= d, so overlap_d is one filtered count and
+    # the weighted sum runs over d = 1..k. Ranks are ROW_NUMBER under
+    # the same total orders global_rank uses.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, n_chars,
+                         CAST(len({DUCK_TOKENS}) AS BIGINT) AS tok_n
+                  FROM documents),
+    ra AS (SELECT doc_id, r FROM (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+             FROM docs) t WHERE r <= {RBO_K}),
+    rb AS (SELECT doc_id, r FROM (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY tok_n DESC, doc_id) AS r
+             FROM docs) t WHERE r <= {RBO_K}),
+    m AS (SELECT GREATEST(ra.r, rb.r) AS mx
+          FROM ra JOIN rb USING (doc_id)),
+    ds AS (SELECT unnest(generate_series(1, {RBO_K})) AS d),
+    terms AS (SELECT d.d,
+                     (1 - {RBO_P}) * POWER({RBO_P}, d.d - 1) AS w,
+                     CAST((SELECT COUNT(*) FROM m WHERE m.mx <= d.d)
+                          AS DOUBLE) / d.d AS frac
+              FROM ds d)
+    SELECT CAST({RBO_K} AS BIGINT) AS k,
+           FLOOR(SUM(w * frac) / SUM(w) * 10000 + 0.5) / 10000 AS rbo,
+           FLOOR((SELECT COUNT(*) FROM m WHERE m.mx <= 10) / 10.0
+                 * 10000 + 0.5) / 10000 AS top10_overlap
+    FROM terms
+    """,
+)
 def ml_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-Biased Overlap (p = {p}) between the two document rankers
     ml_rrf_fusion fuses (by raw length vs by token count), on their
@@ -161,12 +195,15 @@ def ml_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rbo += wgt * overlap
         weight_sum += wgt
     # truncated-list normalization: divide by the captured weight
+    import math
+
     rbo_norm = rbo / weight_sum
     top10_overlap = len(set(la[:10]) & set(lb[:10])) / 10
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
     row = (
         RBO_K,
-        round(rbo_norm, 4),
-        round(top10_overlap, 4),
+        math.floor(rbo_norm * 10000 + 0.5) / 10000,
+        math.floor(top10_overlap * 10000 + 0.5) / 10000,
     )
     return spark.createDataFrame(
         [row], "k long, rbo double, top10_overlap double"

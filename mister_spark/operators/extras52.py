@@ -276,8 +276,63 @@ def bt_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_bradley_terry")  # rows-only: iterative MM fit; pytest replays
-# the fixed-point property and win-rate sanity in numpy.
+@query(
+    "ml_bradley_terry",
+    # Real oracle: the MM fixed point runs in a recursive CTE over the
+    # |sources| strength vector — per step, denom_i = Σ_j
+    # N_ij/(γ_i+γ_j) via a double self-join on the working table, the
+    # update wi/denom, then the geometric-mean normalization as a
+    # window over the step's rows. Mirrors the numpy guards
+    # (GREATEST 1e-300, keep γ when denom = 0).
+    oracle=f"""
+    WITH RECURSIVE docs AS (SELECT doc_id, source, n_chars FROM documents),
+    wins AS (SELECT winner, loser, CAST(COUNT(*) AS DOUBLE) AS wins FROM (
+               SELECT CASE WHEN a.n_chars > b.n_chars
+                           THEN a.source ELSE b.source END AS winner,
+                      CASE WHEN a.n_chars > b.n_chars
+                           THEN b.source ELSE a.source END AS loser
+               FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+               WHERE a.source <> b.source AND a.n_chars <> b.n_chars) p
+             GROUP BY 1, 2),
+    nmat AS (SELECT i, j, SUM(cnt) AS cnt FROM (
+               SELECT winner AS i, loser AS j, wins AS cnt FROM wins
+               UNION ALL SELECT loser, winner, wins FROM wins) u
+             GROUP BY 1, 2),
+    wsum AS (SELECT winner AS item, SUM(wins) AS wi
+             FROM wins GROUP BY 1),
+    items AS (SELECT DISTINCT item FROM (
+                SELECT winner AS item FROM wins
+                UNION ALL SELECT loser FROM wins) v),
+    bt AS (
+      SELECT 0 AS it, item, CAST(1.0 AS DOUBLE) AS g FROM items
+      UNION ALL
+      SELECT it, item,
+             gn / EXP(AVG(LN(GREATEST(gn, 1e-300))) OVER ()) FROM (
+        SELECT b.it + 1 AS it, b.item,
+               CASE WHEN d.denom > 0
+                    THEN COALESCE(w.wi, 0.0) / GREATEST(d.denom, 1e-300)
+                    ELSE b.g END AS gn
+        FROM bt b
+        JOIN (SELECT b1.item, SUM(n.cnt / (b1.g + b2.g)) AS denom
+              FROM bt b1
+              JOIN nmat n ON n.i = b1.item
+              JOIN bt b2 ON b2.item = n.j
+              GROUP BY b1.item) d ON d.item = b.item
+        LEFT JOIN wsum w ON w.item = b.item
+        WHERE b.it < {BT_ITERS}) s
+    ),
+    games AS (SELECT i AS item, CAST(SUM(cnt) AS BIGINT) AS games
+              FROM nmat GROUP BY 1)
+    SELECT b.item AS source,
+           FLOOR(b.g * 10000 + 0.5) / 10000 AS strength,
+           CAST(COALESCE(w.wi, 0) AS BIGINT) AS wins,
+           gm.games
+    FROM bt b
+    LEFT JOIN wsum w ON w.item = b.item
+    JOIN games gm ON gm.item = b.item
+    WHERE b.it = {BT_ITERS}
+    """,
+)
 def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry preference strengths over sources from pairwise
     document comparisons (the model reward-model data analysis fits to

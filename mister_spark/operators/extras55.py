@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from mister_spark.functions.special import normal_sf, normal_sf_sql
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio, rnd
+from mister_spark.operators.extras47 import _DUCK_BASKETS, COP_SUPPORT
 from mister_spark.registry import query
 
 GRANGER_ALPHA = 0.05
@@ -326,8 +327,39 @@ def sssp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_sssp_weighted")  # rows-only: iterative relaxation; pytest
-# replays the bounded Bellman-Ford in python.
+@query(
+    "graph_sssp_weighted",
+    # Real oracle: bounded Bellman-Ford as a recursive CTE — per round,
+    # min over (keep current dist) ∪ (relax every edge). Path sums
+    # accumulate left-to-right identically in both engines, so the
+    # min-selected distances are bit-exact before the final rounding.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_BASKETS},
+    ce AS (SELECT p1, p2, CAST(COUNT(*) AS DOUBLE) AS w
+           FROM (SELECT x.l_orderkey, x.l_partkey AS p1, y.l_partkey AS p2
+                 FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                                    AND x.l_partkey < y.l_partkey) p
+           GROUP BY 1, 2 HAVING COUNT(*) >= {COP_SUPPORT}),
+    e AS (SELECT src, dst, 1.0 / w AS d FROM (
+            SELECT p1 AS src, p2 AS dst, w FROM ce
+            UNION ALL SELECT p2, p1, w FROM ce)),
+    bf AS (
+      SELECT 0 AS it, (SELECT MIN(src) FROM e) AS node,
+             CAST(0.0 AS DOUBLE) AS dist
+      UNION ALL
+      SELECT it + 1, node, MIN(nd) FROM (
+        SELECT b.it, b.node, b.dist AS nd FROM bf b
+        UNION ALL
+        SELECT b.it, e.dst, b.dist + e.d
+        FROM bf b JOIN e ON e.src = b.node) u
+      WHERE it < {SSSP_ROUNDS}
+      GROUP BY it, node
+    )
+    SELECT node, FLOOR(dist * 1e6 + 0.5) / 1e6 AS dist
+    FROM bf WHERE it = {SSSP_ROUNDS}
+    ORDER BY 2, node LIMIT {SSSP_TOP}
+    """,
+)
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths on the co-purchase graph
     (edge length 1/co-count): {r} Bellman-Ford relaxation rounds from

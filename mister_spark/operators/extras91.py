@@ -270,7 +270,56 @@ def theta_series(spark: SparkSession, sf_dir: str):
     return [int(r["day"]) for r in rows], [float(r["y"]) for r in rows]
 
 
-@query("ev_theta_forecast")  # driver math on rolled-up series → rows-only
+@query(
+    "ev_theta_forecast",
+    # Real oracle: the SES recursion over the theta line has the
+    # closed form level_T = α·Σ_{{i≥2}}(1−α)^(T−i)·θ_i +
+    # (1−α)^(T−1)·θ_1, so train OLS drift + level + held-out forecast
+    # are all plain aggregates; h = min(H, max(n−3, 0)) mirrors the
+    # Spark guard.
+    oracle=f"""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+    hh AS (SELECT LEAST({THETA_H}, GREATEST(COUNT(*) - 3, 0)) AS h,
+                  COUNT(*) AS n
+           FROM d),
+    idx AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+    tr AS (SELECT i, y FROM idx CROSS JOIN hh WHERE i <= n - h),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t,
+                  (CAST(COUNT(*) AS DOUBLE) + 1) / 2 AS tbar,
+                  SUM(y) / CAST(COUNT(*) AS DOUBLE) AS ybar
+           FROM tr),
+    sl AS (SELECT CASE WHEN SUM((i - st.tbar) * (i - st.tbar)) = 0
+                       THEN 0.0
+                       ELSE SUM((i - st.tbar) * (y - st.ybar))
+                            / SUM((i - st.tbar) * (i - st.tbar)) END AS slope
+           FROM tr CROSS JOIN st),
+    lv AS (SELECT SUM(CASE WHEN q.i = 1
+                           THEN POWER(1 - {SES_ALPHA}, st.t - 1) * q.th
+                           ELSE {SES_ALPHA}
+                                * POWER(1 - {SES_ALPHA}, st.t - q.i)
+                                * q.th END) AS level
+           FROM (SELECT i,
+                        2 * y - (st.ybar + sl.slope * (i - st.tbar)) AS th
+                 FROM tr CROSS JOIN st CROSS JOIN sl) q
+           CROSS JOIN st)
+    SELECT CAST(x.day AS BIGINT) AS day,
+           FLOOR(x.y * 100 + 0.5) / 100 AS actual,
+           FLOOR((0.5 * (lv.level
+                         + st.ybar
+                         + sl.slope * (x.i - st.tbar))) * 100 + 0.5) / 100
+             AS forecast,
+           FLOOR(CASE WHEN x.y = 0 THEN 0.0
+                      ELSE ABS(0.5 * (lv.level
+                                      + st.ybar
+                                      + sl.slope * (x.i - st.tbar)) - x.y)
+                           / ABS(x.y) END * 10000 + 0.5) / 10000 AS ape
+    FROM idx x CROSS JOIN hh CROSS JOIN st CROSS JOIN sl CROSS JOIN lv
+    WHERE x.i > hh.n - hh.h
+    """,
+)
 def ev_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-method forecast of daily event volume: train on all but
     the last {h} days, forecast the held-out week as SES(α={a}) of the
@@ -300,18 +349,17 @@ def ev_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         level = theta_y if level is None else SES_ALPHA * theta_y + (
             1 - SES_ALPHA
         ) * level
+    import math
+
+    # cross-engine floor rounding (common.rnd's rule) so the row values
+    # hash-match the closed-form oracle bit-for-bit
+    r2 = lambda x: math.floor(x * 100 + 0.5) / 100  # noqa: E731
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     rows = []
     for j, actual in enumerate(test, start=1):
         fc = 0.5 * (level + (ybar + slope * (t_n + j - tbar)))
         ape = abs(fc - actual) / abs(actual) if actual else 0.0
-        rows.append(
-            (
-                days[t_n + j - 1],
-                round(actual, 2),
-                round(fc, 2),
-                round(ape, 4),
-            )
-        )
+        rows.append((days[t_n + j - 1], r2(actual), r2(fc), r4(ape)))
     return spark.createDataFrame(
         rows, "day long, actual double, forecast double, ape double"
     )

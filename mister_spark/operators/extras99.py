@@ -140,7 +140,49 @@ def stat_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_page_hinkley")  # sequential DP on the day series → rows-only
+@query(
+    "ev_page_hinkley",
+    # Real oracle: the O(1)-state sequential scan is pure window
+    # algebra — running mean, cumulative deviation, running min, and
+    # the first alarm via a min-over-qualifying-days. No recursion
+    # needed; day means are identical in both engines and the scan
+    # accumulates in day order on both sides.
+    oracle=f"""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      AVG(value) AS x
+               FROM events GROUP BY 1),
+    seq AS (SELECT day, x,
+                   AVG(x) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS rmean
+            FROM d),
+    c AS (SELECT day,
+                 SUM(x - rmean - {PH_DELTA}) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM seq),
+    p AS (SELECT day, cum,
+                 cum - LEAST(CAST(0.0 AS DOUBLE),
+                             MIN(cum) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS ph
+          FROM c),
+    alarm AS (SELECT day, ph,
+                     ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM p WHERE ph > {PH_LAMBDA}),
+    fin AS (SELECT ph AS final_ph FROM p ORDER BY day DESC LIMIT 1)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM alarm) THEN 1 ELSE 0 END
+                AS BIGINT) AS alarmed,
+           CAST(COALESCE((SELECT day FROM alarm WHERE rn = 1), -1)
+                AS BIGINT) AS alarm_day,
+           COALESCE((SELECT FLOOR(ph * 10000 + 0.5) / 10000
+                     FROM alarm WHERE rn = 1), 0.0) AS ph_at_alarm,
+           (SELECT FLOOR(final_ph * 10000 + 0.5) / 10000 FROM fin)
+             AS final_ph
+    """,
+)
 def ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page–Hinkley sequential drift detector on the daily mean event
     value: maintain the cumulative deviation from the running mean
@@ -163,15 +205,21 @@ def ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .collect()
     )
+    import math
+
     days = [int(r["day"]) for r in rows]
     xs = [float(r["m"]) for r in rows]
-    mean = 0.0
+    # running mean as prefix-sum / count (identical arithmetic to the
+    # oracle's windowed AVG — the incremental mean+(x-mean)/n form
+    # drifts from it at the last ulp), cross-engine floor rounding
+    xsum = 0.0
     cum = 0.0
     cmin = 0.0
     alarm_day = None
     ph_at_alarm = None
     for i, x in enumerate(xs):
-        mean = mean + (x - mean) / (i + 1)
+        xsum += x
+        mean = xsum / (i + 1)
         cum += x - mean - PH_DELTA
         cmin = min(cmin, cum)
         ph = cum - cmin
@@ -183,8 +231,10 @@ def ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(xs),
         1 if alarm_day is not None else 0,
         alarm_day if alarm_day is not None else -1,
-        round(ph_at_alarm, 4) if ph_at_alarm is not None else 0.0,
-        round(final_ph, 4),
+        math.floor(ph_at_alarm * 10000 + 0.5) / 10000
+        if ph_at_alarm is not None
+        else 0.0,
+        math.floor(final_ph * 10000 + 0.5) / 10000,
     )
     return spark.createDataFrame(
         [row],
