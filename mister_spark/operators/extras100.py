@@ -79,7 +79,62 @@ def ev_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_frequency_cap.__doc__ = ev_frequency_cap.__doc__.format(k=CAP_K)
 
 
-@query("ml_power_iteration_svd")  # iterative matvec → rows-only
+@query(
+    "ml_power_iteration_svd",
+    # Real oracle: the AᵀA power iteration as a recursive CTE over the
+    # (term, vx) vector — each step is the two sparse matvecs (per-doc
+    # then per-term sums over the tf-idf triples) and an L2 window
+    # normalization; terms that drop out of a matvec re-enter at 0 via
+    # the terms-table left join, exactly like the Python dict default.
+    # σ is the last step's pre-normalization norm^(1/2).
+    oracle=f"""
+    WITH RECURSIVE tf AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term
+                          FROM documents),
+    tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM tf GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM tfc GROUP BY 1),
+    a AS (SELECT t.doc_id, t.term, t.tf * LN(nd.n / d.df) AS w
+          FROM tfc t JOIN dfreq d USING (term) CROSS JOIN nd),
+    terms AS (SELECT term FROM dfreq),
+    nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM terms),
+    pit AS (
+      SELECT 0 AS it, term, 1.0 / SQRT(nt.m) AS vx
+      FROM terms CROSS JOIN nt
+      UNION ALL
+      SELECT ci.it + 1, t.term,
+             COALESCE(s.vx, 0.0)
+             / SQRT(SUM(COALESCE(s.vx * s.vx, 0.0)) OVER ())
+      FROM terms t
+      CROSS JOIN (SELECT DISTINCT it FROM pit) ci
+      LEFT JOIN (
+        SELECT a2.term, SUM(a2.w * u.ux) AS vx
+        FROM (SELECT a1.doc_id, SUM(a1.w * p.vx) AS ux
+              FROM pit p JOIN a a1 ON a1.term = p.term
+              GROUP BY a1.doc_id) u
+        JOIN a a2 ON a2.doc_id = u.doc_id
+        GROUP BY 1) s ON s.term = t.term
+      WHERE ci.it < {PI_ITERS}
+    ),
+    sig AS (
+      SELECT SQRT(SQRT(SUM(vxr * vxr))) AS sigma FROM (
+        SELECT a2.term, SUM(a2.w * u.ux) AS vxr
+        FROM (SELECT a1.doc_id, SUM(a1.w * p.vx) AS ux
+              FROM pit p JOIN a a1 ON a1.term = p.term
+              WHERE p.it = {PI_ITERS} - 1
+              GROUP BY a1.doc_id) u
+        JOIN a a2 ON a2.doc_id = u.doc_id
+        GROUP BY 1) r
+    )
+    SELECT term, FLOOR(vx * 1e6 + 0.5) / 1e6 AS loading,
+           FLOOR(sig.sigma * 10000 + 0.5) / 10000 AS sigma,
+           CAST(nt.m AS BIGINT) AS vocab
+    FROM pit CROSS JOIN sig CROSS JOIN nt
+    WHERE it = {PI_ITERS}
+    ORDER BY ABS(vx) DESC, term LIMIT {PI_TOP}
+    """,
+)
 def ml_power_iteration_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top singular vector of the doc×term tf-idf matrix by power
     iteration on AᵀA: each round is (1) u = A·v — a broadcast of the
@@ -142,8 +197,10 @@ def ml_power_iteration_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma_hist.append(math.sqrt(norm))
         v = {t: raw.get(t, 0.0) / norm for t in terms}
     top = sorted(v.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:PI_TOP]
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
+    sig = math.floor(sigma_hist[-1] * 10000 + 0.5) / 10000
     rows = [
-        (t, round(x, 6), round(sigma_hist[-1], 4), len(terms))
+        (t, math.floor(x * 1e6 + 0.5) / 1e6, sig, len(terms))
         for t, x in top
     ]
     return spark.createDataFrame(

@@ -100,7 +100,87 @@ def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_holt_winters")  # recursive smoothing → rows-only; backtest gate
+@query(
+    "ev_holt_winters",
+    # Real oracle: both smoothing recursions run as recursive CTEs —
+    # Holt carries (level, trend) in a single row per step, and
+    # Holt-Winters additionally carries the m-slot seasonal state as a
+    # DOUBLE list rebuilt with list_transform each step. Sequential
+    # float arithmetic matches the Python loop order exactly, so the
+    # final components are bit-identical before rounding.
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                                CAST(COUNT(*) AS DOUBLE) AS y
+                         FROM events GROUP BY 1),
+    idx AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+    hh AS (SELECT LEAST({HW_H},
+                        GREATEST(COUNT(*) - {2 * HW_SEASON + 1}, 1)) AS h,
+                  COUNT(*) AS n
+           FROM idx),
+    tn AS (SELECT n - h AS t, h FROM hh),
+    trn AS (SELECT i, y FROM idx CROSS JOIN tn WHERE i <= t),
+    ho AS (
+      SELECT 1 AS i, (SELECT y FROM trn WHERE i = 1) AS lvl,
+             CAST(0.0 AS DOUBLE) AS b
+      UNION ALL
+      SELECT q.i + 1, q.lvl2,
+             {HW_BETA} * (q.lvl2 - q.lvl) + (1 - {HW_BETA}) * q.b
+      FROM (SELECT w.i, w.lvl, w.b,
+                   {HW_ALPHA} * x.y + (1 - {HW_ALPHA}) * (w.lvl + w.b)
+                     AS lvl2
+            FROM ho w JOIN trn x ON x.i = w.i + 1) q
+    ),
+    s0 AS (SELECT list(y ORDER BY i) AS sl
+           FROM trn WHERE i <= {HW_SEASON}),
+    hw AS (
+      SELECT {HW_SEASON} AS i,
+             (SELECT list_aggregate(sl, 'sum') / {HW_SEASON} FROM s0)
+               AS lvl,
+             CAST(0.0 AS DOUBLE) AS b,
+             (SELECT list_transform(sl,
+                x -> x - list_aggregate(sl, 'sum') / {HW_SEASON}) FROM s0)
+               AS sea
+      UNION ALL
+      SELECT q.i + 1, q.lvl2,
+             {HW_BETA} * (q.lvl2 - q.lvl) + (1 - {HW_BETA}) * q.b,
+             list_transform(range(1, {HW_SEASON} + 1),
+               j -> CASE WHEN j = q.pos
+                         THEN {HW_GAMMA} * (q.y - q.lvl2)
+                              + (1 - {HW_GAMMA}) * q.si
+                         ELSE q.sea[j] END)
+      FROM (SELECT w.i, w.lvl, w.b, w.sea, x.y,
+                   (w.i % {HW_SEASON}) + 1 AS pos,
+                   w.sea[(w.i % {HW_SEASON}) + 1] AS si,
+                   {HW_ALPHA} * (x.y - w.sea[(w.i % {HW_SEASON}) + 1])
+                     + (1 - {HW_ALPHA}) * (w.lvl + w.b) AS lvl2
+            FROM hw w JOIN trn x ON x.i = w.i + 1) q
+    ),
+    hof AS (SELECT lvl, b FROM ho CROSS JOIN tn WHERE i = t),
+    hwf AS (SELECT lvl, b, sea FROM hw CROSS JOIN tn WHERE i = t),
+    test AS (SELECT x.y AS actual, x.i - tn.t AS j
+             FROM idx x CROSS JOIN tn WHERE x.i > tn.t),
+    mh AS (SELECT SUM(ABS(f.lvl + f.b * te.j - te.actual))
+                  / MAX(tn.h) AS mae
+           FROM test te CROSS JOIN hof f CROSS JOIN tn),
+    mw AS (SELECT SUM(ABS(f.lvl + f.b * te.j
+                          + f.sea[(((SELECT t FROM tn) + te.j - 1)
+                                   % {HW_SEASON}) + 1]
+                          - te.actual)) / MAX(tn.h) AS mae
+           FROM test te CROSS JOIN hwf f CROSS JOIN tn)
+    SELECT 'holt' AS model,
+           FLOOR(mh.mae * 10000 + 0.5) / 10000 AS mae,
+           FLOOR(hwf.lvl * 10000 + 0.5) / 10000 AS final_level,
+           FLOOR(hwf.b * 10000 + 0.5) / 10000 AS final_trend
+    FROM mh CROSS JOIN hwf
+    UNION ALL
+    SELECT 'holt_winters',
+           FLOOR(mw.mae * 10000 + 0.5) / 10000,
+           FLOOR(hwf.lvl * 10000 + 0.5) / 10000,
+           FLOOR(hwf.b * 10000 + 0.5) / 10000
+    FROM mw CROSS JOIN hwf
+    """,
+)
 def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt–Winters (level α={a}, trend β={b}, weekly
     seasonal γ={g}, m={m}) on daily event counts, backtested on the
@@ -158,13 +238,17 @@ def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             tr,
         )
 
+    import math
+
     f_h = holt(train)
     f_hw, lvl, tr = holt_winters(train)
     mae_h = sum(abs(f - a) for f, a in zip(f_h, test)) / h
     mae_hw = sum(abs(f - a) for f, a in zip(f_hw, test)) / h
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     out = [
-        ("holt", round(mae_h, 4), round(lvl, 4), round(tr, 4)),
-        ("holt_winters", round(mae_hw, 4), round(lvl, 4), round(tr, 4)),
+        ("holt", r4(mae_h), r4(lvl), r4(tr)),
+        ("holt_winters", r4(mae_hw), r4(lvl), r4(tr)),
     ]
     return spark.createDataFrame(
         out, "model string, mae double, final_level double, final_trend double"

@@ -10,6 +10,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio, rnd
+from mister_spark.operators.dedup import DD_NGRAM_ORACLE
 from mister_spark.registry import query
 
 DAY_US = 86_400_000_000
@@ -187,7 +188,35 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select("state", rnd(F.col("prob"), 4).alias("pi"))
 
 
-@query("dd_canonical")  # cluster ids from label prop → rows-only; pytest invariants
+@query(
+    "dd_canonical",
+    # Real oracle: dd_clusters' transitive-closure SQL plus the
+    # per-cluster (n_chars DESC, doc_id) keeper argmax — integers
+    # end-to-end.
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({DD_NGRAM_ORACLE})),
+    sym AS (SELECT DISTINCT a, b FROM (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs)),
+    reach AS (
+      SELECT a AS node, a AS lab FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+           FROM reach GROUP BY node),
+    m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                    ORDER BY d.n_chars DESC, cl.doc_id)
+                   AS r
+          FROM cl JOIN documents d USING (doc_id)),
+    keep AS (SELECT cluster_id, doc_id AS keep_id FROM m WHERE r = 1)
+    SELECT m.doc_id, m.cluster_id, k.keep_id,
+           CAST(CASE WHEN m.doc_id = k.keep_id THEN 1 ELSE 0 END AS INT)
+             AS is_canonical
+    FROM m JOIN keep k USING (cluster_id)
+    """,
+)
 def dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection: after near-dup clustering
     (dd_clusters), keep ONE doc per cluster — the longest text, doc_id

@@ -123,8 +123,50 @@ def ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_macd.__doc__ = ev_macd.__doc__.format(f=MACD_FAST, s=MACD_SLOW)
 
 
-@query("ds_coreset_kcenter")  # rows-only: iterative greedy; pytest checks
-# the monotone coverage radius + center distinctness.
+@query(
+    "ds_coreset_kcenter",
+    # Real oracle: the greedy farthest-point loop as a recursive CTE
+    # whose working rows carry every point's running nearest-center
+    # cosine distance; the next center is the (dmin DESC, vec_id)
+    # argmax of the working table and rides in as the step's cid.
+    oracle=f"""
+    WITH RECURSIVE emb AS (SELECT vec_id,
+                                  CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings),
+    kc AS (
+      SELECT 0 AS it, e.vec_id,
+             1.0 - list_aggregate(list_transform(range(1, len(e.v) + 1),
+                                  i -> e.v[i] * c.v[i]), 'sum')
+                   / (SQRT(list_aggregate(list_transform(e.v, x -> x * x),
+                                          'sum'))
+                      * SQRT(list_aggregate(list_transform(c.v, x -> x * x),
+                                            'sum'))) AS dmin,
+             0 AS cid
+      FROM emb e CROSS JOIN (SELECT v FROM emb WHERE vec_id = 0) c
+      UNION ALL
+      SELECT s.it + 1, s.vec_id,
+             LEAST(s.dmin,
+                   1.0 - list_aggregate(list_transform(
+                             range(1, len(ev.v) + 1),
+                             i -> ev.v[i] * cv.v[i]), 'sum')
+                         / (SQRT(list_aggregate(
+                                list_transform(ev.v, x -> x * x), 'sum'))
+                            * SQRT(list_aggregate(
+                                list_transform(cv.v, x -> x * x), 'sum')))),
+             nx.nid
+      FROM kc s
+      CROSS JOIN (SELECT vec_id AS nid FROM kc
+                  ORDER BY dmin DESC, vec_id LIMIT 1) nx
+      JOIN emb cv ON cv.vec_id = nx.nid
+      JOIN emb ev ON ev.vec_id = s.vec_id
+      WHERE s.it < {CORESET_K} - 1
+    )
+    SELECT CAST(it AS INT) AS iteration,
+           CAST(MAX(cid) AS BIGINT) AS center_vec_id,
+           FLOOR(MAX(dmin) * 10000 + 0.5) / 10000 AS coverage_radius
+    FROM kc GROUP BY it
+    """,
+)
 def ds_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection over the embedding corpus
     (k={k}, cosine distance): start from vec 0, repeatedly add the

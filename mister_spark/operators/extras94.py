@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mister_spark.functions.hashing import FP_MOD, FP_MUL
 from mister_spark.functions.ranks import bucketed_cumsum, global_rank
 from mister_spark.operators.common import cat, ratio
 from mister_spark.operators.extras93 import GRID_DEG, RADIUS, _points
@@ -29,7 +30,64 @@ DBSCAN_ITERS = 8
 LORENZ_QS = [i / 10 for i in range(1, 11)]
 
 
-@query("ev_kleinberg_bursts")  # Viterbi DP on the day series → rows-only
+@query(
+    "ev_kleinberg_bursts",
+    # Real oracle: the 2-state Viterbi DP is two recursive CTEs — a
+    # forward pass carrying (cost0, cost1) plus the back-pointers in a
+    # single row per step (sequential float arithmetic, identical
+    # order on both engines, so costs are bit-exact), and a backward
+    # pass walking the stored pointers from the argmin final state.
+    # Tie rules mirror Python's tuple-min: stay-in-state wins for n0,
+    # the from-0 path wins for n1, and state 0 wins the final argmin.
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                                CAST(COUNT(*) AS DOUBLE) AS n
+                         FROM events WHERE event_type = 'error'
+                         GROUP BY 1),
+    idx AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                    SUM(n) / COUNT(*) AS lam0,
+                    {BURST_S} * (SUM(n) / COUNT(*)) AS lam1,
+                    {BURST_GAMMA} * LN(GREATEST(COUNT(*), 2)) AS sw
+             FROM idx),
+    fwd AS (
+      SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS c0, m.sw AS c1,
+             0 AS b0, 0 AS b1
+      FROM meta m
+      UNION ALL
+      SELECT f.i + 1,
+             CASE WHEN f.c0 <= f.c1 + m.sw THEN f.c0
+                  ELSE f.c1 + m.sw END
+               + (m.lam0 - x.n * LN(m.lam0)),
+             CASE WHEN f.c0 + m.sw <= f.c1 THEN f.c0 + m.sw
+                  ELSE f.c1 END
+               + (m.lam1 - x.n * LN(m.lam1)),
+             CASE WHEN f.c0 <= f.c1 + m.sw THEN 0 ELSE 1 END,
+             CASE WHEN f.c0 + m.sw <= f.c1 THEN 0 ELSE 1 END
+      FROM fwd f
+      CROSS JOIN meta m
+      JOIN idx x ON x.i = f.i + 1
+    ),
+    bwd AS (
+      SELECT m.nd + 1 AS i,
+             CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS st
+      FROM fwd f CROSS JOIN meta m WHERE f.i = m.nd
+      UNION ALL
+      SELECT b.i - 1,
+             CASE WHEN b.st = 0 THEN f.b0 ELSE f.b1 END
+      FROM bwd b JOIN fwd f ON f.i = b.i - 1
+      WHERE b.i > 1
+    )
+    SELECT CAST(x.day AS BIGINT) AS day, x.n AS errors,
+           CAST(b.st AS BIGINT) AS burst,
+           FLOOR(m.lam0 * 10000 + 0.5) / 10000 AS lam0,
+           FLOOR(m.lam1 * 10000 + 0.5) / 10000 AS lam1
+    FROM idx x
+    JOIN bwd b ON b.i = x.i + 1
+    CROSS JOIN meta m
+    """,
+)
 def ev_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg-style burst detection on daily 'error' counts: a
     two-state automaton (base rate λ₀ = corpus mean, burst rate
@@ -80,10 +138,10 @@ def ev_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(n - 1, -1, -1):
         states[i] = state
         state = back[i][state]
-    out = [
-        (days[i], ys[i], states[i], round(lam0, 4), round(lam1, 4))
-        for i in range(n)
-    ]
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
+    rl0 = math.floor(lam0 * 10000 + 0.5) / 10000
+    rl1 = math.floor(lam1 * 10000 + 0.5) / 10000
+    out = [(days[i], ys[i], states[i], rl0, rl1) for i in range(n)]
     return spark.createDataFrame(
         out, "day long, errors double, burst long, lam0 double, lam1 double"
     )
@@ -92,13 +150,72 @@ def ev_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_kleinberg_bursts.__doc__ = ev_kleinberg_bursts.__doc__.format(s=BURST_S)
 
 
-@query("ml_dbscan_grid")  # iterative label propagation → rows-only
+@query(
+    "ml_dbscan_grid",
+    # Real oracle: the synthetic coordinates are integer-arithmetic
+    # deterministic, the eps-neighbor search is the same 3×3 grid-cell
+    # join, core/border/noise classification is plain SQL, and the
+    # core-graph components come from transitive-closure min-label
+    # reachability (the converged fixpoint of the Spark loop's
+    # propagation rounds). Integer output.
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS k,
+             ((((c_custkey * {FP_MUL} + 7) % {FP_MOD}) % 18000 / 100.0 - 90)
+              % 5) + 5 AS lat,
+             ((((c_custkey * {FP_MUL} + 13) % {FP_MOD}) % 36000 / 100.0 - 180)
+              % 5) + 5 AS lon
+      FROM customer),
+    cells AS (SELECT k, lat, lon,
+                     CAST(FLOOR(lat / {DBSCAN_EPS}) AS BIGINT) AS cx,
+                     CAST(FLOOR(lon / {DBSCAN_EPS}) AS BIGINT) AS cy
+              FROM pts),
+    nbr AS (SELECT a.k AS ka, b.k AS kb
+            FROM cells a
+            JOIN (SELECT * FROM (VALUES (-1), (0), (1)) t(dx)) dxs ON TRUE
+            JOIN (SELECT * FROM (VALUES (-1), (0), (1)) t(dy)) dys ON TRUE
+            JOIN cells b ON b.cx = a.cx + dxs.dx AND b.cy = a.cy + dys.dy
+            WHERE a.k <> b.k
+              AND (a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)
+                  <= {DBSCAN_EPS} * {DBSCAN_EPS}),
+    core AS (SELECT ka AS k FROM nbr GROUP BY ka
+             HAVING COUNT(*) >= {DBSCAN_MINPTS}),
+    ce AS (SELECT n.ka, n.kb FROM nbr n
+           JOIN core c1 ON c1.k = n.ka
+           JOIN core c2 ON c2.k = n.kb),
+    reach AS (
+      SELECT k AS node, k AS lab FROM core
+      UNION
+      SELECT s.kb, r.lab FROM reach r JOIN ce s ON s.ka = r.node
+    ),
+    lbl AS (SELECT node AS k, MIN(lab) AS lab FROM reach GROUP BY node),
+    border AS (SELECT n.ka AS k, MIN(l.lab) AS lab
+               FROM nbr n
+               JOIN core ck ON ck.k = n.kb
+               JOIN lbl l ON l.k = n.kb
+               WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.k = n.ka)
+               GROUP BY n.ka),
+    assigned AS (SELECT k, lab FROM lbl
+                 UNION ALL SELECT k, lab FROM border),
+    sizes AS (SELECT CAST(lab AS BIGINT) AS cluster,
+                     CAST(COUNT(*) AS BIGINT) AS size
+              FROM assigned GROUP BY 1
+              ORDER BY size DESC, cluster LIMIT 10)
+    SELECT cluster, size FROM sizes
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           (SELECT COUNT(*) FROM pts) - (SELECT COUNT(*) FROM assigned)
+    """,
+)
 def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the synthesized customer points (eps = {r}°,
     minPts = {m}): neighbor counts and the core-core edge list both
     come from the grid-cell bucket join (never all-pairs); clusters
     are connected components of the core graph via hash-to-min label
-    propagation; border points adopt the min neighboring core label;
+    propagation with pointer jumping (O(log n) rounds to convergence,
+    early-exit on a zero changed count — the graph_components
+    discipline); border points adopt the min neighboring core label;
     everything else is noise. Emits the 10 largest clusters plus the
     noise row (cluster = −1).
 
@@ -162,16 +279,36 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("kb").alias("k"))
             .agg(F.min("lab").alias("nlab"))
         )
-        lab = (
-            lab.join(m, "k", "left")
+        upd = lab.join(m, "k", "left").select(
+            "k",
+            F.least(
+                F.col("lab"), F.coalesce("nlab", F.col("lab"))
+            ).alias("lab"),
+        )
+        # pointer jumping (follow my label's label) halves chain depth
+        # per round, so convergence is O(log n) rounds, not O(diameter)
+        # — without it a grid-shaped core component's min label cannot
+        # cross the component inside the round budget and DBSCAN
+        # reports one dense cluster as several (caught by the
+        # transitive-closure oracle)
+        parent = upd.select(
+            F.col("k").alias("lab"), F.col("lab").alias("plab")
+        )
+        jumped = (
+            upd.join(parent, "lab", "left")
             .select(
-                "k",
-                F.least(
-                    F.col("lab"), F.coalesce("nlab", F.col("lab"))
-                ).alias("lab"),
+                "k", F.coalesce(F.col("plab"), F.col("lab")).alias("lab")
             )
             .localCheckpoint()
         )
+        changed = (
+            jumped.join(lab.withColumnRenamed("lab", "old"), "k")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
     border = (
         nbr.join(core.select(F.col("k").alias("kb")), "kb")
         .join(
