@@ -97,7 +97,39 @@ def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_alert_throttle")  # sequential per-key recursion → rows-only; pytest ref
+@query(
+    "ev_alert_throttle",
+    # Real oracle: the emitted-row-dependent fold runs as a recursive
+    # CTE advancing every user's (fired, last, first) state one error
+    # at a time along the per-user event index — the SQL twin of the
+    # applyInPandas fold. Integer microsecond state, zero float risk.
+    oracle=f"""
+    WITH RECURSIVE err AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts)) AS i
+      FROM events WHERE event_type = 'error'
+    ),
+    th AS (
+      SELECT user_id, 1 AS pos, 1 AS fired, tus AS last, tus AS first
+      FROM err WHERE i = 1
+      UNION ALL
+      SELECT t.user_id, t.pos + 1,
+             CASE WHEN e.tus - t.last > {ALERT_COOLDOWN_US}
+                  THEN t.fired + 1 ELSE t.fired END,
+             CASE WHEN e.tus - t.last > {ALERT_COOLDOWN_US}
+                  THEN e.tus ELSE t.last END,
+             t.first
+      FROM th t JOIN err e ON e.user_id = t.user_id AND e.i = t.pos + 1
+    ),
+    fin AS (SELECT user_id, MAX(i) AS mi, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM err GROUP BY 1)
+    SELECT t.user_id, f.cnt AS n_errors,
+           CAST(t.fired AS BIGINT) AS n_alerts,
+           t.first AS first_alert_us, t.last AS last_alert_us
+    FROM th t JOIN fin f ON f.user_id = t.user_id AND t.pos = f.mi
+    """,
+)
 def ev_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert cooldown suppression: per user, an 'error' event fires an
     alert only if the PREVIOUS FIRED alert is more than 1 hour old

@@ -252,7 +252,57 @@ def ev_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_pacf")  # Durbin-Levinson driver recursion → rows-only; pytest
+@query(
+    "stat_pacf",
+    # Real oracle: the autocovariances are the same gap-aware lag
+    # joins, collected into a DOUBLE list; Durbin-Levinson then runs
+    # as a recursive CTE whose single working row carries (k, v, phi
+    # list), emitting phi_kk per step — sequential arithmetic in the
+    # exact Python order, bit-identical before rounding.
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT epoch_us(ts) // {DAY_US} AS day,
+                                CAST(COUNT(*) AS DOUBLE) AS y
+                         FROM events GROUP BY 1),
+    m AS (SELECT AVG(y) AS mu, CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+    c AS (SELECT day, y - m.mu AS e FROM d CROSS JOIN m),
+    gk AS (SELECT lag.k,
+                  (SELECT SUM(a.e * b.e) / MAX(m.n)
+                   FROM c a JOIN c b ON a.day = b.day + lag.k
+                   CROSS JOIN m) AS g
+           FROM (SELECT unnest(generate_series(0, {PACF_MAX_LAG})) AS k)
+                  lag),
+    gl AS (SELECT list(g ORDER BY k) AS g FROM gk),
+    dl AS (
+      SELECT 0 AS k, (SELECT g[1] FROM gl) AS v,
+             CAST([] AS DOUBLE[]) AS phi,
+             CAST(0.0 AS DOUBLE) AS pk
+      UNION ALL
+      SELECT q.k, q.v * (1 - q.pk * q.pk),
+             list_append(
+               list_transform(range(1, q.k),
+                 j -> q.phi[j] - q.pk * q.phi[q.k - j]),
+               q.pk),
+             q.pk
+      FROM (
+        SELECT s.k + 1 AS k,
+               s.v,
+               s.phi,
+               CASE WHEN s.v <> 0 THEN
+                 (g.g[s.k + 2]
+                  - COALESCE(list_aggregate(
+                      list_transform(range(1, s.k + 1),
+                        j -> s.phi[j] * g.g[s.k + 2 - j]), 'sum'), 0.0))
+                 / s.v
+               ELSE 0.0 END AS pk
+        FROM dl s CROSS JOIN gl g
+        WHERE s.k < {PACF_MAX_LAG}) q
+    )
+    SELECT CAST(dl.k AS BIGINT) AS lag,
+           FLOOR(dl.pk * 10000 + 0.5) / 10000 AS pacf,
+           FLOOR(g.g[dl.k + 1] / g.g[1] * 10000 + 0.5) / 10000 AS acf
+    FROM dl CROSS JOIN gl g WHERE dl.k >= 1
+    """,
+)
 def stat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial autocorrelation of the daily event-count series at lags
     1..{PACF_MAX_LAG} via Durbin–Levinson — the AR-order diagnostic
@@ -301,11 +351,15 @@ def stat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pacf.append((k, phi_kk))
     import pandas as pd
 
+    import math
+
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     out = pd.DataFrame(
         {
             "lag": [k for k, _ in pacf],
-            "pacf": [round(p, 4) for _, p in pacf],
-            "acf": [round(gamma[k] / gamma[0], 4) for k, _ in pacf],
+            "pacf": [r4(p) for _, p in pacf],
+            "acf": [r4(gamma[k] / gamma[0]) for k, _ in pacf],
         }
     )
     return spark.createDataFrame(out, "lag bigint, pacf double, acf double")

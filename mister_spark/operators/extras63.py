@@ -151,8 +151,72 @@ def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_platt_scaling")  # rows-only: Newton iterations on driver bins;
-# pytest checks NLL improvement + monotone sigmoid.
+@query(
+    "ml_platt_scaling",
+    # Real oracle: the 2-parameter Newton loop runs in a recursive CTE
+    # whose single working row carries (A, B); each step re-aggregates
+    # the 50-bin sufficient statistics for the gradient/Hessian and
+    # applies the 2×2 solve. The det < 1e-12 break is mirrored by
+    # freezing (A, B) — the frozen state reproduces the same det, so
+    # later steps are no-ops exactly like Python's break.
+    oracle=f"""
+    WITH RECURSIVE bins AS (
+      SELECT LEAST(CAST(FLOOR(1.0 / (1.0 + EXP(-CAST(embedding[1] AS DOUBLE)))
+                         * {PLATT_BINS}) AS INT),
+                   {PLATT_BINS} - 1) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+      FROM embeddings GROUP BY 1),
+    pts AS (SELECT (bin + 0.5) / {PLATT_BINS} AS s, bin,
+                   CAST(n_pos AS DOUBLE) AS np, CAST(n - n_pos AS DOUBLE) AS nn
+            FROM bins),
+    tots AS (SELECT SUM(np) AS npos, SUM(nn) AS nneg,
+                    (SUM(np) + 1.0) / (SUM(np) + 2.0) AS t1,
+                    1.0 / (SUM(nn) + 2.0) AS t0
+             FROM pts),
+    nwt AS (
+      SELECT 0 AS it, CAST(0.0 AS DOUBLE) AS a,
+             LN((nneg + 1.0) / (npos + 1.0)) AS b
+      FROM tots
+      UNION ALL
+      SELECT it + 1,
+             CASE WHEN ABS(det) < 1e-12 THEN a
+                  ELSE a - (g_a * h_bb - g_b * h_ab) / det END,
+             CASE WHEN ABS(det) < 1e-12 THEN b
+                  ELSE b - (g_b * h_aa - g_a * h_ab) / det END
+      FROM (
+        SELECT q.it, q.a, q.b, q.g_a, q.g_b, q.h_aa, q.h_ab, q.h_bb,
+               q.h_aa * q.h_bb - q.h_ab * q.h_ab AS det
+        FROM (
+          SELECT w.it, w.a, w.b,
+                 SUM(((p.np + p.nn) * sg - (p.np * t.t1 + p.nn * t.t0))
+                     * p.s) AS g_a,
+                 SUM((p.np + p.nn) * sg - (p.np * t.t1 + p.nn * t.t0))
+                   AS g_b,
+                 SUM(((p.np + p.nn) * sg * (1 - sg) + 1e-9) * p.s * p.s)
+                   AS h_aa,
+                 SUM(((p.np + p.nn) * sg * (1 - sg) + 1e-9) * p.s) AS h_ab,
+                 SUM((p.np + p.nn) * sg * (1 - sg) + 1e-9) AS h_bb
+          FROM nwt w
+          CROSS JOIN tots t
+          CROSS JOIN pts p
+          CROSS JOIN LATERAL (SELECT 1.0 / (1.0 + EXP(-(w.a * p.s + w.b)))
+                              AS sg) l
+          WHERE w.it < {PLATT_ITERS}
+          GROUP BY w.it, w.a, w.b) q) f
+    ),
+    fab AS (SELECT a, b FROM nwt WHERE it = {PLATT_ITERS})
+    SELECT p.bin, CAST(p.np + p.nn AS BIGINT) AS n,
+           FLOOR(p.np / GREATEST(p.np + p.nn, 1) * 10000 + 0.5) / 10000
+             AS rate_raw,
+           FLOOR(1.0 / (1.0 + EXP(-(f.a * p.s + f.b))) * 10000 + 0.5)
+             / 10000 AS rate_platt,
+           FLOOR(f.a * 10000 + 0.5) / 10000 AS coef_a,
+           FLOOR(f.b * 10000 + 0.5) / 10000 AS coef_b
+    FROM pts p CROSS JOIN fab f
+    """,
+)
 def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Platt scaling: fit P(y=1|s) = σ(A·s + B) by Newton's method on
     the binned sufficient statistics (score-bin n / positives — the

@@ -85,8 +85,62 @@ def shapley_game(spark: SparkSession, sf_dir: str):
     return g.collect()
 
 
-@query("ev_shapley_attribution")  # rows-only: driver combinatorics over
-# the 2^k aggregated game; pytest replays with itertools.
+@query(
+    "ev_shapley_attribution",
+    # Real oracle: channels get bit positions, coalitions are the
+    # 2^k masks, v(S) sums conversions of exposure masks ⊆ S (bitwise
+    # AND containment), and each channel's exact Shapley value is the
+    # weighted marginal sum over the masks excluding its bit —
+    # factorial() and bit_count() do the combinatorics.
+    oracle=f"""
+    WITH uu AS (
+      SELECT user_id,
+             list_sort(list_distinct(
+               COALESCE(list(event_type)
+                          FILTER (WHERE event_type <> '{SHAP_CONV}'), [])))
+               AS chans,
+             MAX(CASE WHEN event_type = '{SHAP_CONV}' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    g AS (SELECT chans, CAST(SUM(conv) AS DOUBLE) AS n_conv
+          FROM uu GROUP BY chans),
+    chidx AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM (
+                SELECT DISTINCT unnest(chans) AS c FROM g)),
+    kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM chidx),
+    gm AS (SELECT g.n_conv,
+                  COALESCE((SELECT SUM(1 << (ci.i - 1))
+                            FROM chidx ci
+                            WHERE list_contains(g.chans, ci.c)), 0) AS mask
+           FROM g),
+    allm AS (SELECT unnest(generate_series(0, (1 << k) - 1)) AS smask
+             FROM kk),
+    vs AS (SELECT a.smask,
+                  COALESCE(SUM(CASE WHEN (m.mask & a.smask) = m.mask
+                                    THEN m.n_conv END), 0.0) AS v
+           FROM allm a CROSS JOIN gm m GROUP BY a.smask),
+    shap AS (SELECT c.c AS channel,
+                    SUM(CAST(factorial(bit_count(CAST(s.smask AS BIGINT)))
+                             AS DOUBLE)
+                        * CAST(factorial(kk.k - bit_count(CAST(s.smask
+                                                          AS BIGINT)) - 1)
+                               AS DOUBLE)
+                        / CAST(factorial(kk.k) AS DOUBLE)
+                        * (v1.v - v0.v)) AS sv
+             FROM chidx c
+             CROSS JOIN kk
+             JOIN allm s ON (s.smask & (1 << (c.i - 1))) = 0
+             JOIN vs v0 ON v0.smask = s.smask
+             JOIN vs v1 ON v1.smask = (s.smask | (1 << (c.i - 1)))
+             GROUP BY c.c),
+    grand AS (SELECT v FROM vs CROSS JOIN kk
+              WHERE smask = (1 << k) - 1)
+    SELECT channel,
+           FLOOR(sv * 10000 + 0.5) / 10000 AS shapley_conversions,
+           FLOOR(CASE WHEN gr.v <> 0 THEN sv / gr.v ELSE 0.0 END
+                 * 10000 + 0.5) / 10000 AS credit_share
+    FROM shap CROSS JOIN grand gr
+    """,
+)
 def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley-value channel attribution: users' non-conversion
     event types form exposure coalitions, the game value v(S) is the
