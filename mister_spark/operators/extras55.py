@@ -263,8 +263,68 @@ def iso_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_isotonic_calibration")  # rows-only: PAV pooling is inherently
-# sequential over bins; pytest checks monotonicity + mass conservation.
+@query(
+    "ml_isotonic_calibration",
+    # Real oracle: PAV as a one-action-per-step recursive CTE — each
+    # step either merges the top two pools (when the last pool's rate
+    # undercuts its neighbor, the same integer cross-multiplication
+    # test) or pushes the next bin; the pool stack rides as four
+    # parallel lists. At most 2·bins steps, and the run ends when all
+    # bins are pushed and no violation remains.
+    oracle=f"""
+    WITH RECURSIVE bins AS (
+      SELECT LEAST(CAST(FLOOR(1.0 / (1.0 + EXP(-CAST(embedding[1] AS DOUBLE)))
+                         * {ISO_BINS}) AS INT),
+                   {ISO_BINS} - 1) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_pos
+      FROM embeddings GROUP BY 1),
+    bl AS (SELECT list(bin ORDER BY bin) AS b,
+                  list(n ORDER BY bin) AS n,
+                  list(n_pos ORDER BY bin) AS p,
+                  COUNT(*) AS nb
+           FROM bins),
+    pav AS (
+      SELECT 0 AS st, 0 AS used,
+             CAST([] AS INT[]) AS los, CAST([] AS INT[]) AS his,
+             CAST([] AS DOUBLE[]) AS ns, CAST([] AS DOUBLE[]) AS ps
+      UNION ALL
+      SELECT st + 1,
+             CASE WHEN q.viol THEN q.used ELSE q.used + 1 END,
+             CASE WHEN q.viol
+                  THEN list_append(q.los[1:q.ln - 2], q.los[q.ln - 1])
+                  ELSE list_append(q.los, q.b[q.used + 1]) END,
+             CASE WHEN q.viol
+                  THEN list_append(q.his[1:q.ln - 2], q.his[q.ln])
+                  ELSE list_append(q.his, q.b[q.used + 1]) END,
+             CASE WHEN q.viol
+                  THEN list_append(q.ns[1:q.ln - 2],
+                                   q.ns[q.ln - 1] + q.ns[q.ln])
+                  ELSE list_append(q.ns, q.n[q.used + 1]) END,
+             CASE WHEN q.viol
+                  THEN list_append(q.ps[1:q.ln - 2],
+                                   q.ps[q.ln - 1] + q.ps[q.ln])
+                  ELSE list_append(q.ps, q.p[q.used + 1]) END
+      FROM (SELECT v.*, l.b, l.n, l.p, l.nb, len(v.los) AS ln,
+                   len(v.los) >= 2
+                   AND v.ps[len(v.los)] * v.ns[len(v.los) - 1]
+                       < v.ps[len(v.los) - 1] * v.ns[len(v.los)] AS viol
+            FROM pav v CROSS JOIN bl l) q
+      WHERE q.viol OR q.used < q.nb
+    ),
+    fin AS (SELECT los, his, ns, ps FROM pav
+            ORDER BY st DESC LIMIT 1),
+    pools AS (SELECT f.los[i] AS lo, f.his[i] AS hi, f.ps[i] / f.ns[i] AS rate
+              FROM fin f CROSS JOIN
+                   (SELECT unnest(generate_series(1, {ISO_BINS})) AS i) g
+              WHERE i <= len(f.los))
+    SELECT b.bin, CAST(b.n AS BIGINT) AS n,
+           FLOOR(b.n_pos / b.n * 10000 + 0.5) / 10000 AS rate_raw,
+           FLOOR(po.rate * 10000 + 0.5) / 10000 AS rate_iso
+    FROM bins b JOIN pools po ON b.bin BETWEEN po.lo AND po.hi
+    """,
+)
 def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of the sigmoid scorer: Spark reduces
     the corpus to {b} (bin, n, n_pos) sufficient statistics, the

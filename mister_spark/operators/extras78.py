@@ -119,8 +119,66 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_markov_attribution")  # rows-only: removal-effect solve on the
-# driver transition matrix; pytest replays + checks credit normalization.
+@query(
+    "ev_markov_attribution",
+    # Real oracle: every removal scenario (plus the baseline) iterates
+    # in ONE recursive CTE — working rows are (scenario, state, mass),
+    # the transition matrix is row-normalized once (the absorbing and
+    # removed rows simply have no outgoing rows), and the absorbed
+    # probability is the sum of conversion-state mass across all
+    # iterations including step 0, exactly the Python accumulation.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type AS s,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trn AS (SELECT s, nxt, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    sts AS (SELECT DISTINCT s FROM (
+              SELECT s FROM trn UNION ALL SELECT nxt FROM trn) u),
+    firsts AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS c
+               FROM seq WHERE rn = 1 GROUP BY 1),
+    ftot AS (SELECT SUM(c) AS t FROM firsts),
+    startd AS (SELECT st.s, COALESCE(f.c, 0.0) / ft.t AS x
+               FROM sts st LEFT JOIN firsts f USING (s) CROSS JOIN ftot ft),
+    rsum AS (SELECT s, SUM(c) AS tot FROM trn GROUP BY 1),
+    pm AS (SELECT t.s, t.nxt, t.c / r.tot AS p
+           FROM trn t JOIN rsum r USING (s)
+           WHERE t.s <> '{ATTR_CONV}'),
+    scen AS (SELECT s AS rem FROM sts WHERE s <> '{ATTR_CONV}'
+             UNION ALL SELECT '__base__'),
+    mk AS (
+      SELECT 0 AS it, sc.rem, sd.s,
+             CASE WHEN sd.s = sc.rem THEN 0.0 ELSE sd.x END AS x
+      FROM startd sd CROSS JOIN scen sc
+      UNION ALL
+      SELECT m.it + 1, m.rem, p.nxt, SUM(m.x * p.p)
+      FROM mk m JOIN pm p ON p.s = m.s AND p.s <> m.rem
+      WHERE m.it < {ATTR_ITERS}
+      GROUP BY m.it, m.rem, p.nxt
+    ),
+    ab AS (SELECT rem,
+                  COALESCE(SUM(CASE WHEN s = '{ATTR_CONV}' THEN x END), 0.0)
+                    AS absorbed
+           FROM mk GROUP BY rem),
+    eff AS (SELECT a.rem AS channel,
+                   GREATEST(b.absorbed - a.absorbed, 0.0) AS e,
+                   b.absorbed AS base
+            FROM ab a CROSS JOIN (SELECT absorbed FROM ab
+                                  WHERE rem = '__base__') b
+            WHERE a.rem <> '__base__'),
+    tt AS (SELECT CASE WHEN SUM(e) = 0 THEN 1.0 ELSE SUM(e) END AS tot
+           FROM eff)
+    SELECT channel,
+           FLOOR(e * 10000 + 0.5) / 10000 AS removal_effect,
+           FLOOR(e / tt.tot * 10000 + 0.5) / 10000 AS credit_share,
+           FLOOR(base * 10000 + 0.5) / 10000 AS base_conversion
+    FROM eff CROSS JOIN tt
+    """,
+)
 def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution: estimate the event-type
     transition chain with '{c}' absorbing (plus a START state feeding
