@@ -206,7 +206,72 @@ graph_random_walks.__doc__ = graph_random_walks.__doc__.format(
 )
 
 
-@query("ev_forecast_ensemble")  # backtest composition → rows-only
+@query(
+    "ev_forecast_ensemble",
+    # Real oracle: the three cheap models are index arithmetic on the
+    # day series (scalar subqueries at L, 1, and the seasonal offset),
+    # run twice — once from the validation cut to learn inverse-MAE
+    # weights, once from the full train cut for the test MAEs — then
+    # the weighted ensemble. No recursion needed.
+    oracle=f"""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+    idx AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+    hh AS (SELECT LEAST({FC_H}, GREATEST(COUNT(*) - 10, 1)) AS h,
+                  COUNT(*) AS n
+           FROM idx),
+    phases AS (SELECT 'v' AS phase, n - 2 * h AS L FROM hh
+               UNION ALL SELECT 't', n - h FROM hh),
+    js AS (SELECT unnest(generate_series(1, h)) AS j FROM hh),
+    fc AS (
+      SELECT ph.phase, ph.L, js.j, 'naive' AS model,
+             (SELECT y FROM idx WHERE i = ph.L) AS f
+      FROM phases ph CROSS JOIN js
+      UNION ALL
+      SELECT ph.phase, ph.L, js.j, 'snaive7',
+             CASE WHEN ph.L >= 7
+                  THEN (SELECT y FROM idx
+                        WHERE i = ph.L - 6 + ((js.j - 1) % 7))
+                  ELSE (SELECT y FROM idx WHERE i = ph.L) END
+      FROM phases ph CROSS JOIN js
+      UNION ALL
+      SELECT ph.phase, ph.L, js.j, 'drift',
+             (SELECT y FROM idx WHERE i = ph.L)
+             + ((SELECT y FROM idx WHERE i = ph.L)
+                - (SELECT y FROM idx WHERE i = 1))
+               / GREATEST(ph.L - 1, 1) * js.j
+      FROM phases ph CROSS JOIN js
+    ),
+    act AS (SELECT ph.phase, js.j,
+                   (SELECT y FROM idx WHERE i = ph.L + js.j) AS a
+            FROM phases ph CROSS JOIN js),
+    maev AS (SELECT f.model, SUM(ABS(f.f - a.a)) / MAX(hh.h) AS mae
+             FROM fc f JOIN act a ON a.phase = f.phase AND a.j = f.j
+             CROSS JOIN hh
+             WHERE f.phase = 'v' GROUP BY f.model),
+    wts AS (SELECT model,
+                   (1.0 / GREATEST(mae, 1e-9))
+                   / SUM(1.0 / GREATEST(mae, 1e-9)) OVER () AS w
+            FROM maev),
+    maet AS (SELECT f.model, SUM(ABS(f.f - a.a)) / MAX(hh.h) AS mae
+             FROM fc f JOIN act a ON a.phase = f.phase AND a.j = f.j
+             CROSS JOIN hh
+             WHERE f.phase = 't' GROUP BY f.model),
+    ens AS (SELECT f.j, SUM(w.w * f.f) AS e
+            FROM fc f JOIN wts w USING (model)
+            WHERE f.phase = 't' GROUP BY f.j),
+    maee AS (SELECT SUM(ABS(e.e - a.a)) / MAX(hh.h) AS mae
+             FROM ens e JOIN act a ON a.phase = 't' AND a.j = e.j
+             CROSS JOIN hh)
+    SELECT m.model, FLOOR(w.w * 10000 + 0.5) / 10000 AS weight,
+           FLOOR(m.mae * 10000 + 0.5) / 10000 AS mae
+    FROM maet m JOIN wts w USING (model)
+    UNION ALL
+    SELECT 'ensemble', 1.0, FLOOR(mae * 10000 + 0.5) / 10000 FROM maee
+    """,
+)
 def ev_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast combination backtest on daily event counts: train
     everything but the last {h} days, forecast with three cheap
@@ -260,12 +325,16 @@ def ev_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ens = [
         sum(wts[m] * tfc[m][j] for m in tfc) for j in range(h)
     ]
+    import math
+
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     out = []
     for m, fc in tfc.items():
         mae = sum(abs(f - a) for f, a in zip(fc, test)) / h
-        out.append((m, round(wts[m], 4), round(mae, 4)))
+        out.append((m, r4(wts[m]), r4(mae)))
     mae_e = sum(abs(f - a) for f, a in zip(ens, test)) / h
-    out.append(("ensemble", 1.0, round(mae_e, 4)))
+    out.append(("ensemble", 1.0, r4(mae_e)))
     return spark.createDataFrame(out, "model string, weight double, mae double")
 
 

@@ -19,7 +19,59 @@ from mister_spark.registry import query
 FAIR_TPR_TARGET = 0.8
 
 
-@query("ev_forecastability")  # spectral entropy → rows-only
+@query(
+    "ev_forecastability",
+    # Real oracle: the periodogram is a (position × frequency) cross
+    # join with cos/sin sums, the spectral entropy a filtered
+    # aggregate over the normalized powers, and the dominant period
+    # the (power DESC, k) argmax — all per event type, no recursion.
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, y,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n,
+                 AVG(y) OVER (PARTITION BY event_type) AS mu
+          FROM d),
+    ks AS (SELECT DISTINCT event_type, n,
+                  unnest(generate_series(1, CAST(n // 2 AS INT))) AS k
+           FROM s),
+    pw AS (SELECT ks.event_type, ks.k, ks.n,
+                  POWER(SUM((s.y - s.mu)
+                            * COS(2 * PI() * ks.k * s.i / ks.n)), 2)
+                  + POWER(SUM((s.y - s.mu)
+                              * SIN(2 * PI() * ks.k * s.i / ks.n)), 2)
+                    AS p
+           FROM ks JOIN s ON s.event_type = ks.event_type
+           GROUP BY 1, 2, 3),
+    tot AS (SELECT event_type, n,
+                   CASE WHEN SUM(p) = 0 THEN 1.0 ELSE SUM(p) END AS tp,
+                   CAST(COUNT(*) AS DOUBLE) AS nk
+            FROM pw GROUP BY 1, 2),
+    ent AS (SELECT t.event_type, t.n,
+                   -COALESCE(SUM(CASE WHEN pw.p > 0
+                                 THEN pw.p / t.tp * LN(pw.p / t.tp) END),
+                             0.0) AS h,
+                   CASE WHEN t.nk > 1 THEN LN(t.nk) ELSE 1.0 END AS hmax
+            FROM pw JOIN tot t USING (event_type)
+            GROUP BY 1, 2, t.nk),
+    peak AS (SELECT event_type, k FROM (
+               SELECT event_type, k,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY p DESC, k) AS rn
+               FROM pw) q WHERE rn = 1)
+    SELECT e.event_type, CAST(e.n AS BIGINT) AS days,
+           FLOOR((1.0 - e.h / e.hmax) * 10000 + 0.5) / 10000
+             AS forecastability,
+           FLOOR(CAST(e.n AS DOUBLE) / pk.k * 100 + 0.5) / 100
+             AS dominant_period_days
+    FROM ent e JOIN peak pk USING (event_type)
+    """,
+)
 def ev_forecastability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecastability score per event type: 1 − H(power)/ln(K) over
     the daily-count series' periodogram (driver DFT on the
@@ -74,12 +126,13 @@ def ev_forecastability(spark: SparkSession, sf_dir: str) -> DataFrame:
         hmax = math.log(len(powers)) if len(powers) > 1 else 1.0
         score = 1.0 - h / hmax
         peak_k = max(range(len(powers)), key=lambda i: powers[i]) + 1
+        # cross-engine floor rounding (common.rnd's rule)
         out.append(
             (
                 etype,
                 n,
-                round(score, 4),
-                round(n / peak_k, 2),
+                math.floor(score * 10000 + 0.5) / 10000,
+                math.floor(n / peak_k * 100 + 0.5) / 100,
             )
         )
     return spark.createDataFrame(
