@@ -15,6 +15,8 @@ with rolling-origin folds — the only honest CV for time series
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.text import DUCK_TOKENS, tokens
@@ -211,7 +213,51 @@ def tx_intra_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 tx_intra_doc_drift.__doc__ = tx_intra_doc_drift.__doc__.format(k=DRIFT_TOP)
 
 
-@query("ev_rolling_origin_cv")  # fold loop on the day series → rows-only
+@query(
+    "ev_rolling_origin_cv",
+    # Real oracle: each fold's origin, seasonal-naive forecast and MAE
+    # are index arithmetic on the day series (fold × horizon cross
+    # join, scalar lookups at the seasonal offsets) — plus the pooled
+    # fold-0 summary row and the spread column.
+    oracle=f"""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+    idx AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+    nn AS (SELECT COUNT(*) AS n FROM idx),
+    folds AS (SELECT f.fold,
+                     nn.n - ({RO_FOLDS} + 1 - f.fold) * {RO_H} AS origin
+              FROM (SELECT unnest(generate_series(1, {RO_FOLDS})) AS fold) f
+              CROSS JOIN nn
+              WHERE nn.n - ({RO_FOLDS} + 1 - f.fold) * {RO_H} >= 8),
+    sc AS (SELECT fo.fold, fo.origin, js.j,
+                  CASE WHEN fo.origin >= 7
+                       THEN (SELECT y FROM idx
+                             WHERE i = fo.origin - 6 + ((js.j - 1) % 7))
+                       ELSE (SELECT y FROM idx WHERE i = fo.origin) END AS f,
+                  (SELECT y FROM idx WHERE i = fo.origin + js.j) AS a
+           FROM folds fo
+           CROSS JOIN (SELECT unnest(generate_series(1, {RO_H})) AS j) js
+           CROSS JOIN nn
+           WHERE fo.origin + js.j <= nn.n
+                 AND js.j <= {RO_H}),
+    fm AS (SELECT fold, origin, SUM(ABS(f - a)) / COUNT(*) AS mae
+           FROM sc GROUP BY 1, 2),
+    agg AS (SELECT SUM(mae) / COUNT(*) AS mean_mae,
+                   MAX(mae) - MIN(mae) AS spread
+            FROM fm)
+    SELECT CAST(fm.fold AS BIGINT) AS fold,
+           CAST(fm.origin AS BIGINT) AS origin_day,
+           FLOOR(fm.mae * 10000 + 0.5) / 10000 AS mae,
+           FLOOR(ag.spread * 10000 + 0.5) / 10000 AS mae_spread
+    FROM fm CROSS JOIN agg ag
+    UNION ALL
+    SELECT 0, nn.n, FLOOR(ag.mean_mae * 10000 + 0.5) / 10000,
+           FLOOR(ag.spread * 10000 + 0.5) / 10000
+    FROM nn CROSS JOIN agg ag
+    """,
+)
 def ev_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin cross-validation of the seasonal-naive-7
     forecaster on daily event counts: {f} folds, each training on
@@ -248,14 +294,15 @@ def ev_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         mae = sum(abs(f - a) for f, a in zip(fc, test)) / len(test)
         maes.append(mae)
-        out.append((fold + 1, origin, round(mae, 4)))
+        out.append((fold + 1, origin, math.floor(mae * 10000 + 0.5) / 10000))
     mean_mae = sum(maes) / len(maes)
     spread = max(maes) - min(maes)
-    out.append((0, n, round(mean_mae, 4)))  # fold 0 = pooled summary
+    # fold 0 = pooled summary; floor rounding = common.rnd's rule
+    out.append((0, n, math.floor(mean_mae * 10000 + 0.5) / 10000))
     return spark.createDataFrame(
         out, "fold long, origin_day long, mae double"
     ).withColumn(
-        "mae_spread", F.lit(round(spread, 4))
+        "mae_spread", F.lit(math.floor(spread * 10000 + 0.5) / 10000)
     )
 
 

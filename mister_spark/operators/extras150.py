@@ -88,7 +88,53 @@ def stat_pit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_quantile_forecast_eval")  # band calibration → rows-only
+@query(
+    "ev_quantile_forecast_eval",
+    # Real oracle: the per-weekday train distributions become sorted
+    # DOUBLE lists, the custom order-statistic index (int(p·L) with
+    # the exact-multiple adjustment, clamped) is mirrored bit-for-bit
+    # including its float multiply, and coverage/width are one
+    # aggregate over the held-out week.
+    oracle=f"""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+    idx AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+    hh AS (SELECT LEAST({QF_H}, GREATEST(COUNT(*) - 14, 1)) AS h,
+                  COUNT(*) AS n
+           FROM idx),
+    trn AS (SELECT day, y FROM idx CROSS JOIN hh WHERE i <= n - h),
+    tst AS (SELECT day, y FROM idx CROSS JOIN hh WHERE i > n - h),
+    dowl AS (SELECT (day + 3) % 7 AS dow, list(y ORDER BY y) AS vs
+             FROM trn GROUP BY 1),
+    alll AS (SELECT list(y ORDER BY y) AS vs FROM trn),
+    sc AS (SELECT t.y, COALESCE(dl.vs, al.vs) AS vs
+           FROM tst t
+           LEFT JOIN dowl dl ON dl.dow = (t.day + 3) % 7
+           CROSS JOIN alll al),
+    bands AS (SELECT y,
+                     vs[GREATEST(0, LEAST(len(vs) - 1,
+                          CASE WHEN FLOOR(0.1 * len(vs)) = 0.1 * len(vs)
+                               THEN CAST(0.1 * len(vs) AS INT) - 1
+                               ELSE CAST(FLOOR(0.1 * len(vs)) AS INT) END))
+                        + 1] AS lo,
+                     vs[GREATEST(0, LEAST(len(vs) - 1,
+                          CASE WHEN FLOOR(0.9 * len(vs)) = 0.9 * len(vs)
+                               THEN CAST(0.9 * len(vs) AS INT) - 1
+                               ELSE CAST(FLOOR(0.9 * len(vs)) AS INT) END))
+                        + 1] AS hi
+              FROM sc)
+    SELECT CAST(COUNT(*) AS BIGINT) AS test_days,
+           0.8 AS nominal_coverage,
+           FLOOR(SUM(CASE WHEN lo <= y AND y <= hi THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS achieved_coverage,
+           FLOOR(SUM(hi - lo) / COUNT(*) * 10000 + 0.5) / 10000
+             AS mean_band_width
+    FROM bands
+    """,
+)
 def ev_quantile_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-band forecast calibration: per-weekday empirical
     P10/P90 of daily event counts from the TRAINING window become the
@@ -134,11 +180,14 @@ def ev_quantile_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         widths.append(hi - lo)
         if lo <= y <= hi:
             covered += 1
+    import math
+
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
     row = (
         len(test),
         0.8,
-        round(covered / len(test), 4),
-        round(sum(widths) / len(widths), 4),
+        math.floor(covered / len(test) * 10000 + 0.5) / 10000,
+        math.floor(sum(widths) / len(widths) * 10000 + 0.5) / 10000,
     )
     return spark.createDataFrame(
         [row],
