@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
@@ -103,7 +104,69 @@ def stat_variance_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ds_rebalance_plan")  # greedy planning → rows-only
+@query(
+    "ds_rebalance_plan",
+    # Real oracle: the greedy donor→receiver loop runs as a recursive
+    # CTE over the 8 shard-volume rows — per step the (tok DESC,
+    # shard) max donates min(excess, deficit) to the (tok ASC, shard)
+    # min, stopping under the 5%-of-mean floor or at 32 rounds; the
+    # move list is read back from consecutive retained states.
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, len({DUCK_TOKENS}) AS nt
+                         FROM documents),
+    sz AS (SELECT CAST(doc_id % {RB_SHARDS} AS INT) AS shard,
+                  CAST(SUM(nt) AS DOUBLE) AS tok
+           FROM t GROUP BY 1),
+    mm AS (SELECT SUM(tok) / COUNT(*) AS mean FROM sz),
+    rb AS (
+      SELECT 0 AS it, shard, tok FROM sz
+      UNION ALL
+      SELECT q.it + 1, q.shard,
+             CASE WHEN q.shard = q.hi THEN q.tok - q.amt
+                  WHEN q.shard = q.lo THEN q.tok + q.amt
+                  ELSE q.tok END
+      FROM (
+        SELECT r.it, r.shard, r.tok, m.mean,
+               FIRST_VALUE(r.shard)
+                 OVER (ORDER BY r.tok DESC, r.shard) AS hi,
+               FIRST_VALUE(r.shard)
+                 OVER (ORDER BY r.tok ASC, r.shard) AS lo,
+               LEAST(MAX(r.tok) OVER () - m.mean,
+                     m.mean - MIN(r.tok) OVER ()) AS amt
+        FROM rb r CROSS JOIN mm m) q
+      WHERE q.it < 32 AND q.amt >= q.mean * 0.05
+    ),
+    st AS (SELECT r.it,
+                  FIRST_VALUE(r.shard) OVER (PARTITION BY r.it
+                    ORDER BY r.tok DESC, r.shard) AS hi,
+                  FIRST_VALUE(r.shard) OVER (PARTITION BY r.it
+                    ORDER BY r.tok ASC, r.shard) AS lo,
+                  LEAST(MAX(r.tok) OVER (PARTITION BY r.it) - m.mean,
+                        m.mean - MIN(r.tok) OVER (PARTITION BY r.it))
+                    AS amt
+           FROM rb r CROSS JOIN mm m),
+    mv AS (SELECT it, MAX(hi) AS hi, MAX(lo) AS lo, MAX(amt) AS amt
+           FROM st
+           WHERE EXISTS (SELECT 1 FROM rb r2 WHERE r2.it = st.it + 1)
+           GROUP BY it),
+    bounds AS (SELECT
+                 (SELECT MAX(tok) FROM rb WHERE it = 0) / m.mean AS before,
+                 (SELECT MAX(tok) FROM rb
+                  WHERE it = (SELECT MAX(it) FROM rb)) / m.mean AS after
+               FROM mm m)
+    SELECT CAST(mv.hi AS BIGINT) AS from_shard,
+           CAST(mv.lo AS BIGINT) AS to_shard,
+           CAST(FLOOR(mv.amt) AS BIGINT) AS tokens_moved,
+           FLOOR(b.before * 10000 + 0.5) / 10000 AS imbalance_before,
+           FLOOR(b.after * 10000 + 0.5) / 10000 AS imbalance_after
+    FROM mv CROSS JOIN bounds b
+    UNION ALL
+    SELECT -1, -1, 0,
+           FLOOR(b.before * 10000 + 0.5) / 10000,
+           FLOOR(b.after * 10000 + 0.5) / 10000
+    FROM bounds b WHERE NOT EXISTS (SELECT 1 FROM mv)
+    """,
+)
 def ds_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard rebalance plan: hash documents into {s} shards by
     doc_id, measure per-shard token volume, and emit the greedy move
@@ -139,12 +202,16 @@ def ds_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         work[lo] += amt
         moves.append((hi, lo, amt))
     after = max(work.values()) / mean
+    import math
+
+    # cross-engine floor rounding (common.rnd's rule) for oracle parity
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     rows = [
-        (int(src), int(dst), int(amt), round(before, 4), round(after, 4))
+        (int(src), int(dst), int(amt), r4(before), r4(after))
         for src, dst, amt in moves
     ]
     if not rows:
-        rows = [(-1, -1, 0, round(before, 4), round(after, 4))]
+        rows = [(-1, -1, 0, r4(before), r4(after))]
     return spark.createDataFrame(
         rows,
         "from_shard long, to_shard long, tokens_moved long, "

@@ -84,8 +84,37 @@ def stat_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 stat_control_chart.__doc__ = stat_control_chart.__doc__.format(s=SPC_SIGMA)
 
 
-@query("ds_masked_aggregation")  # rows-only: the mask-cancellation
-# identity; pytest pins masked-partial opacity + exact recovery.
+@query(
+    "ds_masked_aggregation",
+    # Real oracle: the pairwise masks are pure modular integer
+    # arithmetic over the party pairs (antisymmetric by the i<j
+    # branch), so the masked partials and the cancellation check are
+    # exact integers end-to-end.
+    oracle=f"""
+    WITH parts AS (SELECT CAST(user_id % 8 AS INT) AS party,
+                          CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT)
+                            AS tc
+                   FROM events GROUP BY 1),
+    msk AS (SELECT a.party AS i,
+                   SUM(CASE WHEN a.party < b.party
+                            THEN ((a.party * 31 + b.party * 17 + 7)
+                                  * {MASK_SEED}) % 1000003
+                            ELSE -(((b.party * 31 + a.party * 17 + 7)
+                                    * {MASK_SEED}) % 1000003) END) AS m
+            FROM parts a JOIN parts b ON b.party <> a.party
+            GROUP BY 1),
+    mp AS (SELECT p.party, p.tc,
+                  CAST(p.tc + COALESCE(k.m, 0) AS BIGINT) AS masked
+           FROM parts p LEFT JOIN msk k ON k.i = p.party),
+    t AS (SELECT SUM(tc) AS tt, SUM(masked) AS tm FROM mp)
+    SELECT mp.party, mp.masked AS masked_partial_cents,
+           CAST(CASE WHEN mp.masked <> mp.tc THEN 1 ELSE 0 END AS BIGINT)
+             AS partial_opaque,
+           CAST(CASE WHEN t.tm = t.tt THEN 1 ELSE 0 END AS BIGINT)
+             AS total_recovered
+    FROM mp CROSS JOIN t
+    """,
+)
 def ds_masked_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secure-aggregation skeleton: P logical parties (partitions by
     user_id % P) each add a deterministic pairwise mask Σ_j≠i m_ij to
