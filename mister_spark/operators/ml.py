@@ -87,7 +87,61 @@ def kmeans(
     return profile, history
 
 
-@query("ml_kmeans")  # iterative algorithm → rows-only; pytest invariants
+@query(
+    "ml_kmeans",
+    # Real oracle: Lloyd's loop as a recursive CTE over the centroid
+    # rows — per step every vector takes its (distance, cid) argmin
+    # and the per-(cid, dim) means rebuild the centroid lists; the
+    # profile scores the final assignment against the centroids after
+    # ITERS-1 updates, exactly like the Spark loop (the last pass's
+    # update is never consumed). Empty clusters drop out of the means
+    # aggregate on both sides.
+    oracle=f"""
+    WITH RECURSIVE emb AS (SELECT vec_id,
+                                  CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings),
+    init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+             FROM emb ORDER BY vec_id LIMIT {K}),
+    km AS (
+      SELECT 0 AS it, CAST(cid AS INT) AS cid, v AS c FROM init
+      UNION ALL
+      SELECT q.it + 1, q.cid, list(q.m ORDER BY q.pos)
+      FROM (
+        SELECT a.it, a.cid, u.i AS pos, AVG(u.x) AS m
+        FROM (
+          SELECT k.it, e.vec_id, e.v, k.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_aggregate(list_transform(
+                     range(1, len(e.v) + 1),
+                     i -> (e.v[i] - k.c[i]) * (e.v[i] - k.c[i])), 'sum'),
+                   k.cid) AS rn
+          FROM km k CROSS JOIN emb e
+          WHERE k.it < {ITERS} - 1) a
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(a.v)))
+                              AS i, unnest(a.v) AS x) u
+        WHERE a.rn = 1
+        GROUP BY a.it, a.cid, u.i) q
+      GROUP BY q.it, q.cid
+    ),
+    fin AS (
+      SELECT cid, d2 FROM (
+        SELECT k.cid,
+               list_aggregate(list_transform(
+                 range(1, len(e.v) + 1),
+                 i -> (e.v[i] - k.c[i]) * (e.v[i] - k.c[i])), 'sum') AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_aggregate(list_transform(
+                   range(1, len(e.v) + 1),
+                   i -> (e.v[i] - k.c[i]) * (e.v[i] - k.c[i])), 'sum'),
+                 k.cid) AS rn
+        FROM km k CROSS JOIN emb e
+        WHERE k.it = {ITERS} - 1) s
+      WHERE rn = 1)
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(d2) * 10000 + 0.5) / 10000 AS inertia
+    FROM fin GROUP BY cid
+    """,
+)
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size/inertia profile of k-means(k=10, 4 iters) over the
     embedding corpus — see kmeans() for the scale design."""
@@ -238,7 +292,69 @@ def logreg_train(spark: SparkSession, sf_dir: str, iters: int = LOGREG_ITERS):
     return w, losses
 
 
-@query("ml_logreg")  # iterative GD → rows-only; pytest loss-monotone gate
+@query(
+    "ml_logreg",
+    # Real oracle: full-batch GD as a recursive CTE carrying the
+    # 65-weight vector (64 dims + bias) as a DOUBLE list; each step
+    # scores every row against the working weights and aggregates the
+    # per-dimension gradient via an unnested lateral. The reported
+    # loss is the one recorded at the LAST loop pass (weights after
+    # iters-1 updates), accuracy/|w| use the final weights — exactly
+    # the Python accounting.
+    oracle=f"""
+    WITH RECURSIVE emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+                                  CAST(label % 2 AS DOUBLE) AS y
+                           FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM emb),
+    gd AS (
+      SELECT 0 AS it,
+             list_transform(range(1, 66), i -> CAST(0.0 AS DOUBLE)) AS w
+      UNION ALL
+      SELECT q.it + 1, list(q.nw ORDER BY q.dim)
+      FROM (
+        SELECT r.it, u.dim,
+               MAX(r.wd[u.dim])
+               - {LOGREG_LR} * (SUM((r.p - r.y) * u.x) / MAX(r.n)) AS nw
+        FROM (
+          SELECT s.it, s.w AS wd, e.y, nx.n,
+                 list_append(e.v, CAST(1.0 AS DOUBLE)) AS xv,
+                 1.0 / (1.0 + EXP(-(list_aggregate(
+                   list_transform(range(1, 65), i -> e.v[i] * s.w[i]),
+                   'sum') + s.w[65]))) AS p
+          FROM gd s CROSS JOIN emb e CROSS JOIN nn nx
+          WHERE s.it < {LOGREG_ITERS}
+        ) r
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 65)) AS dim,
+                                   unnest(r.xv) AS x) u
+        GROUP BY r.it, u.dim
+      ) q
+      GROUP BY q.it
+    ),
+    wlast AS (SELECT w FROM gd WHERE it = {LOGREG_ITERS}),
+    wprev AS (SELECT w FROM gd WHERE it = {LOGREG_ITERS} - 1),
+    lossrow AS (SELECT SUM(-(e.y * LN(p + 1e-12)
+                             + (1 - e.y) * LN(1 - p + 1e-12))) AS ls
+                FROM (SELECT e.y,
+                             1.0 / (1.0 + EXP(-(list_aggregate(
+                               list_transform(range(1, 65),
+                                              i -> e.v[i] * wp.w[i]), 'sum')
+                               + wp.w[65]))) AS p
+                      FROM emb e CROSS JOIN wprev wp) e),
+    accrow AS (SELECT SUM(CASE WHEN (CASE WHEN list_aggregate(
+                          list_transform(range(1, 65),
+                                         i -> e.v[i] * wl.w[i]), 'sum')
+                          + wl.w[65] > 0 THEN 1 ELSE 0 END)
+                          = (CASE WHEN e.y > 0.5 THEN 1 ELSE 0 END)
+                          THEN 1 ELSE 0 END) AS c
+               FROM emb e CROSS JOIN wlast wl)
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           FLOOR(lr.ls / nn.n * 1e6 + 0.5) / 1e6 AS final_loss,
+           FLOOR(ac.c / nn.n * 1e4 + 0.5) / 1e4 AS accuracy,
+           FLOOR(SQRT(list_aggregate(list_transform(wl.w, x -> x * x),
+                                     'sum')) * 1e6 + 0.5) / 1e6 AS w_norm
+    FROM nn CROSS JOIN lossrow lr CROSS JOIN accrow ac CROSS JOIN wlast wl
+    """,
+)
 def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training summary of the distributed logistic regression: sample
     count, final mean log-loss, train accuracy, and |w| — the fields a
