@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.ranks import bucketed_cumsum
 from mister_spark.operators.common import cat, ratio
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    DUCK_COPURCHASE_SYM,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 CR_HORIZON_H = 48  # report CIF at this hour
@@ -170,7 +173,35 @@ ev_competing_risks.__doc__ = ev_competing_risks.__doc__.format(
 )
 
 
-@query("graph_closeness_sampled")  # multi-source BFS → rows-only
+@query(
+    "graph_closeness_sampled",
+    # Real oracle: the layered multi-source BFS as a dedup-UNION
+    # recursive CTE — (seed, node, d) tuples dedup across iterations,
+    # so expansion is bounded by seeds x nodes x rounds (no walk
+    # blowup), and MIN(d) per (seed, node) under the same round cap is
+    # exactly the Spark loop's frontier-layer distance. Integer
+    # distances; the two ratios round on the shared floor grid.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    seeds AS (SELECT p1 AS seed FROM (
+                SELECT DISTINCT p1 FROM csym ORDER BY p1
+                LIMIT {CLOSE_SEEDS}) s),
+    bfs AS (
+      SELECT seed, seed AS node, 0 AS d FROM seeds
+      UNION
+      SELECT b.seed, e.p2 AS node, b.d + 1
+      FROM bfs b JOIN csym e ON b.node = e.p1
+      WHERE b.d < {CLOSE_ROUNDS}
+    ),
+    dist AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+    nn AS (SELECT CAST(COUNT(DISTINCT p1) AS DOUBLE) AS n FROM csym)
+    SELECT seed, CAST(COUNT(*) AS BIGINT) AS reached,
+           FLOOR(COUNT(*) / nn.n * 10000 + 0.5) / 10000 AS coverage,
+           FLOOR((COUNT(*) - 1) / GREATEST(CAST(SUM(d) AS DOUBLE), 1.0)
+                 * 10000 + 0.5) / 10000 AS closeness
+    FROM dist, nn GROUP BY seed, nn.n ORDER BY seed
+    """,
+)
 def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled closeness centrality on the co-purchase graph: {k}
     deterministic landmark seeds (lowest part keys) run BFS

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, ratio
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    DUCK_COPURCHASE_SYM,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 MRMR_K = 6
@@ -187,7 +190,53 @@ def ml_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_mrmr_selection.__doc__ = ml_mrmr_selection.__doc__.format(k=MRMR_K)
 
 
-@query("graph_greedy_matching")  # iterative matching → rows-only
+@query(
+    "graph_greedy_matching",
+    # Real oracle: each greedy round in ONE window scan over the
+    # symmetric edge list — pv(u) = MIN(v) OVER (PARTITION BY u) and
+    # pv(v) = MIN(u) OVER (PARTITION BY v) (symmetry puts both
+    # directions in the relation), a handshake row has pv(u)=v AND
+    # pv(v)=u, and 'endpoint is matched' is a MAX of the handshake
+    # flag over each endpoint partition (the mirror row carries v's
+    # handshake into the PARTITION BY v group). Matched pairs are
+    # recomputed per round stamp from the CTE's cumulative output. A
+    # nonempty graph always has a handshake (the global-min node's
+    # proposal is always returned), so the Spark loop's hs-empty break
+    # never fires and the round cap is the only stop — identical
+    # control flow.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    live AS (
+      SELECT 0 AS it, p1 AS u, p2 AS v FROM csym
+      UNION ALL
+      SELECT it + 1, u, v FROM (
+        SELECT it, u, v,
+               MAX(hs) OVER (PARTITION BY u) AS mu,
+               MAX(hs) OVER (PARTITION BY v) AS mv
+        FROM (SELECT it, u, v,
+                     CASE WHEN MIN(v) OVER (PARTITION BY u) = v
+                           AND MIN(u) OVER (PARTITION BY v) = u
+                          THEN 1 ELSE 0 END AS hs
+              FROM live) t1) t2
+      WHERE it < {MATCH_ROUNDS} AND mu = 0 AND mv = 0
+    ),
+    hs_all AS (SELECT DISTINCT u AS a, v AS b FROM (
+                 SELECT it, u, v,
+                        CASE WHEN MIN(v) OVER (PARTITION BY it, u) = v
+                              AND MIN(u) OVER (PARTITION BY it, v) = u
+                             THEN 1 ELSE 0 END AS hs
+                 FROM live) h
+               WHERE hs = 1 AND u < v AND it < {MATCH_ROUNDS}),
+    nn AS (SELECT CAST(COUNT(DISTINCT p1) AS BIGINT) AS n FROM csym),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM ce),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM hs_all)
+    SELECT nn.n AS nodes, ne.e AS edges, nm.m AS matched_pairs,
+           CASE WHEN nn.n > 0
+                THEN FLOOR((2.0 * nm.m) / nn.n * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS matched_node_share
+    FROM nn, ne, nm
+    """,
+)
 def graph_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal matching on the co-purchase graph by deterministic
     greedy rounds: every unmatched node proposes its min-key

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    COP_SUPPORT,
+    _DUCK_BASKETS,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 FC_JUMPS = 6  # pointer-doubling rounds (2^6 = 64 >> graph diameter)
@@ -30,7 +34,45 @@ RO_H = 5  # horizon per fold (days)
 DRIFT_TOP = 10
 
 
-@query("graph_functional_cycles")  # pointer doubling → rows-only
+@query(
+    "graph_functional_cycles",
+    # Real oracle: the Spark side composes the best-partner map with
+    # itself FC_JUMPS times (pointer doubling → f^(2^FC_JUMPS)); the
+    # CTE walks the SAME map one step per iteration for 2^FC_JUMPS
+    # steps — identical function power, so identical image. Cycle
+    # nodes = distinct far-walk targets (every jump target is itself a
+    # mapped node, so Spark's image∩domain join is the image);
+    # mutual-best 2-cycles counted directly on the map.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_BASKETS},
+    cew AS (SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= {COP_SUPPORT}),
+    wsym AS (SELECT p1 AS u, p2 AS v, w FROM cew
+             UNION ALL SELECT p2, p1, w FROM cew),
+    best AS (SELECT u, v AS nxt FROM (
+               SELECT u, v, ROW_NUMBER() OVER (
+                 PARTITION BY u ORDER BY w DESC, v) AS rn
+               FROM wsym) s WHERE rn = 1),
+    walk AS (
+      SELECT 0 AS it, u, nxt AS j FROM best
+      UNION ALL
+      SELECT w.it + 1, w.u, b.nxt
+      FROM walk w JOIN best b ON w.j = b.u
+      WHERE w.it < {2 ** FC_JUMPS}),
+    far AS (SELECT u, j FROM walk WHERE it = {2 ** FC_JUMPS}),
+    n_nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM best),
+    n_cyc AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS c FROM far),
+    mut AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+            FROM best a JOIN best b ON a.nxt = b.u AND b.nxt = a.u
+            WHERE a.u < a.nxt)
+    SELECT n_nodes.n AS nodes, n_cyc.c AS cycle_nodes,
+           n_nodes.n - n_cyc.c AS tail_nodes, mut.m AS mutual_pairs
+    FROM n_nodes, n_cyc, mut
+    """,
+)
 def graph_functional_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-graph structure of 'strongest co-purchase partner':
     every node keeps ONE out-edge (max weight, min-key tie-break),

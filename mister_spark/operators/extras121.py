@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from mister_spark.functions.hashing import FP_MOD, FP_MUL, rolling_fingerprint
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    DUCK_COPURCHASE_SYM,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 BO_W = 3  # boundary window (tokens; small vocab => short joins realistic)
@@ -119,7 +122,40 @@ def dd_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 dd_boundary_overlap.__doc__ = dd_boundary_overlap.__doc__.format(w=BO_W)
 
 
-@query("graph_core_decomposition")  # iterative peeling → rows-only
+@query(
+    "graph_core_decomposition",
+    # Real oracle: the two nested Spark loops (k levels x inner peel)
+    # flatten into ONE stamped recursive CTE: every edge row carries
+    # the current level k; an iteration with weak nodes (degree < k
+    # via windows) is a removal step (same k, weak endpoints' edges
+    # dropped), a stable iteration advances every row to k+1. A node's
+    # core number is then max(k over its surviving rows) - 1 — it was
+    # removed while the level sat at its max stamp, so it peaked one
+    # below, exactly the Spark loop's 'vanished between the (k-1)-core
+    # and the k-core' accounting. Terminates because k outgrows the
+    # max degree and the last removal empties the working set.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    peel AS (
+      SELECT p1 AS u, p2 AS v, 1 AS k FROM csym
+      UNION ALL
+      SELECT u, v, CASE WHEN aw = 1 THEN k ELSE k + 1 END
+      FROM (
+        SELECT u, v, k, du, dv,
+               MAX(CASE WHEN du < k OR dv < k THEN 1 ELSE 0 END)
+                 OVER () AS aw
+        FROM (SELECT u, v, k,
+                     COUNT(*) OVER (PARTITION BY u) AS du,
+                     COUNT(*) OVER (PARTITION BY v) AS dv
+              FROM peel) t1) t2
+      WHERE aw = 0 OR (du >= k AND dv >= k)
+    )
+    SELECT core, CAST(COUNT(*) AS BIGINT) AS nodes
+    FROM (SELECT u, CAST(MAX(k) - 1 AS BIGINT) AS core
+          FROM peel GROUP BY u) c
+    GROUP BY core ORDER BY core
+    """,
+)
 def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition of the co-purchase graph: for k = 1, 2,
     … repeatedly delete nodes of degree < k until stable; a node's

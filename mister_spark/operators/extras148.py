@@ -12,10 +12,13 @@ absorbs before it shatters.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.hashing import FP_MOD, FP_MUL
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
 from mister_spark.registry import query
 
 PERC_LEVELS = (0, 25, 50, 75)
@@ -76,7 +79,43 @@ def sql_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_percolation_curve")  # iterative components → rows-only
+@query(
+    "graph_percolation_curve",
+    # Real oracle: min-label propagation capped at PERC_ROUNDS equals
+    # "label(v) = min node id within PERC_ROUNDS hops", so the CTE
+    # walks (lvl, node, source, d) tuples with dedup-UNION (bounded by
+    # levels x nodes^2 x rounds on this support-thresholded graph) and
+    # takes MIN(source) per node — all four percolation levels ride in
+    # ONE recursion, keyed by lvl, each over its hash-filtered edge
+    # subset (the same unordered-pair hash as the Spark side, pure
+    # BIGINT arithmetic).
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    lv AS (SELECT UNNEST([{", ".join(str(v) for v in PERC_LEVELS)}]) AS lvl),
+    keep AS (SELECT l.lvl, c.p1 AS u, c.p2 AS v
+             FROM lv l JOIN csym c
+               ON (LEAST(c.p1, c.p2) * {FP_MUL}
+                   + GREATEST(c.p1, c.p2)) % {FP_MOD} % 100 >= l.lvl),
+    walk AS (
+      SELECT lvl, u AS node, u AS src, 0 AS d
+      FROM (SELECT DISTINCT lvl, u FROM keep) s
+      UNION
+      SELECT w.lvl, k.v, w.src, w.d + 1
+      FROM walk w JOIN keep k ON w.lvl = k.lvl AND w.node = k.u
+      WHERE w.d < {PERC_ROUNDS}
+    ),
+    lab AS (SELECT lvl, node, MIN(src) AS lab FROM walk GROUP BY 1, 2),
+    comp AS (SELECT lvl, lab, COUNT(*) AS sz FROM lab GROUP BY 1, 2),
+    big AS (SELECT lvl, MAX(sz) AS big FROM comp GROUP BY lvl),
+    tot AS (SELECT CAST(COUNT(DISTINCT p1) AS DOUBLE) AS n FROM csym)
+    SELECT CAST(l.lvl AS BIGINT) AS edges_removed_pct,
+           CAST(COALESCE(b.big, 0) AS BIGINT) AS largest_component,
+           FLOOR(COALESCE(b.big, 0) / tot.n * 10000 + 0.5) / 10000
+             AS largest_share
+    FROM lv l LEFT JOIN big b ON l.lvl = b.lvl CROSS JOIN tot
+    ORDER BY 1
+    """,
+)
 def graph_percolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bond-percolation robustness: remove {lv}% of co-purchase edges
     (hash-selected — reproducible) and measure the largest connected
@@ -128,7 +167,13 @@ def graph_percolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("sz"))
             .collect()[0][0]
         )
-        rows.append((lvl, int(big), round(big / total_nodes, 4)))
+        rows.append(
+            (
+                lvl,
+                int(big),
+                math.floor(big / total_nodes * 10000 + 0.5) / 10000,
+            )
+        )
     return spark.createDataFrame(
         rows,
         "edges_removed_pct long, largest_component long, "

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
@@ -60,8 +61,52 @@ def _rouge_batches(batches):
         yield pd.DataFrame(out)
 
 
-@query("tx_rouge_l")  # rows-only: LCS DP is not SQL-expressible;
-# pytest replays with difflib on sampled pairs.
+@query(
+    "tx_rouge_l",
+    # Real oracle: the per-pair LCS DP as an anti-diagonal wavefront
+    # recursive CTE (cells on diagonal d = i+j depend only on diagonals
+    # d-1/d-2, so each step is one list_transform per pair with no
+    # intra-row dependency). All pairs advance in the same recursion;
+    # each stops at its own d = n1+n2, where cur[n1+1] is the LCS.
+    # Values are small integers, so there is no float drift anywhere
+    # before the final ratio round.
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {DUCK_TOKENS} AS toks
+                           FROM documents),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     a.toks AS t1, b.toks AS t2,
+                     CAST(len(a.toks) AS BIGINT) AS n1,
+                     CAST(len(b.toks) AS BIGINT) AS n2
+              FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % {ROUGE_PAIRS_MOD} = 0),
+    dp AS (
+      SELECT d1, d2, t1, t2, n1, n2, 0 AS d,
+             list_transform(range(0, n1 + 1), i -> 0) AS cur,
+             list_transform(range(0, n1 + 1), i -> 0) AS prev
+      FROM pairs
+      UNION ALL
+      SELECT d1, d2, t1, t2, n1, n2, d + 1,
+             list_transform(range(0, n1 + 1), i ->
+               CASE WHEN i >= 1 AND d + 1 - i >= 1 AND d + 1 - i <= n2
+                    THEN CASE WHEN t1[i] = t2[d + 1 - i]
+                              THEN prev[i] + 1
+                              ELSE GREATEST(cur[i], cur[i + 1]) END
+                    ELSE 0 END),
+             cur
+      FROM dp WHERE d < n1 + n2),
+    fin AS (SELECT d1, d2, CAST(cur[n1 + 1] AS BIGINT) AS lcs, n1, n2,
+                   CAST(cur[n1 + 1] AS DOUBLE) / GREATEST(n1, 1) AS rec,
+                   CAST(cur[n1 + 1] AS DOUBLE) / GREATEST(n2, 1) AS prec
+            FROM dp WHERE d = n1 + n2)
+    SELECT d1, d2, lcs,
+           FLOOR(rec * 10000 + 0.5) / 10000 AS rouge_recall,
+           FLOOR(prec * 10000 + 0.5) / 10000 AS rouge_precision,
+           FLOOR(CASE WHEN rec + prec > 0
+                      THEN 2 * rec * prec / (rec + prec)
+                      ELSE 0.0 END * 10000 + 0.5) / 10000 AS rouge_f1
+    FROM fin ORDER BY d1
+    """,
+)
 def tx_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L for adjacent document pairs (d, d+1 with d ≡ 0 mod
     {m}): LCS-based recall/precision/F1 over token sequences — the

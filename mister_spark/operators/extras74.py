@@ -82,8 +82,57 @@ def io_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table")
 
 
-@query("ml_roc_hull")  # rows-only: hull walk on driver bins; pytest
-# checks hull dominance + chosen point optimality.
+@query(
+    "ml_roc_hull",
+    # Real oracle: the driver's monotone-chain walk is replaced by the
+    # pairwise hull characterization (valid because the ROC staircase is
+    # x-sorted): a point is a hull vertex iff (a) it has the max tpr of
+    # its exact-fpr tie group (the walk pops a tie when the higher point
+    # arrives) and (b) it is strictly ABOVE every chord a→b of points
+    # straddling it (cross <= 0 = on-or-below = popped; collinear
+    # middles removed, matching the walk's >= 0 pop). The (0,0) anchor
+    # is hull[0] and can never be popped, so it is exempt from (a).
+    # All arithmetic is integer cumsums divided by the same doubles, so
+    # the tie groups and cross-product signs match Spark bitwise.
+    oracle=f"""
+    WITH pr AS (SELECT LEAST(CAST(FLOOR(
+                  1.0 / (1.0 + EXP(-CAST(embedding[1] AS DOUBLE)))
+                  * {ROC_BINS}) AS INT), {ROC_BINS - 1}) AS bin,
+                CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+                FROM embeddings),
+    cells AS (SELECT bin, CAST(SUM(y) AS BIGINT) AS np,
+                     CAST(SUM(1 - y) AS BIGINT) AS nn
+              FROM pr GROUP BY bin),
+    tot AS (SELECT CAST(SUM(np) AS DOUBLE) AS p,
+                   CAST(SUM(nn) AS DOUBLE) AS n FROM cells),
+    pts AS (SELECT {ROC_BINS} AS tb, 0.0 AS fpr, 0.0 AS tpr, 1 AS anch
+            UNION ALL
+            SELECT c.bin,
+                   CAST(SUM(c.nn) OVER (ORDER BY c.bin DESC) AS DOUBLE) / t.n,
+                   CAST(SUM(c.np) OVER (ORDER BY c.bin DESC) AS DOUBLE) / t.p,
+                   0
+            FROM cells c CROSS JOIN tot t),
+    keep1 AS (SELECT tb, fpr, tpr FROM (
+                SELECT tb, fpr, tpr, MAX(tpr) OVER (PARTITION BY fpr) AS mx
+                FROM pts WHERE anch = 0) s WHERE tpr = mx
+              UNION ALL SELECT tb, fpr, tpr FROM pts WHERE anch = 1),
+    hull AS (SELECT k.tb, k.fpr, k.tpr FROM keep1 k
+             WHERE NOT EXISTS (
+               SELECT 1 FROM pts a, pts b
+               WHERE a.fpr < k.fpr AND b.fpr > k.fpr
+                 AND (b.fpr - a.fpr) * (k.tpr - a.tpr)
+                     - (b.tpr - a.tpr) * (k.fpr - a.fpr) <= 0)),
+    best AS (SELECT tb FROM hull CROSS JOIN tot
+             ORDER BY {ROC_COST_FN_FP} * p * (1 - tpr) + n * fpr, tb
+             LIMIT 1)
+    SELECT CAST(h.tb AS INTEGER) AS threshold_bin,
+           FLOOR(h.fpr * 10000 + 0.5) / 10000 AS fpr,
+           FLOOR(h.tpr * 10000 + 0.5) / 10000 AS tpr,
+           CAST(CASE WHEN h.tb = (SELECT tb FROM best) THEN 1 ELSE 0 END
+                AS BIGINT) AS cost_optimal
+    FROM hull h ORDER BY threshold_bin
+    """,
+)
 def ml_roc_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC convex hull + cost-optimal operating point: bin the sigmoid
     scorer into {b} thresholds (one distributed rollup), walk the ROC

@@ -209,7 +209,65 @@ def dtw_banded(a, b, band: int) -> float:
     return float(prev[m])
 
 
-@query("ev_dtw_distance")  # driver DP on the rolled-up series → rows-only
+@query(
+    "ev_dtw_distance",
+    # Real oracle: the banded DTW DP re-expressed as an anti-diagonal
+    # wavefront (cells on diagonal d = i+j depend only on diagonals
+    # d-1 and d-2, so each recursive-CTE step is one list_transform
+    # with no intra-step dependency — the classic way to parallelize a
+    # DP the row recurrence cur[j] = f(cur[j-1], ...) forbids).
+    # Diagonal lists are 1-indexed by i (cell (i, d-i) at position
+    # i+1); out-of-band/out-of-range cells hold 1e308 (stand-in for
+    # +inf — any real banded path is astronomically smaller). All cell
+    # values are integer-valued doubles (daily counts, L1 costs), so
+    # addition order can't drift and both engines agree bitwise.
+    oracle=f"""
+    WITH RECURSIVE dd AS (
+      SELECT DATE_DIFF('day', DATE '1970-01-01',
+                       CAST(DATE_TRUNC('day', ts) AS DATE)) AS day,
+             event_type, COUNT(*) AS n
+      FROM events WHERE event_type IN ('{DTW_TYPES[0]}', '{DTW_TYPES[1]}')
+      GROUP BY 1, 2),
+    ab AS (SELECT day,
+                  CAST(COALESCE(MAX(CASE WHEN event_type = '{DTW_TYPES[0]}'
+                                         THEN n END), 0) AS DOUBLE) AS av,
+                  CAST(COALESCE(MAX(CASE WHEN event_type = '{DTW_TYPES[1]}'
+                                         THEN n END), 0) AS DOUBLE) AS bv
+           FROM dd GROUP BY day),
+    ser AS (SELECT list(av ORDER BY day) AS a, list(bv ORDER BY day) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ab),
+    dp AS (
+      SELECT 0 AS d,
+             list_transform(range(0, s.n + 1),
+                            i -> CASE WHEN i = 0 THEN 0.0
+                                      ELSE 1e308 END) AS cur,
+             list_transform(range(0, s.n + 1), i -> 1e308) AS prev
+      FROM ser s
+      UNION ALL
+      SELECT dp.d + 1,
+             list_transform(range(0, s.n + 1), i ->
+               CASE WHEN i >= 1 AND dp.d + 1 - i >= 1
+                         AND dp.d + 1 - i <= s.n
+                         AND ABS(i - (dp.d + 1 - i)) <= {DTW_BAND}
+                    THEN ABS(s.a[i] - s.b[dp.d + 1 - i])
+                         + LEAST(dp.cur[i], dp.cur[i + 1], dp.prev[i])
+                    ELSE 1e308 END),
+             dp.cur
+      FROM dp, ser s
+      WHERE dp.d < 2 * s.n),
+    l1 AS (SELECT CAST(SUM(ABS(av - bv)) AS DOUBLE) AS v FROM ab)
+    SELECT '{DTW_TYPES[0]}' AS type_a, '{DTW_TYPES[1]}' AS type_b,
+           s.n AS n_days,
+           FLOOR(dp.cur[s.n + 1] * 10000 + 0.5) / 10000 AS dtw,
+           FLOOR(l1.v * 10000 + 0.5) / 10000 AS l1,
+           CASE WHEN s.n > 0
+                THEN FLOOR(dp.cur[s.n + 1] / s.n * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS dtw_per_step
+    FROM dp, ser s, l1
+    WHERE dp.d = 2 * s.n
+    """,
+)
 def ev_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded (Sakoe–Chiba ±{b} days) dynamic time warping between the
     daily '{t0}' and '{t1}' series, with the straight L1 distance as
@@ -220,17 +278,20 @@ def ev_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-day rollup is one partial-agg shuffle; the DP runs
     on the collected |days|-sized series (calendar-bounded, O(n·band)
     — model-sized state, never row-scale)."""
+    import math
+
     a, b = dtw_series(spark, sf_dir)
     n = len(a)
     l1 = sum(abs(x - y) for x, y in zip(a, b))
     d = dtw_banded(a, b, DTW_BAND)
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     row = (
         DTW_TYPES[0],
         DTW_TYPES[1],
         n,
-        round(d, 4),
-        round(l1, 4),
-        round(d / n, 4) if n else 0.0,
+        r4(d),
+        r4(l1),
+        r4(d / n) if n else 0.0,
     )
     return spark.createDataFrame(
         [row],
