@@ -164,22 +164,80 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_simhash")  # hash-based → rows-only; pytest checks on planted dups
+@query(
+    "dd_simhash",
+    # Real oracle: the token hash is 64 md5 bits (15 hex chars → 60
+    # bits + 1 more hex char → 4), identical on both engines (Spark
+    # conv(md5) ≡ DuckDB '0x'-cast), so the per-bit conditional sums,
+    # the sign-packed BIGINT (bit 63 spelled as the two's-complement
+    # literal), the 16-bit-chunk pigeonhole join, and
+    # bit_count(xor) <= 3 reproduce exactly. Integer arithmetic
+    # throughout — no float anywhere.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({{DUCK_TOKENS}}) AS t
+                 FROM documents),
+    counted AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY 1, 2),
+    hashed AS (SELECT doc_id, cnt,
+                      CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h,
+                      CAST('0x' || substr(md5(t), 16, 1) AS BIGINT) AS h2
+               FROM counted),
+    bits AS (SELECT doc_id, g.i,
+                    SUM(CASE WHEN ((CASE WHEN g.i < 60 THEN h >> g.i
+                                         ELSE h2 >> (g.i - 60) END)
+                              & 1) = 1
+                             THEN cnt ELSE -cnt END) AS b
+             FROM hashed, (SELECT unnest(range(0, 64)) AS i) g
+             GROUP BY 1, 2),
+    sim AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN b > 0 THEN
+                         (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                               ELSE CAST(1 AS BIGINT) << i END)
+                       ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+    chunks AS (SELECT doc_id, simhash, c.c AS chunk,
+                      (simhash >> (c.c * 16)) & 65535 AS cv
+               FROM sim, (SELECT unnest(range(0, 4)) AS c) c),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS ha, b.simhash AS hb
+              FROM chunks a JOIN chunks b
+                ON a.chunk = b.chunk AND a.cv = b.cv
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+    """.format(DUCK_TOKENS=DUCK_TOKENS),
+)
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs. Per doc: explode tokens, hash,
-    64 conditional-sum aggregates (one per bit) → sign → packed BIGINT.
-    Candidates: pigeonhole on four 16-bit chunks (hamming ≤ 3 ⇒ at
-    least one chunk equal) — equi-join per chunk, then exact hamming
-    via bit_count(xor) ≤ 3."""
+    """64-bit SimHash near-dup pairs. Per doc: explode tokens, hash
+    (64 md5 bits — cross-engine-deterministic, unlike xxhash64 which
+    DuckDB lacks), 64 conditional-sum aggregates (one per bit) → sign
+    → packed BIGINT. Candidates: pigeonhole on four 16-bit chunks
+    (hamming ≤ 3 ⇒ at least one chunk equal) — equi-join per chunk,
+    then exact hamming via bit_count(xor) ≤ 3."""
     docs = cat(spark, sf_dir)["documents"]
     tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
     counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
-    hashed = counted.select("doc_id", "cnt", F.xxhash64("t").alias("h"))
+    hashed = counted.select(
+        "doc_id",
+        "cnt",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        F.conv(F.substring(F.md5("t"), 16, 1), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
+            F.when(
+                (
+                    F.shiftright("h", i) if i < 60
+                    else F.shiftright("h2", i - 60)
+                ).bitwiseAND(1)
+                == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
         ).alias(f"b{i}")
         for i in range(64)
     ]

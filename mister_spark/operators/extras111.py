@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.ranks import bucketed_cumsum
+from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, money, ratio
+from mister_spark.operators.dedup import COSINE_T, HOT_SHINGLE_CAP, JACCARD_T
 from mister_spark.operators.extras47 import _copurchase_edges
 from mister_spark.registry import query
 
@@ -182,7 +184,53 @@ def ev_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_time_to_value.__doc__ = ev_time_to_value.__doc__.format(t=TTV_THRESHOLD)
 
 
-@query("dd_method_venn")  # cross-method comparison → rows-only
+@query(
+    "dd_method_venn",
+    # Real oracle: both pair sets are already oracle-exact operators
+    # (dd_ngram_jaccard / dd_embedding_cosine) — this composes their
+    # SQL verbatim (same thresholds via the shared constants) and
+    # takes the three set counts with anti joins; the only float is
+    # the final Venn-jaccard ratio on the floor grid.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' '
+                              || toks[i+2])) AS s
+           FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cold AS (SELECT s FROM sh GROUP BY s
+             HAVING COUNT(*) <= {HOT_SHINGLE_CAP}),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold USING (s)),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS i
+              FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    lex AS (SELECT DISTINCT doc_a AS a, doc_b AS b
+            FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                       JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE FLOOR((i / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000
+                  >= {JACCARD_T}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    sem AS (SELECT DISTINCT ea.vec_id AS a, eb.vec_id AS b
+            FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id
+            WHERE FLOOR((list_cosine_similarity(ea.v, eb.v))
+                        * 10000 + 0.5) / 10000 >= {COSINE_T}),
+    bo AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM lex JOIN sem USING (a, b)),
+    lo AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM lex ANTI JOIN sem USING (a, b)),
+    so AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM sem ANTI JOIN lex USING (a, b))
+    SELECT bo.c + lo.c AS lexical_pairs, bo.c + so.c AS semantic_pairs,
+           bo.c AS "both", lo.c AS lexical_only, so.c AS semantic_only,
+           FLOOR(CAST(bo.c AS DOUBLE)
+                 / GREATEST(bo.c + lo.c + so.c, 1) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM bo, lo, so
+    """,
+)
 def dd_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method Venn: the near-dup PAIRS found by lexical 3-gram
     Jaccard (dd_ngram_jaccard) overlaid with those found by embedding
@@ -214,7 +262,10 @@ def dd_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(both),
         int(lex_only),
         int(sem_only),
-        round(both / max(both + lex_only + sem_only, 1), 4),
+        __import__("math").floor(
+            both / max(both + lex_only + sem_only, 1) * 10000 + 0.5
+        )
+        / 10000,
     )
     return spark.createDataFrame(
         [row],

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from mister_spark.functions.hashing import FP_MOD, FP_MUL
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio
-from mister_spark.operators.extras47 import COP_SUPPORT, _baskets
+from mister_spark.operators.extras47 import (
+    COP_SUPPORT,
+    _DUCK_BASKETS,
+    _baskets,
+)
 from mister_spark.registry import query
 
 FD_L = 16  # sketch rows (l << n)
@@ -184,7 +188,49 @@ def tx_vocab_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_link_prediction_eval")  # holdout eval → rows-only
+@query(
+    "graph_link_prediction_eval",
+    # Real oracle: the whole eval is relational — hash holdout split,
+    # wedge join on the train graph, Adamic-Adar sum, (aa DESC, x, y)
+    # top-K, and a hit join against the hidden edges. The only float
+    # is the per-pair 1/ln(d) sum (few wedge terms per pair), whose
+    # (x, y) tie-break pins the K boundary.
+    oracle=f"""
+    WITH {_DUCK_BASKETS},
+    e AS (SELECT p1, p2 FROM (
+            SELECT x.l_partkey AS p1, y.l_partkey AS p2, COUNT(*) AS w
+            FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2) q WHERE w >= {COP_SUPPORT}),
+    hidden AS (SELECT p1, p2 FROM e
+               WHERE (p1 * {FP_MUL} + p2) % {FP_MOD} % 100
+                     < {LP_HOLDOUT_PCT}),
+    train AS (SELECT p1, p2 FROM e
+              WHERE NOT ((p1 * {FP_MUL} + p2) % {FP_MOD} % 100
+                         < {LP_HOLDOUT_PCT})),
+    sym AS (SELECT p1 AS u, p2 AS v FROM train
+            UNION ALL SELECT p2, p1 FROM train),
+    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY u),
+    wedge AS (SELECT a.u AS x, b.u AS y, a.v AS via
+              FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u),
+    scored AS (SELECT w.x, w.y, SUM(1.0 / LN(deg.d)) AS aa
+               FROM wedge w JOIN deg ON deg.u = w.via
+               LEFT JOIN train t ON t.p1 = w.x AND t.p2 = w.y
+               WHERE t.p1 IS NULL GROUP BY w.x, w.y),
+    top AS (SELECT x, y FROM scored ORDER BY aa DESC, x, y
+            LIMIT {LP_TOPK}),
+    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+             FROM top JOIN hidden h ON h.p1 = top.x AND h.p2 = top.y),
+    nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hidden)
+    SELECT nh.n AS hidden_edges, CAST({LP_TOPK} AS BIGINT) AS top_k,
+           hits.c AS hits,
+           FLOOR(CAST(hits.c AS DOUBLE) / GREATEST(nh.n, 1)
+                 * 10000 + 0.5) / 10000 AS recall,
+           FLOOR(CAST(hits.c AS DOUBLE) / {LP_TOPK} * 10000 + 0.5) / 10000
+             AS precision
+    FROM nh, hits
+    """,
+)
 def graph_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction evaluation: hold out a deterministic
     {p}% of co-purchase edges (hash of the pair), recompute
@@ -237,12 +283,15 @@ def graph_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hidden.select(F.col("p1").alias("x"), F.col("p2").alias("y")),
         ["x", "y"],
     ).count()
+    import math
+
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     row = (
         int(n_hidden),
         LP_TOPK,
         int(hits),
-        round(hits / max(n_hidden, 1), 4),
-        round(hits / LP_TOPK, 4),
+        r4(hits / max(n_hidden, 1)),
+        r4(hits / LP_TOPK),
     )
     return spark.createDataFrame(
         [row],

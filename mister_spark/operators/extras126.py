@@ -104,7 +104,64 @@ def stat_ratio_metric_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_c2st")  # classifier two-sample test → rows-only
+@query(
+    "ml_c2st",
+    # Real oracle: the same list-state GD recursive CTE as the shared
+    # logreg fragment, but trained on the vec_id%4<2 split with
+    # y = vec_id%2, then scored on the held-out half; the binomial
+    # null band is scalar arithmetic on the held-out count.
+    oracle=f"""
+    WITH RECURSIVE emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+                                  CAST(vec_id % 2 AS DOUBLE) AS y
+                           FROM embeddings WHERE vec_id % 4 < 2),
+    tst AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+                   CAST(vec_id % 2 AS DOUBLE) AS y
+            FROM embeddings WHERE vec_id % 4 >= 2),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM emb),
+    gd AS (
+      SELECT 0 AS it,
+             list_transform(range(1, 66), i -> CAST(0.0 AS DOUBLE)) AS w
+      UNION ALL
+      SELECT q.it + 1, list(q.nw ORDER BY q.dim)
+      FROM (
+        SELECT r.it, u.dim,
+               MAX(r.wd[u.dim])
+               - {C2ST_LR} * (SUM((r.p - r.y) * u.x) / MAX(r.n)) AS nw
+        FROM (
+          SELECT s.it, s.w AS wd, e.y, nx.n,
+                 list_append(e.v, CAST(1.0 AS DOUBLE)) AS xv,
+                 1.0 / (1.0 + EXP(-(list_aggregate(
+                   list_transform(range(1, 65), i -> e.v[i] * s.w[i]),
+                   'sum') + s.w[65]))) AS p
+          FROM gd s CROSS JOIN emb e CROSS JOIN nn nx
+          WHERE s.it < {C2ST_ITERS}
+        ) r
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 65)) AS dim,
+                                   unnest(r.xv) AS x) u
+        GROUP BY r.it, u.dim
+      ) q
+      GROUP BY q.it
+    ),
+    wl AS (SELECT w FROM gd WHERE it = {C2ST_ITERS}),
+    sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(CASE WHEN (CASE WHEN list_aggregate(
+                        list_transform(range(1, 65),
+                                       i -> t.v[i] * wl.w[i]), 'sum')
+                        + wl.w[65] > 0 THEN 1.0 ELSE 0.0 END) = t.y
+                        THEN 1.0 ELSE 0.0 END) AS c
+           FROM tst t CROSS JOIN wl),
+    fin AS (SELECT n, c / n AS acc,
+                   1.959964 * SQRT(0.25 / n) AS hw
+            FROM sc)
+    SELECT CAST(n AS BIGINT) AS n,
+           FLOOR(acc * 10000 + 0.5) / 10000 AS accuracy,
+           FLOOR((0.5 - hw) * 10000 + 0.5) / 10000 AS null_lo,
+           FLOOR((0.5 + hw) * 10000 + 0.5) / 10000 AS null_hi,
+           CAST(CASE WHEN acc > 0.5 + hw THEN 1 ELSE 0 END AS BIGINT)
+             AS drift_detected
+    FROM fin
+    """,
+)
 def ml_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier two-sample test: label embeddings by vec_id parity,
     train the full-batch logistic probe on half the rows and score
@@ -170,11 +227,14 @@ def ml_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = sum(r["correct"] for r in rows) / n
     # binomial null band around 0.5
     half_width = 1.959964 * (0.25 / n) ** 0.5
+    import math
+
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     row = (
         int(n),
-        round(acc, 4),
-        round(0.5 - half_width, 4),
-        round(0.5 + half_width, 4),
+        r4(acc),
+        r4(0.5 - half_width),
+        r4(0.5 + half_width),
         int(acc > 0.5 + half_width),
     )
     return spark.createDataFrame(

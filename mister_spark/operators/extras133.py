@@ -18,12 +18,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.hashing import FP_MOD, FP_MUL
-from mister_spark.functions.text import tokens
+from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
 
-@query("ml_label_model")  # agreement-based accuracies → rows-only
+@query(
+    "ml_label_model",
+    # Real oracle: the independence-identity algebra is three scalar
+    # aggregates — pairwise agreement AVGs (exact integer sums over n)
+    # feed c_i = clamp(sqrt(p_ij * p_ik / p_jk)). Spark percentile and
+    # DuckDB quantile_cont share the linear-interpolation definition,
+    # so the two median gates agree bitwise; hash parity is pure
+    # BIGINT arithmetic.
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len({DUCK_TOKENS}) AS BIGINT) AS n,
+                      CAST(len(list_distinct({DUCK_TOKENS})) AS DOUBLE)
+                        / len({DUCK_TOKENS}) AS dr
+               FROM documents WHERE len({DUCK_TOKENS}) > 0),
+    med AS (SELECT quantile_cont(n, 0.5) AS mn,
+                   quantile_cont(dr, 0.5) AS mdr FROM d),
+    lf AS (SELECT CASE WHEN d.n > med.mn THEN 1 ELSE 0 END AS l1,
+                  CASE WHEN d.dr < med.mdr THEN 1 ELSE 0 END AS l2,
+                  CAST((d.doc_id * {FP_MUL} + 29) % {FP_MOD} % 2 AS INT)
+                    AS l3
+           FROM d, med),
+    ag AS (SELECT AVG(CASE WHEN l1 = l2 THEN 1.0 ELSE 0.0 END) AS a12,
+                  AVG(CASE WHEN l1 = l3 THEN 1.0 ELSE 0.0 END) AS a13,
+                  AVG(CASE WHEN l2 = l3 THEN 1.0 ELSE 0.0 END) AS a23
+           FROM lf),
+    p AS (SELECT 2 * a12 - 1 AS p12, 2 * a13 - 1 AS p13,
+                 2 * a23 - 1 AS p23 FROM ag),
+    c AS (SELECT p12, p13, p23,
+                 CASE WHEN ABS(p23) < 1e-6 OR p12 * p13 / p23 <= 0 THEN 0.0
+                      ELSE LEAST(SQRT(p12 * p13 / p23), 1.0) END AS c1,
+                 CASE WHEN ABS(p13) < 1e-6 OR p12 * p23 / p13 <= 0 THEN 0.0
+                      ELSE LEAST(SQRT(p12 * p23 / p13), 1.0) END AS c2,
+                 CASE WHEN ABS(p12) < 1e-6 OR p13 * p23 / p12 <= 0 THEN 0.0
+                      ELSE LEAST(SQRT(p13 * p23 / p12), 1.0) END AS c3
+          FROM p)
+    SELECT labeling_fn,
+           FLOOR((1 + cc) / 2 * 10000 + 0.5) / 10000 AS est_accuracy,
+           FLOOR(ps * 10000 + 0.5) / 10000 AS pair_signal
+    FROM (SELECT 'length_gt_median' AS labeling_fn, c1 AS cc, p12 AS ps
+          FROM c
+          UNION ALL
+          SELECT 'distinct_ratio_lt_median', c2, p13 FROM c
+          UNION ALL
+          SELECT 'junk_hash_parity', c3, p23 FROM c) u
+    """,
+)
 def ml_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak-supervision label model over three labeling functions on
     documents — LF1: length above corpus median; LF2: distinct-token
@@ -83,10 +128,11 @@ def ml_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = safe_c(p12, p13, p23)
     c2 = safe_c(p12, p23, p13)
     c3 = safe_c(p13, p23, p12)
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     rows = [
-        ("length_gt_median", round((1 + c1) / 2, 4), round(p12, 4)),
-        ("distinct_ratio_lt_median", round((1 + c2) / 2, 4), round(p13, 4)),
-        ("junk_hash_parity", round((1 + c3) / 2, 4), round(p23, 4)),
+        ("length_gt_median", r4((1 + c1) / 2), r4(p12)),
+        ("distinct_ratio_lt_median", r4((1 + c2) / 2), r4(p13)),
+        ("junk_hash_parity", r4((1 + c3) / 2), r4(p23)),
     ]
     return spark.createDataFrame(
         rows, "labeling_fn string, est_accuracy double, pair_signal double"

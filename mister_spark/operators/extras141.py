@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.ml import DUCK_LOGREG_GD, LOGREG_ITERS
 from mister_spark.registry import query
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -78,7 +79,47 @@ def ev_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_importance_weighted_eval")  # weighted scoring → rows-only
+@query(
+    "ml_importance_weighted_eval",
+    # Real oracle: the probe weights come from the shared
+    # DUCK_LOGREG_GD recursive-CTE fragment (the same full-batch GD
+    # the Spark side trains), the bin weights are ratios of exact
+    # integer counts, and the weighted/unweighted accuracies are two
+    # aggregates over the scored rows. Bins absent from the weight
+    # table default to 1.0 via the left join, like wts.get(b, 1.0).
+    oracle=f"""
+    WITH RECURSIVE {DUCK_LOGREG_GD},
+    wl AS (SELECT w FROM gd WHERE it = {LOGREG_ITERS}),
+    be AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+                  CAST(label % 2 AS DOUBLE) AS y,
+                  LEAST(CAST(FLOOR((CAST(embedding[1] AS DOUBLE) + 1.0)
+                                   / 0.25) AS INT), 7) AS b,
+                  CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS srv
+           FROM embeddings),
+    g AS (SELECT b, CAST(SUM(1 - srv) AS DOUBLE) AS n_train,
+                 CAST(SUM(srv) AS DOUBLE) AS n_serve
+          FROM be GROUP BY b),
+    t AS (SELECT SUM(n_train) AS nt, SUM(n_serve) AS ns FROM g),
+    wts AS (SELECT g.b,
+                   (g.n_serve / t.ns) / ((g.n_train + 1) / (t.nt + 8))
+                     AS bw
+            FROM g, t),
+    sc AS (SELECT CASE WHEN (CASE WHEN list_aggregate(
+                    list_transform(range(1, 65),
+                                   i -> be.v[i] * wl.w[i]), 'sum')
+                    + wl.w[65] > 0 THEN 1.0 ELSE 0.0 END) = be.y
+                  THEN 1.0 ELSE 0.0 END AS ok,
+                  COALESCE(wts.bw, 1.0) AS bw
+           FROM be CROSS JOIN wl LEFT JOIN wts ON be.b = wts.b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(ok) / COUNT(*) * 10000 + 0.5) / 10000 AS accuracy,
+           FLOOR(SUM(ok * bw) / SUM(bw) * 10000 + 0.5) / 10000
+             AS weighted_accuracy,
+           FLOOR(ABS(SUM(ok * bw) / SUM(bw) - SUM(ok) / COUNT(*))
+                 * 10000 + 0.5) / 10000 AS gap
+    FROM sc
+    """,
+)
 def ml_importance_weighted_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-weighted evaluation of the logistic probe: weight
     each embedding row by the serving/training density ratio of its
@@ -149,7 +190,10 @@ def ml_importance_weighted_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = sum(r["n"] for r in rows)
     acc = sum(r["ok"] for r in rows) / n
     wacc = sum(r["wok"] for r in rows) / sum(r["wsum"] for r in rows)
-    row = (int(n), round(acc, 4), round(wacc, 4), round(abs(wacc - acc), 4))
+    import math
+
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    row = (int(n), r4(acc), r4(wacc), r4(abs(wacc - acc)))
     return spark.createDataFrame(
         [row],
         "n long, accuracy double, weighted_accuracy double, gap double",

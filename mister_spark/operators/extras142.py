@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras114 import CLOSE_ROUNDS, CLOSE_SEEDS
+from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
 from mister_spark.registry import query
 
 
@@ -107,7 +109,64 @@ def ev_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_small_world")  # composition vs analytic baseline → rows-only
+@query(
+    "graph_small_world",
+    # Real oracle: triangles/wedges are plain joins and integer
+    # aggregates; the landmark path length reuses the
+    # graph_closeness_sampled CTE (same dedup-UNION BFS) and — like
+    # the Spark side, which reads the op's ROUNDED output rows —
+    # inverts the floor-rounded closeness values; the ER baselines
+    # and sigma are scalar arithmetic on the same doubles.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    seeds AS (SELECT p1 AS seed FROM (
+                SELECT DISTINCT p1 FROM csym ORDER BY p1
+                LIMIT {CLOSE_SEEDS}) s),
+    bfs AS (
+      SELECT seed, seed AS node, 0 AS d FROM seeds
+      UNION
+      SELECT b.seed, e.p2 AS node, b.d + 1
+      FROM bfs b JOIN csym e ON b.node = e.p1
+      WHERE b.d < {CLOSE_ROUNDS}
+    ),
+    dist AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+    clos AS (SELECT seed,
+                    FLOOR((COUNT(*) - 1)
+                          / GREATEST(CAST(SUM(d) AS DOUBLE), 1.0)
+                          * 10000 + 0.5) / 10000 AS closeness
+             FROM dist GROUP BY seed),
+    lmean AS (SELECT AVG(1.0 / closeness) AS l_meas
+              FROM clos WHERE closeness > 0),
+    base AS (SELECT CAST(COUNT(DISTINCT p1) AS BIGINT) AS n_nodes,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM ce) AS n_edges
+             FROM csym),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM ce ab JOIN ce bc ON ab.p2 = bc.p1
+                       JOIN ce ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2),
+    wg AS (SELECT SUM(d * (d - 1) / 2) AS w FROM (
+             SELECT CAST(COUNT(*) AS DOUBLE) AS d
+             FROM csym GROUP BY p1) q),
+    m AS (SELECT b.n_nodes, b.n_edges,
+                 2.0 * b.n_edges / b.n_nodes AS kbar,
+                 CASE WHEN wg.w > 0 THEN 3.0 * tri.t / wg.w
+                      ELSE 0.0 END AS c_meas,
+                 (2.0 * b.n_edges / b.n_nodes) / b.n_nodes AS c_rand,
+                 lm.l_meas,
+                 LN(b.n_nodes)
+                   / LN(GREATEST(2.0 * b.n_edges / b.n_nodes, 1.001))
+                   AS l_rand
+          FROM base b, tri, wg, lmean lm)
+    SELECT n_nodes AS nodes, n_edges AS edges,
+           FLOOR(c_meas * 10000 + 0.5) / 10000 AS clustering,
+           FLOOR(c_rand * 10000 + 0.5) / 10000 AS clustering_rand,
+           FLOOR(l_meas * 10000 + 0.5) / 10000 AS path_len,
+           FLOOR(l_rand * 10000 + 0.5) / 10000 AS path_len_rand,
+           FLOOR(CASE WHEN c_rand > 0
+                      THEN (c_meas / c_rand) / (l_meas / l_rand)
+                      ELSE 0.0 END * 10000 + 0.5) / 10000 AS sigma
+    FROM m
+    """,
+)
 def graph_small_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-world test for the co-purchase graph: measured global
     clustering C (closed triangles over wedges) and mean landmark
@@ -151,14 +210,15 @@ def graph_small_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_meas = sum(ls) / len(ls)
     l_rand = math.log(n_nodes) / math.log(max(kbar, 1.001))
     sigma = (c_meas / c_rand) / (l_meas / l_rand) if c_rand > 0 else 0.0
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     row = (
         int(n_nodes),
         int(n_edges),
-        round(c_meas, 4),
-        round(c_rand, 4),
-        round(l_meas, 4),
-        round(l_rand, 4),
-        round(sigma, 4),
+        r4(c_meas),
+        r4(c_rand),
+        r4(l_meas),
+        r4(l_rand),
+        r4(sigma),
     )
     return spark.createDataFrame(
         [row],

@@ -142,7 +142,49 @@ def ev_forecastability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_fair_thresholds")  # per-group solving → rows-only
+@query(
+    "ml_fair_thresholds",
+    # Real oracle: the per-group threshold is the sorted positives'
+    # element at index int((1-target)*len(pos)) (clamped) — one
+    # ROW_NUMBER pick per group; TPR/FPR are >= threshold counts over
+    # identical sigmoid doubles, so every comparison agrees bitwise.
+    oracle=f"""
+    WITH e AS (SELECT 1.0 / (1.0 + EXP(-CAST(embedding[1] AS DOUBLE)))
+                 AS p,
+                      label % 2 AS grp,
+                      (label // 2) % 2 AS y
+               FROM embeddings),
+    np AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS pos
+           FROM e WHERE y = 1 GROUP BY grp),
+    thr AS (SELECT s.grp, s.p AS thr FROM (
+              SELECT e.grp, e.p,
+                     ROW_NUMBER() OVER (PARTITION BY e.grp
+                                        ORDER BY e.p) AS rn
+              FROM e WHERE e.y = 1) s
+            JOIN np ON np.grp = s.grp
+            WHERE s.rn = GREATEST(1, LEAST(np.pos,
+              CAST(FLOOR((1 - {FAIR_TPR_TARGET}) * np.pos) AS BIGINT) + 1))),
+    agg AS (SELECT e.grp,
+                   SUM(CASE WHEN e.y = 1 AND e.p >= t.thr
+                            THEN 1 ELSE 0 END) AS tp,
+                   SUM(CASE WHEN e.y = 1 THEN 1 ELSE 0 END) AS pos,
+                   SUM(CASE WHEN e.y = 0 AND e.p >= t.thr
+                            THEN 1 ELSE 0 END) AS fp,
+                   SUM(CASE WHEN e.y = 0 THEN 1 ELSE 0 END) AS neg,
+                   MAX(t.thr) AS thr
+            FROM e JOIN thr t ON e.grp = t.grp GROUP BY e.grp)
+    SELECT CAST(grp AS BIGINT) AS grp,
+           FLOOR(thr * 10000 + 0.5) / 10000 AS threshold,
+           FLOOR(CAST(tp AS DOUBLE) / pos * 10000 + 0.5) / 10000
+             AS achieved_tpr,
+           CASE WHEN neg > 0
+                THEN FLOOR(CAST(fp AS DOUBLE) / neg * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS fpr,
+           CAST(pos AS BIGINT) AS positives,
+           CAST(neg AS BIGINT) AS negatives
+    FROM agg ORDER BY grp
+    """,
+)
 def ml_fair_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-opportunity threshold solver: for each group (label
     parity stands in for a protected attribute; score = sigmoid of
@@ -174,12 +216,15 @@ def ml_fair_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr = pos[idx]
         tpr = sum(1 for p in pos if p >= thr) / len(pos)
         fpr = sum(1 for p in neg if p >= thr) / len(neg) if neg else 0.0
+        import math
+
+        r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
         out.append(
             (
                 int(g),
-                round(float(thr), 4),
-                round(tpr, 4),
-                round(fpr, 4),
+                r4(float(thr)),
+                r4(tpr),
+                r4(fpr),
                 len(pos),
                 len(neg),
             )

@@ -185,7 +185,61 @@ def stat_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_learning_curve")  # iterative training → rows-only; pytest gates
+@query(
+    "ml_learning_curve",
+    # Real oracle: the per-fraction GD loops run as ONE recursive CTE
+    # keyed by the slice modulus f — each (f, it) group carries its
+    # own 65-weight DOUBLE list; the reported loss is the last pass's
+    # pre-update loss (weights after LC_ITERS-1 updates), exactly the
+    # Python accounting (same shape as the shared logreg fragment,
+    # with f joined through every stage).
+    oracle=f"""
+    WITH RECURSIVE fr AS (SELECT UNNEST([{", ".join(str(f) for f in LC_FRACTIONS)}]) AS f),
+    emb AS (SELECT fr.f, CAST(e.embedding AS DOUBLE[]) AS v,
+                   CAST(e.label % 2 AS DOUBLE) AS y
+            FROM embeddings e JOIN fr ON e.vec_id % fr.f = 0),
+    nn AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS n FROM emb GROUP BY f),
+    gd AS (
+      SELECT f, 0 AS it,
+             list_transform(range(1, 66), i -> CAST(0.0 AS DOUBLE)) AS w
+      FROM fr
+      UNION ALL
+      SELECT q.f, q.it + 1, list(q.nw ORDER BY q.dim)
+      FROM (
+        SELECT r.f, r.it, u.dim,
+               MAX(r.wd[u.dim])
+               - {LC_LR} * (SUM((r.p - r.y) * u.x) / MAX(r.n)) AS nw
+        FROM (
+          SELECT s.f, s.it, s.w AS wd, e.y, nx.n,
+                 list_append(e.v, CAST(1.0 AS DOUBLE)) AS xv,
+                 1.0 / (1.0 + EXP(-(list_aggregate(
+                   list_transform(range(1, 65), i -> e.v[i] * s.w[i]),
+                   'sum') + s.w[65]))) AS p
+          FROM gd s JOIN emb e ON e.f = s.f JOIN nn nx ON nx.f = s.f
+          WHERE s.it < {LC_ITERS}
+        ) r
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 65)) AS dim,
+                                   unnest(r.xv) AS x) u
+        GROUP BY r.f, r.it, u.dim
+      ) q
+      GROUP BY q.f, q.it
+    ),
+    wp AS (SELECT f, w FROM gd WHERE it = {LC_ITERS} - 1),
+    lo AS (SELECT sc.f, SUM(-(sc.y * LN(sc.p + 1e-12)
+                              + (1 - sc.y) * LN(1 - sc.p + 1e-12))) AS ls
+           FROM (SELECT e.f, e.y,
+                        1.0 / (1.0 + EXP(-(list_aggregate(
+                          list_transform(range(1, 65),
+                                         i -> e.v[i] * wp.w[i]), 'sum')
+                          + wp.w[65]))) AS p
+                 FROM emb e JOIN wp ON wp.f = e.f) sc(f, y, p)
+           GROUP BY sc.f)
+    SELECT FLOOR(1.0 / fr.f * 10000 + 0.5) / 10000 AS fraction,
+           CAST(nn.n AS BIGINT) AS n,
+           FLOOR(lo.ls / nn.n * 1e6 + 0.5) / 1e6 AS final_loss
+    FROM fr JOIN nn ON nn.f = fr.f JOIN lo ON lo.f = fr.f
+    """,
+)
 def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-scaling curve for the logistic probe: retrain on
     deterministic 25% / 50% / 100% slices (vec_id modulo — stable
@@ -246,7 +300,15 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             g = np.sum([np.array(r["g"]) for r in rows], axis=0) / n
             loss = sum(r["loss"] for r in rows) / n
             w = w - LC_LR * g
-        out.append((round(1.0 / frac, 4), int(n_rows), round(loss, 6)))
+        import math
+
+        out.append(
+            (
+                math.floor(1.0 / frac * 10000 + 0.5) / 10000,
+                int(n_rows),
+                math.floor(loss * 1e6 + 0.5) / 1e6,
+            )
+        )
     return spark.createDataFrame(
         out, "fraction double, n long, final_loss double"
     )

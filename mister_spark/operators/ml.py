@@ -292,17 +292,12 @@ def logreg_train(spark: SparkSession, sf_dir: str, iters: int = LOGREG_ITERS):
     return w, losses
 
 
-@query(
-    "ml_logreg",
-    # Real oracle: full-batch GD as a recursive CTE carrying the
-    # 65-weight vector (64 dims + bias) as a DOUBLE list; each step
-    # scores every row against the working weights and aggregates the
-    # per-dimension gradient via an unnested lateral. The reported
-    # loss is the one recorded at the LAST loop pass (weights after
-    # iters-1 updates), accuracy/|w| use the final weights — exactly
-    # the Python accounting.
-    oracle=f"""
-    WITH RECURSIVE emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+# The full-batch GD loop as a reusable recursive-CTE fragment (emb /
+# nn / gd): gd's row at it = LOGREG_ITERS carries the final 65-weight
+# DOUBLE list. Shared by the ml_logreg oracle and every oracle that
+# scores rows against the trained probe (e.g. ml_importance_weighted
+# _eval) so the training algebra is written once.
+DUCK_LOGREG_GD = f"""emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
                                   CAST(label % 2 AS DOUBLE) AS y
                            FROM embeddings),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM emb),
@@ -329,7 +324,19 @@ def logreg_train(spark: SparkSession, sf_dir: str, iters: int = LOGREG_ITERS):
         GROUP BY r.it, u.dim
       ) q
       GROUP BY q.it
-    ),
+    )"""
+
+
+@query(
+    "ml_logreg",
+    # Real oracle: full-batch GD as a recursive CTE carrying the
+    # 65-weight vector (64 dims + bias) as a DOUBLE list (the shared
+    # DUCK_LOGREG_GD fragment); the reported loss is the one recorded
+    # at the LAST loop pass (weights after iters-1 updates),
+    # accuracy/|w| use the final weights — exactly the Python
+    # accounting.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_LOGREG_GD},
     wlast AS (SELECT w FROM gd WHERE it = {LOGREG_ITERS}),
     wprev AS (SELECT w FROM gd WHERE it = {LOGREG_ITERS} - 1),
     lossrow AS (SELECT SUM(-(e.y * LN(p + 1e-12)
