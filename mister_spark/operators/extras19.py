@@ -15,7 +15,29 @@ LATENESS_HORIZON_US = 60 * 60 * 1_000_000  # 1-hour watermark delay
 EPOCH_MULTIPLIERS = {0: 1103515245, 1: 1588635695, 2: 2654435761}
 
 
-@query("stream_anomaly")  # streaming execution → rows-only; pytest parity
+@query(
+    "stream_anomaly",
+    # Real oracle: the stream side is a stateless broadcast-model
+    # filter, so the bounded replay equals the batch filter exactly
+    # (pytest parity); quantile_cont matches Spark percentile's
+    # interpolation, and rz rounds on the shared floor grid BEFORE
+    # the 3.5 gate, exactly like the Spark expression.
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, ABS(e.value - m.med) AS dv
+            FROM events e JOIN med m USING (event_type)),
+    model AS (SELECT d.event_type, ANY_VALUE(m.med) AS med,
+                     quantile_cont(d.dv, 0.5) AS mad
+              FROM dev d JOIN med m USING (event_type) GROUP BY 1),
+    scored AS (SELECT e.event_id, e.event_type, e.value, m.mad,
+                      FLOOR(0.6745 * ABS(e.value - m.med) / m.mad
+                            * 10000 + 0.5) / 10000 AS rz
+               FROM events e JOIN model m USING (event_type))
+    SELECT event_id, event_type, value, rz
+    FROM scored WHERE mad > 0 AND rz > 3.5
+    """,
+)
 def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anomaly gate: batch-train the per-type MAD thresholds
     (ev_anomaly_mad's robust statistics), broadcast them into the event

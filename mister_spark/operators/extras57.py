@@ -282,8 +282,26 @@ def run_stream_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@query("stream_snapshot_upsert")  # streaming execution → rows-only;
-# pytest pins exact parity with the batch latest-per-user query.
+@query(
+    "stream_snapshot_upsert",
+    # Real oracle: conflict resolution is max(ts, event_id) with
+    # additive counts, so the final table equals the batch
+    # latest-per-user rollup regardless of batching (the pytest parity
+    # this op already pins).
+    oracle="""
+    WITH r AS (SELECT user_id, ts, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC,
+                                                  event_id DESC) AS rn,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n
+               FROM events)
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+    """,
+)
 def stream_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_snapshot_upsert(spark, sf_dir)
 

@@ -289,7 +289,26 @@ def stat_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 stat_negbin_fit.__doc__ = stat_negbin_fit.__doc__.format(c=NB_CAP)
 
 
-@query("stream_decayed_counts")  # streaming execution → rows-only; parity gate
+@query(
+    "stream_decayed_counts",
+    # Real oracle: the mergeable-decay rule makes the bounded replay
+    # equal the batch ev_decayed_counts on the shared 1e-4 floor grid
+    # (pytest parity gate), so the oracle is that SQL plus the
+    # 3-batch count the 3-chunk staging pins.
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS anchor FROM events),
+    w AS (SELECT event_type,
+                 EXP(-LN(2) / 14.0
+                     * (date_diff('second', ts, anchor) / 86400.0)) AS wt
+          FROM events, mx)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS raw_count,
+           FLOOR(SUM(wt) * 10000 + 0.5) / 10000 AS decayed_count,
+           FLOOR(SUM(wt) / COUNT(*) * 10000 + 0.5) / 10000 AS recency_index,
+           CAST(3 AS BIGINT) AS n_batches
+    FROM w GROUP BY 1
+    """,
+)
 def stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ev_decayed_counts: foreachBatch maintains per
     event type the pair (anchor_ts, decayed_sum aged TO that anchor)

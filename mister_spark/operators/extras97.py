@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, ratio
 from mister_spark.operators.extras92 import BLOCKLIST
 from mister_spark.registry import query
@@ -30,7 +31,52 @@ LC_ITERS = 8
 LC_LR = 0.5
 
 
-@query("ds_rag_eval")  # composition harness → rows-only; pytest gates
+@query(
+    "ds_rag_eval",
+    # Real oracle: the whole harness is relational — bigram postings,
+    # BM25 with the same idf/tf/length terms on identical doubles, the
+    # (score DESC, doc_id) top-K window, and two ratio aggregates.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    b2 AS (SELECT doc_id,
+                  list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+                  CAST(len(toks) - 1 AS BIGINT) AS dl
+           FROM t WHERE len(toks) - 1 > 0),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM b2),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(bg) AS term FROM b2) u
+           GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    q AS (SELECT doc_id AS q_id,
+                 unnest(list_distinct(bg[1:{RAG_PREFIX}])) AS term
+          FROM b2 WHERE doc_id % {RAG_EVERY} = 0),
+    scored AS (SELECT q.q_id, tf.doc_id,
+                      SUM(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                          * (tf.tf * ({BM25_K1} + 1))
+                          / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                             + {BM25_B} * tf.dl / s.avgdl))) AS score
+               FROM q JOIN tf ON q.term = tf.term
+                    JOIN dfreq d ON d.term = q.term
+                    CROSS JOIN stats s
+               GROUP BY 1, 2),
+    top AS (SELECT q_id, doc_id, rk FROM (
+              SELECT q_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, doc_id) AS rk
+              FROM scored) w WHERE rk <= {RAG_K}),
+    perq AS (SELECT q_id,
+                    MAX(CASE WHEN doc_id = q_id THEN 1 ELSE 0 END) AS hit,
+                    MAX(CASE WHEN doc_id = q_id THEN 1.0 / rk END) AS rr
+             FROM top GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(hit) * 10000 + 0.5) / 10000 AS hit_at_k,
+           FLOOR(AVG(COALESCE(rr, 0.0)) * 10000 + 0.5) / 10000 AS mrr
+    FROM perq
+    """,
+)
 def ds_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free retrieval evaluation: every {n}th document donates
     its first {p} token BIGRAMS as a query; BM25 over the corpus must
