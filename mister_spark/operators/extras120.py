@@ -24,7 +24,77 @@ GBM_ROUNDS = 3
 GBM_LR = 0.5
 
 
-@query("ml_gbm_stumps")  # residual boosting rounds → rows-only
+def _gbm_oracle() -> str:
+    """The 3-round boosting loop unrolled into chained CTEs: per round
+    an f-ordered prefix scan over the 7-bin residual histogram (the
+    exact accumulation order of the Python driver loop — totals are
+    the LAST prefix value, not an unordered SUM), the variance-gain
+    argmax with the full tuple tie-break (gain, f, left-mean,
+    right-mean, all DESC = Python's strict tuple-max), and the
+    prediction threaded forward as a scalar-subquery expression."""
+    parts = [
+        """d AS (SELECT ((dayofweek(o_orderdate) + 6) % 7) + 1 AS f,
+                    o_totalprice AS y FROM orders)""",
+        "base AS (SELECT AVG(y) AS p FROM d)",
+    ]
+
+    def pred(upto: int) -> str:
+        e = "b.p"
+        for k in range(1, upto + 1):
+            e += (
+                f" + {GBM_LR} * (CASE WHEN d.f <= s{k}.thr THEN s{k}.lm"
+                f" ELSE s{k}.rm END)"
+            )
+        return "(" + e + ")"
+
+    def frm(upto: int) -> str:
+        return "d, base b" + "".join(f", s{k}" for k in range(1, upto + 1))
+
+    for r in range(1, GBM_ROUNDS + 1):
+        p = pred(r - 1)
+        parts.append(f"""
+    h{r} AS (SELECT d.f, CAST(COUNT(*) AS DOUBLE) AS n,
+                    SUM(d.y - {p}) AS s,
+                    SUM((d.y - {p}) * (d.y - {p})) AS ss
+             FROM {frm(r - 1)} GROUP BY d.f)""")
+        parts.append(f"""
+    c{r} AS (SELECT f, SUM(n) OVER w AS ln, SUM(s) OVER w AS ls,
+                    SUM(ss) OVER w AS lss
+             FROM h{r}
+             WINDOW w AS (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW))""")
+        parts.append(f"""
+    t{r} AS (SELECT ln AS tn, ls AS ts, lss AS tss
+             FROM c{r} ORDER BY f DESC LIMIT 1)""")
+        parts.append(f"""
+    mx{r} AS (SELECT MAX(f) AS mf FROM c{r})""")
+        parts.append(f"""
+    s{r} AS (SELECT f AS thr,
+                    (t.tss - t.ts * t.ts / t.tn)
+                    - (-(c.ls * c.ls) / c.ln
+                       - ((t.ts - c.ls) * (t.ts - c.ls)) / (t.tn - c.ln)
+                       + t.tss) AS gain,
+                    c.ls / c.ln AS lm,
+                    (t.ts - c.ls) / (t.tn - c.ln) AS rm
+             FROM c{r} c, t{r} t, mx{r} m
+             WHERE c.f < m.mf
+             ORDER BY 2 DESC, 1 DESC, 3 DESC, 4 DESC LIMIT 1)""")
+        pf = pred(r)
+        parts.append(f"""
+    rmse{r} AS (SELECT SQRT(AVG((d.y - {pf}) * (d.y - {pf}))) AS v
+                FROM {frm(r)})""")
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+               CAST(s{r}.thr AS BIGINT) AS split_at,
+               FLOOR(s{r}.gain * 100 + 0.5) / 100 AS gain,
+               FLOOR(rmse{r}.v * 10000 + 0.5) / 10000 AS train_rmse
+        FROM s{r}, rmse{r}"""
+        for r in range(1, GBM_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+@query("ml_gbm_stumps", oracle=_gbm_oracle())
 def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gradient boosting with depth-1 histogram stumps: predict order
     totalprice from weekday; each round fits the best single split to
@@ -85,12 +155,14 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sqrt(F.avg(F.col("e") * F.col("e"))))
             .collect()[0][0]
         )
+        import math
+
         out.append(
             (
                 rnd_i,
                 int(thr),
-                round(float(gain), 2),
-                round(float(rmse), 4),
+                math.floor(float(gain) * 100 + 0.5) / 100,
+                math.floor(float(rmse) * 10000 + 0.5) / 10000,
             )
         )
     return spark.createDataFrame(
@@ -145,7 +217,53 @@ def sql_try_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ds_corpus_health_scorecard")  # composition of registered ops
+@query(
+    "ds_corpus_health_scorecard",
+    # Real oracle: every component the scorecard invokes is itself
+    # oracle-exact, so this inlines their SQL definitions (exact-dup
+    # groups, the four hygiene flags, blocklist hits, token totals)
+    # plus the normalized source-mix entropy; ratios round on the
+    # shared floor grid.
+    oracle=r"""
+    WITH nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(COUNT(DISTINCT text) AS DOUBLE) AS g
+                FROM documents),
+    enc AS (SELECT CAST(
+              SUM(CASE WHEN regexp_matches(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN text LIKE chr(13) || '%'
+                           OR text LIKE '%' || chr(13) || '%'
+                         THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN strpos(text, chr(65533)) > 0
+                         THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN text <> trim(text) THEN 1 ELSE 0 END)
+              AS BIGINT) AS defects
+            FROM documents),
+    bl AS (SELECT SUM(CASE WHEN len(list_filter(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   x -> list_contains(['error', 'dup', 'slow'], x))) > 0
+                 THEN 1.0 ELSE 0.0 END) AS flagged
+           FROM documents),
+    tok AS (SELECT CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            t -> t <> ''))) AS BIGINT)
+              AS tokens
+            FROM documents),
+    src AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents
+            GROUP BY source),
+    ent AS (SELECT -SUM(CASE WHEN c > 0
+                             THEN (c / nd.n) * LN(c / nd.n) END)
+                   / LN(COUNT(*)) AS e
+            FROM src, nd GROUP BY nd.n)
+    SELECT CAST(nd.n AS BIGINT) AS docs, tok.tokens AS tokens,
+           FLOOR((1.0 - nd.g / nd.n) * 10000 + 0.5) / 10000
+             AS exact_dup_rate,
+           enc.defects AS hygiene_defects,
+           FLOOR(bl.flagged / nd.n * 10000 + 0.5) / 10000
+             AS blocklist_flag_rate,
+           FLOOR(ent.e * 10000 + 0.5) / 10000 AS source_mix_entropy
+    FROM nd, enc, bl, tok, ent
+    """,
+)
 def ds_corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health scorecard — ONE row composed by invoking the
     repo's own registered operators: exact-duplicate rate (dd_exact),
@@ -184,13 +302,14 @@ def ds_corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = reg.QUERIES["tx_tokencount"](spark, sf_dir).agg(
         F.sum("n_tokens")
     ).collect()[0][0]
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
     row = (
         int(n_docs),
         int(tok),
-        round(dup_rate, 4),
+        r4(dup_rate),
         int(enc),
-        round(flag_rate, 4),
-        round(ent, 4),
+        r4(flag_rate),
+        r4(ent),
     )
     return spark.createDataFrame(
         [row],

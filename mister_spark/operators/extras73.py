@@ -62,8 +62,114 @@ def _ada_stump_round(s: DataFrame):
     return feat, thr, pol, alpha, err
 
 
-@query("ml_adaboost_stumps")  # rows-only: iterative boosting; pytest
-# gates monotone weighted error + accuracy beat over best single stump.
+def _ada_oracle() -> str:
+    """The 5-round AdaBoost loop unrolled into chained CTEs. Per round:
+    the per-row weight EXP(-ysign*margin) is an expression over the
+    stump parameters of the cross-joined s1..s{r-1} single-row CTEs,
+    the (feat, bin) weighted cells aggregate once, cp/cn are
+    bin-ordered prefix sums per feat, totals are the (feat, bin)-ordered
+    prefix's last value (a deterministic accumulation order — the
+    Python driver sums in collect order, which only matters below the
+    1e-4 output grid), and the argmin stump breaks ties by
+    (err, feat, bin, polarity DESC). Alpha is recomputed from the same
+    clamped err, so every round's weights agree."""
+    nf = len(ADA_FEATS)
+    bins = ", ".join(
+        f"LEAST(CAST(FLOOR(1.0 / (1.0 + EXP(-CAST(embedding[{d}] AS "
+        f"DOUBLE))) * {ADA_BINS}) AS INT), {ADA_BINS - 1}) AS b{i}"
+        for i, d in enumerate(ADA_FEATS)
+    )
+    parts = [
+        f"""base AS (SELECT vec_id,
+                    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, {bins}
+             FROM embeddings)""",
+        "lng AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, y, {i} AS feat, b{i} AS bin FROM base"
+            for i in range(nf)
+        )
+        + ")",
+    ]
+
+    def margin(upto: int) -> str:
+        if upto == 0:
+            return "0.0"
+        terms = []
+        for k in range(1, upto + 1):
+            sel = (
+                f"CASE s{k}.feat "
+                + " ".join(
+                    f"WHEN {i} THEN base.b{i}" for i in range(nf)
+                )
+                + " END"
+            )
+            terms.append(
+                f"s{k}.alpha * (CASE WHEN {sel} <= s{k}.thr"
+                f" THEN s{k}.pol ELSE -s{k}.pol END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def sfrm(upto: int) -> str:
+        return "".join(f", s{k}" for k in range(1, upto + 1))
+
+    for r in range(1, ADA_ROUNDS + 1):
+        m = margin(r - 1)
+        parts.append(f"""
+    cells{r} AS (SELECT l.feat, l.bin,
+                    SUM(EXP(-(2 * l.y - 1) * {m}) * l.y) AS wp,
+                    SUM(EXP(-(2 * l.y - 1) * {m}) * (1 - l.y)) AS wn
+             FROM lng l JOIN base ON base.vec_id = l.vec_id{sfrm(r - 1)}
+             GROUP BY l.feat, l.bin)""")
+        parts.append(f"""
+    pre{r} AS (SELECT feat, bin,
+                    SUM(wp) OVER (PARTITION BY feat ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cp,
+                    SUM(wn) OVER (PARTITION BY feat ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cn,
+                    SUM(wp) OVER (ORDER BY feat, bin
+                                  ROWS UNBOUNDED PRECEDING) AS gp,
+                    SUM(wn) OVER (ORDER BY feat, bin
+                                  ROWS UNBOUNDED PRECEDING) AS gn
+             FROM cells{r})""")
+        parts.append(f"""
+    tot{r} AS (SELECT gp / {nf} AS tp, gn / {nf} AS tn
+             FROM pre{r} ORDER BY feat DESC, bin DESC LIMIT 1)""")
+        parts.append(f"""
+    s{r} AS (SELECT feat, bin AS thr, pol, werr,
+                    0.5 * LN((1 - cerr) / cerr) AS alpha, cerr
+             FROM (SELECT p.feat, p.bin, u.pol,
+                          CASE WHEN u.pol = 1
+                               THEN p.cn + (t.tp - p.cp)
+                               ELSE p.cp + (t.tn - p.cn) END AS werr,
+                          GREATEST(LEAST(
+                            (CASE WHEN u.pol = 1
+                                  THEN p.cn + (t.tp - p.cp)
+                                  ELSE p.cp + (t.tn - p.cn) END)
+                            / (t.tp + t.tn), 1 - 1e-10), 1e-10) AS cerr
+                   FROM pre{r} p, tot{r} t,
+                        (SELECT UNNEST([1, -1]) AS pol) u) q
+             ORDER BY werr, feat, thr, pol DESC LIMIT 1)""")
+        mr = margin(r)
+        parts.append(f"""
+    acc{r} AS (SELECT AVG(CASE WHEN (CASE WHEN {mr} > 0 THEN 1 ELSE 0
+                    END) = base.y THEN 1.0 ELSE 0.0 END) AS a
+             FROM base{sfrm(r)})""")
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r - 1} AS INTEGER) AS round,
+               CAST(s{r}.feat AS INTEGER) AS feat,
+               CAST(s{r}.thr AS INTEGER) AS threshold,
+               CAST(s{r}.pol AS INTEGER) AS polarity,
+               FLOOR(s{r}.alpha * 10000 + 0.5) / 10000 AS alpha,
+               FLOOR(s{r}.cerr * 10000 + 0.5) / 10000 AS weighted_err,
+               FLOOR(acc{r}.a * 10000 + 0.5) / 10000 AS train_acc
+        FROM s{r}, acc{r}"""
+        for r in range(1, ADA_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+@query("ml_adaboost_stumps", oracle=_ada_oracle())
+# pytest gates monotone weighted error + accuracy beat over best stump.
 def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AdaBoost with depth-1 stumps over binned embedding features
     ({r} rounds, {b} bins, features = dims {f}): sample weights are a

@@ -79,7 +79,132 @@ def _best_split(rows, node):
     return best  # (gain, feat, threshold_bin) or None
 
 
-@query("ml_hist_tree")  # iterative histogram split search → rows-only
+@query(
+    "ml_hist_tree",
+    # Real oracle: the depth-2 histogram split search unrolled — per
+    # level a (node, feat, bin) histogram, bin-ordered prefix sums
+    # (the Python accumulation order), per-feat totals as the last
+    # prefix row, candidates excluding each feat's max bin, and the
+    # strict tuple-max tie-break (gain, feat, bin all DESC — 'f2'
+    # sorts above 'f1' exactly like the Python tuple). A child with
+    # no positive-gain split collapses to its parent leaf via the
+    # LEFT-JOIN NULL path; leaf paths are the same formatted strings.
+    oracle="""
+    WITH d AS (SELECT ((dayofweek(o_orderdate) + 6) % 7) + 1 AS f1,
+                      CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS f2,
+                      o_totalprice AS y
+               FROM orders),
+    h0 AS (SELECT 'f1' AS feat, f1 AS bin, CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(y) AS s, SUM(y * y) AS ss
+           FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'f2', f2, CAST(COUNT(*) AS DOUBLE), SUM(y), SUM(y * y)
+           FROM d GROUP BY 2),
+    c0 AS (SELECT feat, bin,
+                  SUM(n) OVER w AS ln, SUM(s) OVER w AS ls,
+                  SUM(ss) OVER w AS lss,
+                  MAX(bin) OVER (PARTITION BY feat) AS mb
+           FROM h0
+           WINDOW w AS (PARTITION BY feat ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)),
+    t0 AS (SELECT feat, ln AS tn, ls AS ts, lss AS tss FROM (
+             SELECT feat, ln, ls, lss,
+                    ROW_NUMBER() OVER (PARTITION BY feat
+                                       ORDER BY bin DESC) AS rn
+             FROM c0) q WHERE rn = 1),
+    s0 AS (SELECT c.feat, c.bin AS thr,
+                  (t.tss - t.ts * t.ts / t.tn)
+                  - ((c.lss - c.ls * c.ls / c.ln)
+                     + ((t.tss - c.lss)
+                        - (t.ts - c.ls) * (t.ts - c.ls)
+                          / (t.tn - c.ln))) AS gain
+           FROM c0 c JOIN t0 t ON c.feat = t.feat
+           WHERE c.bin < c.mb AND t.tn >= 2
+             AND c.ln >= 1 AND t.tn - c.ln >= 1
+           ORDER BY gain DESC, c.feat DESC, c.bin DESC LIMIT 1),
+    dn AS (SELECT d.*, CASE WHEN (CASE s0.feat WHEN 'f1' THEN d.f1
+                                  ELSE d.f2 END) <= s0.thr
+                            THEN 1 ELSE 2 END AS node
+           FROM d, s0),
+    h1 AS (SELECT node, 'f1' AS feat, f1 AS bin,
+                  CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS s,
+                  SUM(y * y) AS ss
+           FROM dn GROUP BY 1, 3
+           UNION ALL
+           SELECT node, 'f2', f2, CAST(COUNT(*) AS DOUBLE), SUM(y),
+                  SUM(y * y)
+           FROM dn GROUP BY 1, 3),
+    c1 AS (SELECT node, feat, bin,
+                  SUM(n) OVER w AS ln, SUM(s) OVER w AS ls,
+                  SUM(ss) OVER w AS lss,
+                  MAX(bin) OVER (PARTITION BY node, feat) AS mb
+           FROM h1
+           WINDOW w AS (PARTITION BY node, feat ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)),
+    t1 AS (SELECT node, feat, ln AS tn, ls AS ts, lss AS tss FROM (
+             SELECT node, feat, ln, ls, lss,
+                    ROW_NUMBER() OVER (PARTITION BY node, feat
+                                       ORDER BY bin DESC) AS rn
+             FROM c1) q WHERE rn = 1),
+    s1 AS (SELECT node, feat, thr, gain FROM (
+             SELECT c.node, c.feat, c.bin AS thr,
+                    (t.tss - t.ts * t.ts / t.tn)
+                    - ((c.lss - c.ls * c.ls / c.ln)
+                       + ((t.tss - c.lss)
+                          - (t.ts - c.ls) * (t.ts - c.ls)
+                            / (t.tn - c.ln))) AS gain,
+                    ROW_NUMBER() OVER (PARTITION BY c.node
+                                       ORDER BY (t.tss - t.ts * t.ts
+                                                 / t.tn)
+                                       - ((c.lss - c.ls * c.ls / c.ln)
+                                          + ((t.tss - c.lss)
+                                             - (t.ts - c.ls)
+                                               * (t.ts - c.ls)
+                                               / (t.tn - c.ln))) DESC,
+                                       c.feat DESC, c.bin DESC) AS rk
+             FROM c1 c JOIN t1 t ON c.node = t.node AND c.feat = t.feat
+             WHERE c.bin < c.mb AND t.tn >= 2
+               AND c.ln >= 1 AND t.tn - c.ln >= 1) q
+           WHERE rk = 1),
+    lf AS (SELECT dn.y,
+                  CASE WHEN dn.node = 1 THEN
+                    CASE WHEN a.gain > 0 THEN
+                      CASE WHEN (CASE a.feat WHEN 'f1' THEN dn.f1
+                                 ELSE dn.f2 END) <= a.thr
+                           THEN 3 ELSE 4 END
+                    ELSE 1 END
+                  ELSE
+                    CASE WHEN b.gain > 0 THEN
+                      CASE WHEN (CASE b.feat WHEN 'f1' THEN dn.f1
+                                 ELSE dn.f2 END) <= b.thr
+                           THEN 5 ELSE 6 END
+                    ELSE 2 END
+                  END AS leaf
+           FROM dn LEFT JOIN s1 a ON a.node = 1
+                   LEFT JOIN s1 b ON b.node = 2),
+    agg AS (SELECT leaf, CAST(COUNT(*) AS BIGINT) AS n,
+                   FLOOR(AVG(y) * 10000 + 0.5) / 10000 AS prediction
+            FROM lf GROUP BY leaf)
+    SELECT agg.leaf,
+           CASE WHEN agg.leaf = 1 THEN s0.feat || '<=' || s0.thr
+                WHEN agg.leaf = 2 THEN s0.feat || '>' || s0.thr
+                WHEN agg.leaf = 3 THEN s0.feat || '<=' || s0.thr
+                     || ' & ' || a.feat || '<=' || a.thr
+                WHEN agg.leaf = 4 THEN s0.feat || '<=' || s0.thr
+                     || ' & ' || a.feat || '>' || a.thr
+                WHEN agg.leaf = 5 THEN s0.feat || '>' || s0.thr
+                     || ' & ' || b.feat || '<=' || b.thr
+                ELSE s0.feat || '>' || s0.thr
+                     || ' & ' || b.feat || '>' || b.thr
+           END AS path,
+           agg.n, agg.prediction,
+           FLOOR(s0.gain * 100 + 0.5) / 100 AS root_gain
+    FROM agg, s0
+    LEFT JOIN s1 a ON a.node = 1
+    LEFT JOIN s1 b ON b.node = 2
+    ORDER BY agg.leaf
+    """,
+)
 def ml_hist_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 regression tree predicting order totalprice from
     (order weekday, priority code) using HISTOGRAM split search: one
@@ -143,9 +268,10 @@ def ml_hist_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["leaf"]), path(int(r["leaf"])), int(r["n"]), float(r["prediction"]))
         for r in leaves
     )
-    rows = [
-        (leaf, p, n, pred, round(float(gain0), 2)) for leaf, p, n, pred in out
-    ]
+    import math
+
+    g2 = math.floor(float(gain0) * 100 + 0.5) / 100
+    rows = [(leaf, p, n, pred, g2) for leaf, p, n, pred in out]
     return spark.createDataFrame(
         rows,
         "leaf long, path string, n long, prediction double, root_gain double",
