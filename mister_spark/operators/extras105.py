@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from mister_spark.functions.text import bigrams, tokens
+from mister_spark.functions.text import DUCK_TOKENS, bigrams, tokens
 from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
@@ -29,7 +29,77 @@ BM25_K1, BM25_B = 1.2, 0.75
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-@query("sim_two_stage_rank")  # composition harness → rows-only
+@query(
+    "sim_two_stage_rank",
+    # Real oracle: stage 1 is the ds_rag_eval BM25 SQL; stage 2 joins
+    # the candidates to their (id % 500) vectors and re-ranks by a
+    # sequential-fold cosine (list_reduce = Spark's aggregate fold
+    # order), with both top-K windows tie-broken on doc_id.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    b2 AS (SELECT doc_id,
+                  list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+                  CAST(len(toks) - 1 AS BIGINT) AS dl
+           FROM t WHERE len(toks) - 1 > 0),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM b2),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(bg) AS term FROM b2) u
+           GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    q AS (SELECT doc_id AS q_id,
+                 unnest(list_distinct(bg[1:{TS_PREFIX}])) AS term
+          FROM b2 WHERE doc_id % {TS_EVERY} = 0),
+    s1 AS (SELECT q.q_id, tf.doc_id,
+                  SUM(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                      * (tf.tf * ({BM25_K1} + 1))
+                      / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                         + {BM25_B} * tf.dl / s.avgdl))) AS bm25
+           FROM q JOIN tf ON q.term = tf.term
+                JOIN dfreq d ON d.term = q.term
+                CROSS JOIN stats s
+           GROUP BY 1, 2),
+    cand AS (SELECT q_id, doc_id FROM (
+               SELECT q_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY bm25 DESC, doc_id)
+                        AS rk1
+               FROM s1) w WHERE rk1 <= {TS_STAGE1_K}),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    s2 AS (SELECT c.q_id, c.doc_id,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, len(a.v) + 1),
+                                   i -> a.v[i] * b.v[i])),
+                    (x, y) -> x + y)
+                  / (SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(a.v, x -> x * x)), (x, y) -> x + y))
+                     * SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(b.v, x -> x * x)),
+                         (x, y) -> x + y)) + 1e-12) AS cos
+           FROM cand c JOIN ev a ON a.vec_id = c.q_id % 500
+                       JOIN ev b ON b.vec_id = c.doc_id % 500),
+    fin AS (SELECT q_id, doc_id FROM (
+              SELECT q_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, doc_id) AS rk2
+              FROM s2) w WHERE rk2 <= {TS_K}),
+    perq AS (SELECT c.q_id,
+                    MAX(CASE WHEN c.doc_id = c.q_id THEN 1 ELSE 0 END)
+                      AS s1_hit
+             FROM cand c GROUP BY 1),
+    perq2 AS (SELECT f.q_id,
+                     MAX(CASE WHEN f.doc_id = f.q_id THEN 1 ELSE 0 END)
+                       AS s2_hit
+              FROM fin f GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(p1.s1_hit) * 10000 + 0.5) / 10000 AS stage1_recall,
+           FLOOR(AVG(p2.s2_hit) * 10000 + 0.5) / 10000 AS final_hit_at_k
+    FROM perq p1 JOIN perq2 p2 ON p1.q_id = p2.q_id
+    """,
+)
 def sim_two_stage_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: BM25 (bigram inverted index) proposes
     {k1} candidates per query, then an embedding-cosine re-ranker

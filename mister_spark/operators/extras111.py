@@ -21,7 +21,11 @@ from mister_spark.functions.ranks import bucketed_cumsum
 from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, money, ratio
 from mister_spark.operators.dedup import COSINE_T, HOT_SHINGLE_CAP, JACCARD_T
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    COP_SUPPORT,
+    _DUCK_BASKETS,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 TRUSS_K = 3  # 3-truss: every edge in >= 1 triangle
@@ -29,7 +33,61 @@ TRUSS_ROUNDS = 5
 TTV_THRESHOLD = 300000.0  # cumulative spend threshold (dollars)
 
 
-@query("graph_k_truss")  # iterative peeling → rows-only; invariant gates
+@query(
+    "graph_k_truss",
+    # Real oracle: the truss peel as a stamped recursive CTE — DuckDB
+    # permits multiple references to the working table in the
+    # recursive term, so each iteration recomputes edge support with
+    # the same oriented x<y<z wedge join, unpivots each triangle to
+    # its three edges, and keeps edges with support >= K-2. Stamps run
+    # to round 6 (a fixpoint just re-emits itself); the final select
+    # rebuilds the per-round (before, after) rows and cuts at the
+    # FIRST fixpoint round exactly like the Spark loop's break.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_BASKETS},
+    ce AS (SELECT p1, p2 FROM (
+             SELECT x.l_partkey AS p1, y.l_partkey AS p2, COUNT(*) AS w
+             FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                                AND x.l_partkey < y.l_partkey
+             GROUP BY 1, 2) q WHERE w >= {COP_SUPPORT}),
+    trs AS (
+      SELECT 1 AS it, p1 AS u, p2 AS v FROM ce
+      UNION ALL
+      SELECT e.it + 1, e.u, e.v
+      FROM trs e
+      JOIN (SELECT it, eu, ev, COUNT(*) AS sup FROM (
+              SELECT x.it, x.u AS eu, x.v AS ev
+              FROM trs x JOIN trs y ON y.it = x.it AND y.u = x.v
+                         JOIN trs z ON z.it = x.it AND z.u = x.u
+                                   AND z.v = y.v
+              UNION ALL
+              SELECT y.it, y.u, y.v
+              FROM trs x JOIN trs y ON y.it = x.it AND y.u = x.v
+                         JOIN trs z ON z.it = x.it AND z.u = x.u
+                                   AND z.v = y.v
+              UNION ALL
+              SELECT z.it, z.u, z.v
+              FROM trs x JOIN trs y ON y.it = x.it AND y.u = x.v
+                         JOIN trs z ON z.it = x.it AND z.u = x.u
+                                   AND z.v = y.v) t3
+            GROUP BY 1, 2, 3) s
+        ON s.it = e.it AND s.eu = e.u AND s.ev = e.v
+      WHERE e.it <= {TRUSS_ROUNDS} AND s.sup >= {TRUSS_K} - 2),
+    cnt AS (SELECT g.r, COALESCE(c.c, 0) AS c
+            FROM (SELECT unnest(generate_series(1, {TRUSS_ROUNDS} + 1))
+                    AS r) g
+            LEFT JOIN (SELECT it, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM trs GROUP BY it) c ON c.it = g.r),
+    pairs AS (SELECT a.r, a.c AS before, b.c AS after
+              FROM cnt a JOIN cnt b ON b.r = a.r + 1
+              WHERE a.r <= {TRUSS_ROUNDS}),
+    fix AS (SELECT COALESCE(MIN(r), {TRUSS_ROUNDS}) AS f
+            FROM pairs WHERE before = after)
+    SELECT CAST(p.r AS BIGINT) AS round, p.before AS edges_before,
+           p.after AS edges_after
+    FROM pairs p, fix WHERE p.r <= fix.f ORDER BY p.r
+    """,
+)
 def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-truss of the co-purchase graph: iteratively delete edges
     supported by fewer than {k}−2 triangles (support recomputed after

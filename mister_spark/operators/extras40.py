@@ -195,7 +195,71 @@ def ev_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_mmr")  # greedy-iterative selection → rows-only; pytest replays it
+@query(
+    "sim_mmr",
+    # Real oracle: the greedy MMR loop as a recursive CTE carrying the
+    # chosen-id list; every dot product / norm on BOTH engines is a
+    # sequential left fold (list_reduce here, plain Python loops on
+    # the driver — numpy's BLAS summation order was the one thing that
+    # couldn't be mirrored), so the shortlist cut, the pairwise sims,
+    # and the argmax comparisons see identical doubles. Ties break to
+    # the lowest vec_id exactly like the Python loop.
+    oracle=f"""
+    WITH RECURSIVE qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id = 0),
+    qn AS (SELECT list_transform(v, x -> x / GREATEST(SQRT(
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (a, b) -> a + b)),
+             1e-12)) AS q
+           FROM qv),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+    scored AS (SELECT e.vec_id, e.v,
+                      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, len(e.v) + 1),
+                                       i -> e.v[i] * qn.q[i])),
+                        (a, b) -> a + b)
+                      / GREATEST(SQRT(list_reduce(
+                          list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(e.v, x -> x * x)),
+                          (a, b) -> a + b)), 1e-12) AS rel
+               FROM e, qn),
+    short AS (SELECT vec_id, rel,
+                     list_transform(v, x -> x / GREATEST(SQRT(
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(v, x -> x * x)),
+                         (a, b) -> a + b)), 1e-12)) AS nv
+              FROM scored ORDER BY rel DESC, vec_id
+              LIMIT {MMR_SHORTLIST}),
+    sims AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, len(a.nv) + 1),
+                                     k -> a.nv[k] * b.nv[k])),
+                      (x, y) -> x + y) AS s
+             FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+    walk AS (
+      SELECT 0 AS it, CAST([] AS BIGINT[]) AS chosen,
+             CAST(NULL AS BIGINT) AS pick, CAST(NULL AS DOUBLE) AS rel,
+             CAST(NULL AS DOUBLE) AS score
+      UNION ALL
+      SELECT w.it + 1, list_append(w.chosen, p.id), p.id, p.rel, p.sc
+      FROM walk w, LATERAL (
+        SELECT c.vec_id AS id, c.rel,
+               {MMR_LAMBDA} * c.rel - (1 - {MMR_LAMBDA})
+               * COALESCE(MAX(CASE WHEN list_contains(w.chosen, s.j)
+                                   THEN s.s END), 0.0) AS sc
+        FROM short c LEFT JOIN sims s ON s.i = c.vec_id
+        WHERE NOT list_contains(w.chosen, c.vec_id)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY sc DESC, c.vec_id LIMIT 1) p
+      WHERE w.it < {MMR_K})
+    SELECT CAST(it AS BIGINT) AS rank, pick AS vec_id,
+           FLOOR(rel * 10000 + 0.5) / 10000 AS relevance,
+           FLOOR(score * 10000 + 0.5) / 10000 AS mmr_score
+    FROM walk WHERE it >= 1
+    """,
+)
 def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance diversified top-{MMR_K} for the
     vec_id=0 query: greedily pick argmax of λ·rel(d) − (1−λ)·max
@@ -211,14 +275,23 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tests/test_wave40.py replays the greedy loop in pure numpy from
     the parquet and requires identical selection order."""
-    import numpy as np
+    import math
+
+    def seq_sum(xs):
+        # sequential left fold — the one accumulation order every
+        # engine (Spark aggregate, DuckDB list_reduce, this loop)
+        # reproduces bit-for-bit; numpy's BLAS pairwise sums don't
+        acc = 0.0
+        for x in xs:
+            acc += x
+        return acc
 
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
-    q = np.array(qrow["v"])
-    q = q / max(np.linalg.norm(q), 1e-12)
+    qn = max(math.sqrt(seq_sum(x * x for x in qrow["v"])), 1e-12)
+    q = [x / qn for x in qrow["v"]]
     dots = F.aggregate(
         F.zip_with("v", F.array([F.lit(float(x)) for x in q]), lambda a, b: a * b),
         F.lit(0.0),
@@ -237,10 +310,15 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     ids = [r["vec_id"] for r in short]
-    X = np.array([r["v"] for r in short])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rel = X @ q
-    sims = X @ X.T
+    rel = [r["rel"] for r in short]
+    X = []
+    for r in short:
+        n = max(math.sqrt(seq_sum(x * x for x in r["v"])), 1e-12)
+        X.append([x / n for x in r["v"]])
+    sims = [
+        [seq_sum(a * b for a, b in zip(X[i], X[j])) for j in range(len(X))]
+        for i in range(len(X))
+    ]
     chosen: list[int] = []
     out = []
     remaining = list(range(len(ids)))
@@ -257,7 +335,7 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best_i, best_score = i, score
         chosen.append(best_i)
         remaining.remove(best_i)
-        r4 = lambda x: float(np.floor(x * 10000 + 0.5) / 10000)
+        r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
         out.append((rank, ids[best_i], r4(rel[best_i]), r4(best_score)))
     return spark.createDataFrame(
         out, "rank bigint, vec_id bigint, relevance double, mmr_score double"

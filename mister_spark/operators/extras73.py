@@ -297,7 +297,75 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_feature_shapley")  # rows-only: 2^k coalition evaluations;
+def _shap_oracle() -> str:
+    """All 2^k coalition accuracies as one aggregate row (integer
+    vote/equality arithmetic — no float drift), then each feature's
+    Shapley sum written term-by-term in the same lexicographic
+    coalition order (and thus the same left-to-right float
+    accumulation) as the Python loop; factorial weights are the same
+    small-integer divisions."""
+    import math
+    from itertools import combinations
+
+    k = len(SHAP_FEATS)
+    cols = ", ".join(
+        f"CASE WHEN CAST(embedding[{d}] AS DOUBLE) > 0"
+        f" THEN 1 ELSE 0 END AS c{i}"
+        for i, d in enumerate(SHAP_FEATS)
+    )
+
+    def vname(S):
+        return "v" + "".join(str(i) for i in S) if S else "vempty"
+
+    aggs = ["AVG(CAST(y AS DOUBLE)) AS br"]
+    allS = [
+        S for r_ in range(1, k + 1) for S in combinations(range(k), r_)
+    ]
+    for S in allS:
+        votes = " + ".join(f"c{i}" for i in S)
+        aggs.append(
+            f"AVG(CASE WHEN (CASE WHEN ({votes}) * 2 >= {len(S)}"
+            f" THEN 1 ELSE 0 END) = y THEN 1.0 ELSE 0.0 END)"
+            f" AS {vname(S)}"
+        )
+
+    def vexpr(S):
+        return "GREATEST(br, 1 - br)" if not S else vname(S)
+
+    rows = []
+    for i in range(k):
+        others = [j for j in range(k) if j != i]
+        terms = []
+        for r_ in range(k):
+            for S in combinations(others, r_):
+                w = (
+                    math.factorial(len(S))
+                    * math.factorial(k - len(S) - 1)
+                    / math.factorial(k)
+                )
+                Si = tuple(sorted(S + (i,)))
+                terms.append(
+                    f"{w!r} * ({vexpr(Si)} - {vexpr(S)})"
+                )
+        phi = " + ".join(terms)
+        rows.append(
+            f"""SELECT 'dim{SHAP_FEATS[i] - 1}' AS feature,
+               FLOOR(({phi}) * 10000 + 0.5) / 10000 AS shapley_acc,
+               FLOOR(({vexpr(tuple(range(k)))} - GREATEST(br, 1 - br))
+                     * 10000 + 0.5) / 10000 AS total_gain
+        FROM v"""
+        )
+    return (
+        "WITH b AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, "
+        + cols
+        + " FROM embeddings),\nv AS (SELECT "
+        + ",\n       ".join(aggs)
+        + " FROM b)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("ml_feature_shapley", oracle=_shap_oracle())
 # pytest checks efficiency vs full-model accuracy.
 def ml_feature_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley feature importance for the 3-feature majority-vote
