@@ -321,7 +321,27 @@ def io_csv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PATCH_GRID = 4
 
 
-@query("mm_patch_grid")  # stub-decoded dims → rows-only; pytest shape gates
+@query(
+    "mm_patch_grid",
+    # Real oracle: the stub header decode is integer arithmetic on the
+    # byte length (w=32, h=max(4, ceil(n/32))), so the 4x4 patch rows
+    # are a pure cross join with offset math.
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      GREATEST({PATCH_GRID},
+                               (octet_length(encode(text)) + 31) // 32)
+                        AS h
+               FROM documents),
+    g AS (SELECT unnest(range(0, {PATCH_GRID})) AS r),
+    c AS (SELECT unnest(range(0, {PATCH_GRID})) AS c)
+    SELECT d.doc_id, CAST(g.r AS INT) AS p_row, CAST(c.c AS INT) AS p_col,
+           CAST(c.c * (32 // {PATCH_GRID}) AS INT) AS x0,
+           CAST(g.r * (d.h // {PATCH_GRID}) AS INT) AS y0,
+           CAST(32 // {PATCH_GRID} AS INT) AS pw,
+           CAST(d.h // {PATCH_GRID} AS INT) AS ph
+    FROM d, g, c
+    """,
+)
 def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Patch-grid metadata for ViT-style preprocessing: each binary
     payload is 'decoded' to (width, height) by the deterministic stub

@@ -251,7 +251,27 @@ def dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_FRAME = 256  # bytes per stub "frame"
 
 
-@query("mm_audio_windows")  # stub decode → rows-only; pytest shape gates
+@query(
+    "mm_audio_windows",
+    # Real oracle: the stub PCM framing is byte arithmetic on the
+    # pure-ASCII corpus — ascii(substr) IS the payload byte, frames
+    # group positions by (pos-1)//256, energy is an exact integer sum
+    # mod 10000.
+    oracle=f"""
+    WITH ch AS (SELECT doc_id, g.i AS pos,
+                       ascii(substr(text, CAST(g.i AS INT), 1)) AS b
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(1, len(text)))
+                              AS i) g)
+    SELECT doc_id,
+           CAST((pos - 1) // {AUDIO_FRAME} AS INT) AS frame_idx,
+           CAST(((pos - 1) // {AUDIO_FRAME}) * {AUDIO_FRAME} AS INT)
+             AS offset,
+           CAST(COUNT(*) AS INT) AS n_bytes,
+           CAST(SUM(b) % 10000 AS INT) AS energy
+    FROM ch GROUP BY doc_id, 2, 3
+    """,
+)
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame windowing: each binary payload (stub PCM — real
     codecs absent here) is cut into fixed 256-byte frames and each

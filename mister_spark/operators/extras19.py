@@ -125,7 +125,23 @@ def ev_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_modality_router")  # stub magic bytes → rows-only; pytest routing gates
+@query(
+    "mm_modality_router",
+    # Real oracle: the stub wraps payloads by doc_id % 3 (6-byte PNG /
+    # 4-byte RIFF prefix / bare text), so modality and byte volume are
+    # pure arithmetic over the ASCII byte lengths.
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio'
+                           ELSE 'text' END AS modality,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))
+                    + CASE doc_id % 3 WHEN 0 THEN 6
+                                      WHEN 1 THEN 4 ELSE 0 END)
+                AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
 def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality routing: payloads are dispatched by their magic-byte
     prefix (PNG / RIFF-WAV / UTF-8 text — synthesized here by the stub,

@@ -246,8 +246,51 @@ def _phash_batches(batches: Iterator) -> Iterator:
         )
 
 
-@query("mm_phash_dedup")  # stub-decoded hash → rows-only; pytest checks
-# the identical-payload and near-identical invariants.
+@query(
+    "mm_phash_dedup",
+    # Real oracle: the byte-level aHash is exact integer arithmetic —
+    # the corpus is pure ASCII (len == octet_length for every doc, so
+    # ascii(substr) IS the payload byte), chunk/overall means are
+    # integer sums over exact divisions, the sign bit is dropped by
+    # only summing bits 0..62 (the Spark side masks it after), and the
+    # pigeonhole join + bit_count verify mirror dd_simhash's oracle.
+    oracle=f"""
+    WITH ch AS (SELECT doc_id, g.i AS pos,
+                       ascii(substr(text, CAST(g.i AS INT), 1)) AS b
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(1, len(text)))
+                              AS i) g),
+    ov AS (SELECT d.doc_id, len(d.text) AS n,
+                  CAST(SUM(c.b) AS DOUBLE) / COUNT(c.b) AS om
+           FROM documents d JOIN ch c USING (doc_id)
+           GROUP BY 1, 2),
+    bq AS (SELECT c.doc_id,
+                  CAST(FLOOR((c.pos - 1)
+                             / GREATEST(o.n // {PHASH_BITS}, 1)) AS INT)
+                    AS bit
+           FROM ch c JOIN ov o USING (doc_id)
+           WHERE FLOOR((c.pos - 1) / GREATEST(o.n // {PHASH_BITS}, 1))
+                 <= {PHASH_BITS - 2}
+           GROUP BY c.doc_id, 2, o.om
+           HAVING CAST(SUM(c.b) AS DOUBLE) / COUNT(*) > o.om),
+    ph AS (SELECT d.doc_id,
+                  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << q.bit), 0)
+                       AS BIGINT) AS ph
+           FROM documents d LEFT JOIN bq q USING (doc_id)
+           GROUP BY d.doc_id),
+    chunks AS (SELECT doc_id, ph, c.c AS ci,
+                      (ph >> (c.c * 16)) & 65535 AS ck
+               FROM ph, (SELECT unnest(range(0, {PHASH_CHUNK_BUCKETS}))
+                         AS c) c),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                    a.ph AS p1, b.ph AS p2
+             FROM chunks a JOIN chunks b
+               ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(p1, p2)) <= {PHASH_MAX_HAMMING}
+    ORDER BY hamming, d1, d2
+    """,
+)
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection over binary payloads: each
     blob gets a {bits}-bit aHash-style signature (Arrow-batched

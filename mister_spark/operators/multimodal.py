@@ -89,7 +89,25 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
 
-@query("mm_frame_sample")  # rows-only: deterministic chunking, pytest-checked
+@query(
+    "mm_frame_sample",
+    # Real oracle: pure chunk arithmetic on the ASCII byte length —
+    # ceil(n/64) chunks, every 4th kept, frame_idx is the position in
+    # the SAMPLED array and the last chunk is n - 64*orig clipped.
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents),
+    fr AS (SELECT doc_id, n, g.i AS frame_idx
+           FROM d, LATERAL (SELECT unnest(range(0,
+                  CAST(CEIL(CAST(n AS DOUBLE) / 64 / 4) AS BIGINT)))
+                  AS i) g
+           WHERE 4 * g.i < CEIL(CAST(n AS DOUBLE) / 64))
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(LEAST(64, n - 64 * (4 * frame_idx)) AS INT) AS frame_bytes
+    FROM fr
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Frame sampling' over binary payloads: split each blob into
     fixed-size chunks and keep every 4th (as a video pipeline samples
