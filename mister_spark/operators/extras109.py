@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.hashing import FP_MOD, FP_MUL
 from mister_spark.operators.common import cat, ratio
-from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import (
+    DUCK_COPURCHASE_SYM,
+    _copurchase_edges,
+)
 from mister_spark.registry import query
 
 RIDGE_LAMBDAS = (0.0, 1.0, 10.0, 100.0, 1000.0)
@@ -109,7 +112,50 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_random_walks")  # iterative hash-driven walks → rows-only
+@query(
+    "graph_random_walks",
+    # Real oracle: the hash-driven walks replay as a recursive CTE —
+    # adjacency pre-ranked per node, the step pick is the same 60 md5
+    # bits mod degree on both engines, and the stats aggregate over
+    # the CTE's cumulative (walk_id, step, node) output.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    adj AS (SELECT p1 AS u, p2 AS v,
+                   ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY p2) - 1
+                     AS rk
+            FROM csym),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    wk AS (
+      SELECT CAST(d.u AS VARCHAR) || '_' || CAST(w.w AS VARCHAR)
+               AS walk_id,
+             d.u AS cur, 0 AS steps
+      FROM deg d, (SELECT unnest(range(0, {WALKS_PER_NODE})) AS w) w
+      UNION ALL
+      SELECT f.walk_id, a.v, f.steps + 1
+      FROM wk f
+      JOIN deg dg ON dg.u = f.cur
+      JOIN adj a ON a.u = f.cur
+              AND a.rk = CAST('0x' || substr(md5(
+                    f.walk_id || ':' || CAST(f.steps + 1 AS VARCHAR)),
+                    1, 15) AS BIGINT) % dg.deg
+      WHERE f.steps < {WALK_LEN}),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    nw AS (SELECT CAST(COUNT(DISTINCT walk_id) AS BIGINT) AS w
+           FROM wk),
+    cov AS (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS c FROM wk),
+    au AS (SELECT AVG(uq) AS a FROM (
+             SELECT walk_id, CAST(COUNT(DISTINCT cur) AS DOUBLE) AS uq
+             FROM wk GROUP BY walk_id) q)
+    SELECT nn.n AS nodes, nw.w AS walks,
+           CAST({WALK_LEN} AS BIGINT) AS walk_len,
+           cov.c AS covered_nodes,
+           FLOOR(CAST(cov.c AS DOUBLE) / nn.n * 10000 + 0.5) / 10000
+             AS coverage,
+           FLOOR(au.a * 10000 + 0.5) / 10000 AS avg_unique_per_walk
+    FROM nn, nw, cov, au
+    """,
+)
 def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks over the co-purchase graph: each
     node launches {w} walks of length {l}; at every step the walker
@@ -122,6 +168,8 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed adjacency (neighbors pre-ranked per node — the only
     shuffle per step is on the current node key); walk state is
     (walk_id, position), never materialized paths."""
+    import math
+
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
@@ -152,8 +200,23 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.join(deg.withColumnRenamed("u", "cur"), "cur")
             .withColumn(
                 "pick",
+                # md5-derived step hash: cross-engine-deterministic
+                # (DuckDB lacks Spark's murmur hash; 60 md5 bits are
+                # identical on both engines, same as dd_simhash)
                 (
-                    F.abs(F.hash("walk_id", F.lit(step)).cast("long") * FP_MUL)
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", "walk_id", F.lit(str(step))
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
                     % F.col("deg")
                 ).cast("int"),
             )
@@ -191,8 +254,8 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(n_walks),
         WALK_LEN,
         int(covered),
-        round(float(covered) / n_nodes, 4),
-        round(float(avg_unique), 4),
+        math.floor(float(covered) / n_nodes * 10000 + 0.5) / 10000,
+        math.floor(float(avg_unique) * 10000 + 0.5) / 10000,
     )
     return spark.createDataFrame(
         [row],

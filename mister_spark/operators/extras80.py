@@ -21,8 +21,120 @@ RC_TOP_PCTS = (10, 25)
 CODECS = ("snappy", "gzip", "zstd")
 
 
-@query("ml_model_card")  # rows-only: composes other registry queries;
-# pytest pins metric cross-consistency.
+@query(
+    "ml_model_card",
+    # Real oracle: all four components are oracle-exact, so the card
+    # unions their SQL (each wrapped in its own WITH scope) and reads
+    # the same ROUNDED outputs the Spark side collects.
+    oracle="""
+    WITH auc_q AS (
+      SELECT * FROM (
+        WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                          CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+                   FROM embeddings),
+        g AS (SELECT score, SUM(pos) AS np, COUNT(*) AS cnt
+              FROM s GROUP BY 1),
+        c AS (SELECT np, cnt,
+                     SUM(cnt) OVER (ORDER BY score
+                                    ROWS UNBOUNDED PRECEDING) - cnt
+                       AS below
+              FROM g),
+        r AS (SELECT SUM(np * (below + (cnt + 1) / 2.0)) AS ra FROM c),
+        t AS (SELECT CAST(SUM(pos) AS DOUBLE) AS p,
+                     CAST(SUM(1 - pos) AS DOUBLE) AS n FROM s)
+        SELECT p AS n_pos, n AS n_neg,
+               FLOOR((ra - p * (p + 1) / 2) / (p * n) * 10000 + 0.5)
+                 / 10000 AS auc
+        FROM r, t) q),
+    ks_q AS (
+      SELECT * FROM (
+        WITH s AS (SELECT LEAST(CAST(FLOOR(1.0 / (1.0
+                     + exp(-CAST(embedding[1] AS DOUBLE))) * 50)
+                     AS BIGINT), 49) AS bin,
+                          CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+                   FROM embeddings),
+        c AS (SELECT bin, CAST(SUM(y) AS DOUBLE) AS np,
+                     CAST(SUM(1 - y) AS DOUBLE) AS nn
+              FROM s GROUP BY 1),
+        t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM c),
+        k AS (SELECT SUM(c.np / t.tp) OVER (ORDER BY c.bin
+                       ROWS UNBOUNDED PRECEDING)
+                     - SUM(c.nn / t.tn) OVER (ORDER BY c.bin
+                         ROWS UNBOUNDED PRECEDING) AS gap
+              FROM c CROSS JOIN t)
+        SELECT FLOOR(MAX(ABS(gap)) * 10000 + 0.5) / 10000 AS ks_stat
+        FROM k) q),
+    cal_q AS (
+      SELECT MAX(gap) AS max_gap FROM (
+        WITH s AS (SELECT 1.0 / (1.0 + exp(-CAST(embedding[1]
+                     AS DOUBLE))) AS prob,
+                          CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+                   FROM embeddings),
+        b AS (SELECT LEAST(CAST(FLOOR(prob * 10) AS BIGINT), 9) AS bin,
+                     CAST(FLOOR(prob * 1000000 + 0.5) AS BIGINT) AS p6,
+                     pos
+              FROM s),
+        g AS (SELECT bin,
+                     FLOOR(CAST(SUM(p6) AS DOUBLE) / COUNT(*) / 1000000
+                           * 10000 + 0.5) / 10000 AS mean_pred,
+                     FLOOR(CAST(SUM(pos) AS DOUBLE) / COUNT(*)
+                           * 10000 + 0.5) / 10000 AS pos_rate
+              FROM b GROUP BY 1)
+        SELECT FLOOR(ABS(mean_pred - pos_rate) * 10000 + 0.5) / 10000
+          AS gap
+        FROM g) q),
+    fair_q AS (
+      SELECT CAST(SUM(flag) AS DOUBLE) AS flagged FROM (
+        WITH s AS (SELECT d.lang,
+                          CASE WHEN 1.0 / (1.0 + exp(-CAST(e.embedding[1]
+                                 AS DOUBLE))) > 0.5 THEN 1 ELSE 0 END
+                            AS pred,
+                          CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
+                   FROM documents d
+                   JOIN embeddings e ON d.doc_id = e.vec_id),
+        g AS (SELECT SUM(CASE WHEN y = 1 AND pred = 1 THEN 1.0 ELSE 0
+                         END)
+                       / NULLIF(SUM(CASE WHEN y = 1 THEN 1.0 ELSE 0
+                                    END), 0) AS gtpr,
+                     SUM(CASE WHEN y = 0 AND pred = 1 THEN 1.0 ELSE 0
+                         END)
+                       / NULLIF(SUM(CASE WHEN y = 0 THEN 1.0 ELSE 0
+                                    END), 0) AS gfpr
+              FROM s),
+        sl AS (SELECT lang,
+                      CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS np,
+                      CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS nn,
+                      SUM(CASE WHEN y = 1 AND pred = 1 THEN 1.0 ELSE 0
+                          END)
+                        / NULLIF(SUM(CASE WHEN y = 1 THEN 1.0 ELSE 0
+                                     END), 0) AS tpr,
+                      SUM(CASE WHEN y = 0 AND pred = 1 THEN 1.0 ELSE 0
+                          END)
+                        / NULLIF(SUM(CASE WHEN y = 0 THEN 1.0 ELSE 0
+                                     END), 0) AS fpr
+               FROM s GROUP BY 1)
+        SELECT CASE WHEN ABS(sl.tpr - g.gtpr)
+                         / sqrt(g.gtpr * (1 - g.gtpr) / sl.np) > 1.96
+                      OR ABS(sl.fpr - g.gfpr)
+                         / sqrt(g.gfpr * (1 - g.gfpr) / sl.nn) > 1.96
+                    THEN 1 ELSE 0 END AS flag
+        FROM sl CROSS JOIN g) q)
+    SELECT 'calibration' AS section, 'max_bin_gap' AS metric,
+           max_gap AS value FROM cal_q
+    UNION ALL
+    SELECT 'data', 'n_neg', n_neg FROM auc_q
+    UNION ALL
+    SELECT 'data', 'n_pos', n_pos FROM auc_q
+    UNION ALL
+    SELECT 'discrimination', 'auc', auc FROM auc_q
+    UNION ALL
+    SELECT 'discrimination', 'ks_stat', ks_stat FROM ks_q
+    UNION ALL
+    SELECT 'fairness', 'eq_odds_flagged_groups', flagged FROM fair_q
+    """,
+)
 def ml_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model card for the sigmoid scorer, assembled by CALLING the
     repo's own eval operators — discrimination (ml_auc,
