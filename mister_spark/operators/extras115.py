@@ -75,7 +75,102 @@ def sql_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_mrmr_selection")  # greedy driver selection → rows-only
+def _mrmr_mi_sql(n11: str, n1_: str, n_1: str) -> str:
+    """Binary-pair mutual information with the exact term order and
+    guards of the Python mi_from_counts: (a,b) in (0,0),(0,1),(1,0),
+    (1,1), each CASE-gated on pab/pa/pb > 0. All counts are
+    integer-valued doubles, so the four-term left-to-right sum is the
+    same on both engines."""
+    terms = []
+    for a in (0, 1):
+        for b in (0, 1):
+            if a and b:
+                nab = n11
+            elif a:
+                nab = f"({n1_} - {n11})"
+            elif b:
+                nab = f"({n_1} - {n11})"
+            else:
+                nab = f"(nn - {n1_} - {n_1} + {n11})"
+            pa = f"({n1_} / nn)" if a else f"(1 - {n1_} / nn)"
+            pb = f"({n_1} / nn)" if b else f"(1 - {n_1} / nn)"
+            pab = f"({nab} / nn)"
+            terms.append(
+                f"CASE WHEN {pab} > 0 AND {pa} > 0 AND {pb} > 0"
+                f" THEN {pab} * LN({pab} / ({pa} * {pb})) ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mrmr_oracle() -> str:
+    """The 6-step greedy unrolled: relevance/pairwise MI from exact
+    integer count tables, each step's redundancy written as the
+    selection-ordered mean over the prior picks (the Python np.mean
+    order), and the pick rule replicated as 'lowest dim within 1e-15
+    of the max score'."""
+    parts = [
+        """feat AS MATERIALIZED (SELECT vec_id,
+                    CAST(label % 2 AS DOUBLE) AS y, g.i AS dim,
+                    CASE WHEN CAST(embedding[CAST(g.i AS INT) + 1]
+                              AS DOUBLE) >= 0
+                         THEN 1.0 ELSE 0.0 END AS x
+             FROM embeddings,
+                  LATERAL (SELECT unnest(range(0, 64)) AS i) g)""",
+        """tot AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS nn,
+                    SUM(CASE WHEN dim = 0 THEN y ELSE 0 END) AS sy
+             FROM feat)""",
+        """sx AS MATERIALIZED (SELECT dim, SUM(x) AS sx, SUM(x * y) AS sxy
+             FROM feat GROUP BY dim)""",
+        f"""rel AS MATERIALIZED (SELECT s.dim,
+                    {_mrmr_mi_sql("s.sxy", "s.sx", "t.sy")} AS r
+             FROM sx s, tot t)""",
+        f"""mi AS MATERIALIZED (SELECT p.di AS i, p.dj AS j,
+                   {_mrmr_mi_sql("p.sxx", "sa.sx", "sb.sx")} AS m
+             FROM (SELECT fa.dim AS di, fb.dim AS dj,
+                          SUM(fa.x * fb.x) AS sxx
+                   FROM feat fa JOIN feat fb ON fa.vec_id = fb.vec_id
+                   GROUP BY 1, 2) p
+             JOIN sx sa ON sa.dim = p.di
+             JOIN sx sb ON sb.dim = p.dj
+             CROSS JOIN tot t)""",
+    ]
+    for r in range(1, MRMR_K + 1):
+        if r == 1:
+            score = "rel.r"
+            frm = "rel"
+        else:
+            red = " + ".join(
+                f"m{k}.m" for k in range(1, r)
+            )
+            joins = " ".join(
+                f"JOIN mi m{k} ON m{k}.i = rel.dim"
+                f" AND m{k}.j = s{k}.dim"
+                for k in range(1, r)
+            )
+            crosses = "".join(f", s{k}" for k in range(1, r))
+            score = f"rel.r - ({red}) / {r - 1}"
+            frm = f"rel{crosses} {joins}"
+        parts.append(f"""
+    c{r} AS (SELECT rel.dim, rel.r, {score} AS sc
+             FROM {frm}
+             WHERE rel.dim NOT IN ({", ".join(f"(SELECT dim FROM s{k})" for k in range(1, r)) or "-1"}))""")
+        parts.append(f"""
+    s{r} AS (SELECT dim, r, sc FROM c{r},
+                  (SELECT MAX(sc) AS mx FROM c{r}) m
+             WHERE sc >= m.mx - 1e-15
+             ORDER BY dim LIMIT 1)""")
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS rank,
+               CAST(s{r}.dim AS BIGINT) AS dim,
+               FLOOR(s{r}.r * 1e6 + 0.5) / 1e6 AS relevance,
+               FLOOR(s{r}.sc * 1e6 + 0.5) / 1e6 AS mrmr_score
+        FROM s{r}"""
+        for r in range(1, MRMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+@query("ml_mrmr_selection", oracle=_mrmr_oracle())
 def ml_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mRMR feature selection over the binarized embedding dims
     (feature = sign bit, label = label%2): relevance = MI(f, y),
@@ -178,8 +273,8 @@ def ml_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 step + 1,
                 best,
-                round(float(rel[best]), 6),
-                round(float(best_score), 6),
+                math.floor(float(rel[best]) * 1e6 + 0.5) / 1e6,
+                math.floor(float(best_score) * 1e6 + 0.5) / 1e6,
             )
         )
     return spark.createDataFrame(

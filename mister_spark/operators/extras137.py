@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
 from mister_spark.registry import query
 
 CLIQUE_ROUNDS = 64
@@ -100,7 +101,57 @@ def stat_growth_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_clique_heuristic")  # greedy + verify → rows-only
+@query(
+    "graph_clique_heuristic",
+    # Real oracle: the multi-seed greedy replays as a recursive CTE —
+    # per seed the degree-ranked candidate list is scanned in order,
+    # a candidate joins when its adjacency count against the carried
+    # clique list equals the clique size, and the best seed's clique
+    # wins by (size DESC, seed order). Pure integer arithmetic.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    deg AS (SELECT p1 AS n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM csym GROUP BY 1),
+    seeds AS (SELECT n AS seed, rk AS seed_rk FROM (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY d DESC, n) AS rk
+                FROM deg) q WHERE rk <= 10),
+    cand AS (SELECT s.seed, s.seed_rk, c.p2 AS node,
+                    ROW_NUMBER() OVER (PARTITION BY s.seed
+                                       ORDER BY d.d DESC, c.p2) AS rk
+             FROM seeds s JOIN csym c ON c.p1 = s.seed
+                          JOIN deg d ON d.n = c.p2),
+    walk AS (
+      SELECT seed, seed_rk, 0 AS j, [seed] AS clq FROM seeds
+      UNION ALL
+      SELECT w.seed, w.seed_rk, w.j + 1,
+             CASE WHEN (SELECT COUNT(*) FROM csym s
+                        WHERE s.p1 = c.node
+                          AND list_contains(w.clq, s.p2))
+                       = len(w.clq)
+                  THEN list_append(w.clq, c.node) ELSE w.clq END
+      FROM walk w JOIN cand c ON c.seed = w.seed AND c.rk = w.j + 1
+      WHERE w.j < {CLIQUE_ROUNDS}),
+    fin AS (SELECT seed, seed_rk, clq FROM (
+              SELECT seed, seed_rk, clq,
+                     ROW_NUMBER() OVER (PARTITION BY seed
+                                        ORDER BY j DESC) AS rn
+              FROM walk) q WHERE rn = 1),
+    best AS (SELECT clq FROM fin
+             ORDER BY len(clq) DESC, seed_rk LIMIT 1),
+    k AS (SELECT CAST(len(clq) AS BIGINT) AS k,
+                 CAST(list_min(clq) AS BIGINT) AS mn FROM best),
+    internal AS (SELECT CAST(COUNT(*) AS BIGINT) AS i
+                 FROM ce, best
+                 WHERE list_contains(best.clq, ce.p1)
+                   AND list_contains(best.clq, ce.p2))
+    SELECT k.k AS clique_size, internal.i AS internal_edges,
+           k.k * (k.k - 1) // 2 AS expected_edges,
+           CAST(CASE WHEN internal.i = k.k * (k.k - 1) // 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS verified,
+           k.mn AS min_member
+    FROM k, internal
+    """,
+)
 def graph_clique_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy clique extraction on the co-purchase graph: from each
     of the top-degree seeds, greedily grow a clique inside the seed's
