@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mister_spark.functions.text import tokens
+from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat
 from mister_spark.registry import query
 
@@ -108,7 +108,78 @@ def bpe_train(
     return merges
 
 
-@query("ds_bpe_merges")  # iterative/imperative → rows-only; pytest vs python ref
+def _duck_bpe_chain() -> str:
+    """The 10-merge BPE training loop as chained CTEs over word-type
+    SEGMENTATIONS (word, pos, sym). Per round: pair counts with the
+    (c DESC, l, r) argmax, then the greedy left-to-right rewrite as a
+    boundary-parity rule — for l != r candidate boundaries can never
+    be adjacent, and for l == r a run of k consecutive candidates
+    greedily merges at its odd ranks, so 'keep odd rank within each
+    island' IS the sequential scan. Pure integer/string arithmetic.
+    Exposes wt (word, freq), m1..m{N} (l, r, c) and segs{N} (the
+    final segmentation) for the three BPE oracles to build on."""
+    parts = [
+        f"""wt AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({DUCK_TOKENS}) AS word FROM documents) q
+      GROUP BY word)""",
+        """segs0 AS MATERIALIZED (
+      SELECT word, g.i AS pos, substr(word, CAST(g.i AS INT), 1) AS sym
+      FROM wt, LATERAL (SELECT unnest(generate_series(1, len(word)))
+                        AS i) g)""",
+    ]
+    for k in range(1, N_MERGES + 1):
+        p = k - 1
+        parts.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT a.sym AS l, b.sym AS r, CAST(SUM(w.freq) AS BIGINT) AS c
+      FROM segs{p} a JOIN segs{p} b ON b.word = a.word
+                                   AND b.pos = a.pos + 1
+      JOIN wt w ON w.word = a.word
+      GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)""")
+        parts.append(f"""
+    kept{k} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, grp
+                                  ORDER BY pos) AS rix
+        FROM (
+          SELECT s.word, s.pos,
+                 s.pos - ROW_NUMBER() OVER (PARTITION BY s.word
+                                            ORDER BY s.pos) AS grp
+          FROM segs{p} s JOIN segs{p} t ON t.word = s.word
+                                       AND t.pos = s.pos + 1
+          JOIN m{k} m ON s.sym = m.l AND t.sym = m.r) q1) q2
+      WHERE rix % 2 = 1)""")
+        parts.append(f"""
+    segs{k} AS MATERIALIZED (
+      SELECT word, ROW_NUMBER() OVER (PARTITION BY word
+                                      ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT s.word, s.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN s.sym || t.sym
+                    ELSE s.sym END AS sym
+        FROM segs{p} s
+        LEFT JOIN kept{k} kk ON kk.word = s.word AND kk.pos = s.pos
+        LEFT JOIN kept{k} k2 ON k2.word = s.word AND k2.pos = s.pos - 1
+        LEFT JOIN segs{p} t ON t.word = s.word AND t.pos = s.pos + 1
+        WHERE k2.pos IS NULL) q)""")
+    return ",\n".join(parts)
+
+
+@query(
+    "ds_bpe_merges",
+    # Real oracle: the shared 10-round segmentation chain — each m{k}
+    # is that round's (count DESC, l, r) argmax pair.
+    oracle="WITH "
+    + _duck_bpe_chain()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({k - 1} AS BIGINT) AS step, m{k}.l AS "left",
+               m{k}.r AS "right", m{k}.c AS freq FROM m{k}"""
+        for k in range(1, N_MERGES + 1)
+    ),
+)
 def ds_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table (step, left, right, freq) — the
     artifact a tokenizer ships. Verified in pytest against a pure-
@@ -140,7 +211,24 @@ def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-@query("ds_tokenize_apply")  # imperative greedy merge loop → rows-only; pytest
+@query(
+    "ds_tokenize_apply",
+    # Real oracle: applying the ranked merge list to a word IS the
+    # training rewrite sequence, so each word's subtoken count is its
+    # row count in the chain's final segmentation.
+    oracle="WITH "
+    + _duck_bpe_chain()
+    + f""",
+    nsub AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+             FROM segs{N_MERGES} GROUP BY word),
+    pdw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT doc_id, unnest({DUCK_TOKENS}) AS word
+              FROM documents) q GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * n_sub) AS BIGINT) AS n_tokens
+    FROM pdw JOIN nsub USING (word) GROUP BY doc_id
+    """,
+)
 def ds_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE tokenizer to the corpus: per document, the
     word count and the encoded subword-token count — the pretraining

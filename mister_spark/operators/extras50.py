@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.functions.vectors import dot as _dot, norm as _norm
 from mister_spark.operators.common import cat, ratio, rnd
+from mister_spark.operators.bpe import N_MERGES, _duck_bpe_chain
 from mister_spark.registry import query
 
 MASK_MOD = 100
@@ -104,7 +105,30 @@ def ds_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ds_bpe_fertility")  # BPE train is iterative → rows-only; pytest gates
+@query(
+    "ds_bpe_fertility",
+    # Real oracle: reuses the BPE chain (bpe._duck_bpe_chain) — each
+    # word's piece count is its row count in the final segmentation,
+    # joined to per-(lang, word) frequencies; ratios on the floor grid.
+    oracle="WITH "
+    + _duck_bpe_chain()
+    + f"""
+    , nsub AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+               FROM segs{N_MERGES} GROUP BY word),
+    lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             SELECT lang, unnest({DUCK_TOKENS}) AS word
+             FROM documents) q GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * n_sub) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(freq * n_sub) AS DOUBLE) / SUM(freq)
+                 * 10000 + 0.5) / 10000 AS fertility,
+           FLOOR(CAST(SUM(freq * len(word)) AS DOUBLE)
+                 / SUM(freq * n_sub) * 10000 + 0.5) / 10000
+             AS chars_per_token
+    FROM lw JOIN nsub USING (word) GROUP BY lang
+    """,
+)
 def ds_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language under the trained BPE merges:
     tokens-per-word (Σ freq·|pieces| / Σ freq) and chars-per-token —
