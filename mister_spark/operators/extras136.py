@@ -23,7 +23,50 @@ from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
 
 
-@query("ml_cka")  # Gram-statistic similarity → rows-only; numpy replay
+@query(
+    "ml_cka",
+    # Real oracle: all three Frobenius terms are plain cross-moment
+    # sums over the two 32-dim halves — no eigen anywhere; the 1e-6
+    # output grid absorbs partial-sum association differences, and the
+    # denominator keeps the sqrt(S)*sqrt(S) structure so cka_self
+    # lands on exactly 1.0 the same way.
+    oracle="""
+    WITH fa AS MATERIALIZED (
+      SELECT vec_id, g.i AS i,
+             CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, 33)) AS i) g),
+    fb AS MATERIALIZED (
+      SELECT vec_id, g.i AS i,
+             CAST(embedding[CAST(g.i AS INT) + 32] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, 33)) AS i) g),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    sx AS MATERIALIZED (SELECT i, SUM(x) AS s FROM fa GROUP BY i),
+    sy AS MATERIALIZED (SELECT i, SUM(x) AS s FROM fb GROUP BY i),
+    xx AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS m
+           FROM fa a JOIN fa b USING (vec_id) GROUP BY 1, 2),
+    yy AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS m
+           FROM fb a JOIN fb b USING (vec_id) GROUP BY 1, 2),
+    xy AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS m
+           FROM fa a JOIN fb b USING (vec_id) GROUP BY 1, 2),
+    cxx AS (SELECT SUM(POWER(xx.m - sa.s * sb.s / nn.n, 2)) AS f2
+            FROM xx JOIN sx sa ON sa.i = xx.i
+                    JOIN sx sb ON sb.i = xx.j CROSS JOIN nn),
+    cyy AS (SELECT SUM(POWER(yy.m - sa.s * sb.s / nn.n, 2)) AS f2
+            FROM yy JOIN sy sa ON sa.i = yy.i
+                    JOIN sy sb ON sb.i = yy.j CROSS JOIN nn),
+    cxy AS (SELECT SUM(POWER(xy.m - sa.s * sb.s / nn.n, 2)) AS f2
+            FROM xy JOIN sx sa ON sa.i = xy.i
+                    JOIN sy sb ON sb.i = xy.j CROSS JOIN nn)
+    SELECT CAST(nn.n AS BIGINT) AS n, CAST(32 AS BIGINT) AS half_dim,
+           FLOOR(cxy.f2 / (SQRT(cxx.f2) * SQRT(cyy.f2)) * 1e6 + 0.5)
+             / 1e6 AS cka_between,
+           FLOOR(cxx.f2 / (SQRT(cxx.f2) * SQRT(cxx.f2)) * 1e6 + 0.5)
+             / 1e6 AS cka_self
+    FROM nn, cxx, cyy, cxy
+    """,
+)
 def ml_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear CKA between the first and second 32 dimensions of the
     embeddings (two 'representations' of the same items):
@@ -82,7 +125,10 @@ def ml_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     self_cka = float(
         (cXX * cXX).sum() / (np.linalg.norm(cXX) * np.linalg.norm(cXX))
     )
-    row = (int(n), d, round(cka, 6), round(self_cka, 6))
+    import math
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    row = (int(n), d, r6(cka), r6(self_cka))
     return spark.createDataFrame(
         [row], "n long, half_dim long, cka_between double, cka_self double"
     )
