@@ -19,6 +19,7 @@ from mister_spark.operators.common import cat, ratio
 from mister_spark.operators.events import GAP_US, _ev
 from mister_spark.operators.extras12 import _SESS_AGG_SQL, ERR_PAD_US
 from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
 from mister_spark.registry import query
 
 BW_SOURCES = 8  # Brandes source sample size (smallest part keys)
@@ -120,7 +121,67 @@ def j_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_betweenness_sampled")  # iterative BFS+accumulation → rows-only
+@query(
+    "graph_betweenness_sampled",
+    # Real oracle: Brandes in three recursions — (1) dedup-UNION BFS
+    # for distances (capped at 64 hops, far above any real
+    # eccentricity here, because walk tuples would otherwise extend
+    # forever), (2) a level-synchronous sigma recursion (path counts
+    # are integer-valued doubles — exact), (3) the backward delta pass
+    # descending one level per iteration, contributions joined from
+    # the previous level's working rows. The top-10 cut orders by the
+    # ROUNDED betweenness with a node tie-break, so the boundary is
+    # grid-stable on both engines.
+    oracle=f"""
+    WITH RECURSIVE {DUCK_COPURCHASE_SYM},
+    src AS (SELECT p1 AS s FROM (
+              SELECT DISTINCT p1 FROM csym ORDER BY p1
+              LIMIT {BW_SOURCES}) q),
+    bfs AS (
+      SELECT s AS src, s AS node, 0 AS d FROM src
+      UNION
+      SELECT b.src, e.p2, b.d + 1
+      FROM bfs b JOIN csym e ON e.p1 = b.node
+      WHERE b.d < 64),
+    dist AS MATERIALIZED (SELECT src, node, MIN(d) AS dist
+                          FROM bfs GROUP BY 1, 2),
+    sig AS (
+      SELECT s AS src, s AS node, 0 AS d, CAST(1.0 AS DOUBLE) AS sigma
+      FROM src
+      UNION ALL
+      SELECT s.src, e.p2 AS node, s.d + 1, SUM(s.sigma)
+      FROM sig s JOIN csym e ON e.p1 = s.node
+      JOIN dist dw ON dw.src = s.src AND dw.node = e.p2
+                  AND dw.dist = s.d + 1
+      GROUP BY 1, 2, 3),
+    sg AS MATERIALIZED (SELECT src, node, d AS dist, sigma FROM sig),
+    dmax AS (SELECT MAX(dist) AS d FROM sg),
+    back AS (
+      SELECT g.src, g.node, g.dist, g.sigma,
+             CAST(0.0 AS DOUBLE) AS delta, m.d AS lev
+      FROM sg g, dmax m WHERE g.dist = m.d
+      UNION ALL
+      SELECT g.src, g.node, g.dist, g.sigma,
+             COALESCE(c.inc, 0.0), l.lv
+      FROM (SELECT MAX(lev) - 1 AS lv FROM back) l
+      JOIN sg g ON g.dist = l.lv
+      LEFT JOIN (
+        SELECT b.src, gv.node AS vnode,
+               SUM(gv.sigma / b.sigma * (1 + b.delta)) AS inc
+        FROM back b JOIN csym e ON e.p2 = b.node
+        JOIN sg gv ON gv.src = b.src AND gv.node = e.p1
+                  AND gv.dist = b.dist - 1
+        GROUP BY 1, 2) c
+        ON c.src = g.src AND c.vnode = g.node
+      WHERE l.lv >= 0),
+    bc AS (SELECT node,
+                  FLOOR(SUM(delta) / 2.0 * 10000 + 0.5) / 10000
+                    AS betweenness
+           FROM back WHERE node <> src GROUP BY node)
+    SELECT node, betweenness FROM bc
+    ORDER BY betweenness DESC, node LIMIT 10
+    """,
+)
 def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes betweenness centrality sampled from the {k} smallest
     part keys of the co-purchase graph (deterministic source set):
