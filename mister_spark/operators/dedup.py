@@ -13,7 +13,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from mister_spark.functions.hashing import minhash_signatures
+from mister_spark.functions.hashing import (
+    FP_MOD,
+    FP_MUL,
+    band_fingerprint,
+    duck_minhash_mins,
+    mh_hash60,
+    minhash_signatures,
+)
 from mister_spark.functions.text import shingles
 from mister_spark.operators.common import DUCK_TOKENS, cat, tokens, rnd
 from mister_spark.registry import query
@@ -107,12 +114,50 @@ def _minhash_sigs(ds: DataFrame) -> DataFrame:
     """k=64 MinHash signatures via functions.hashing (explode + k
     vectorized min() aggregates; see PERF.md for why not array_min)."""
     hashed = ds.filter(F.size("sh") > 0).select(
-        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h")
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: mh_hash60(s))).alias("h"),
     )
     return minhash_signatures(hashed, MINHASH_K)
 
 
-@query("dd_minhash_lsh")  # hash-based -> rows-only; pytest checks recall
+# The MinHash-LSH oracle, shared with dd_lsh_eval: the signature
+# pipeline is the universal-hash family (duck_minhash_mins — 60 md5
+# bits per shingle, Carter–Wegman permutations mod 2^31-1, exact
+# BIGINT arithmetic), bands fold their mins in i order with the same
+# polynomial rule, and the candidate join + exact-Jaccard verify
+# mirror the Spark plan relationally.
+DD_LSH_ORACLE = (
+    "WITH "
+    + duck_minhash_mins(MINHASH_K, DUCK_TOKENS)
+    + f""",
+    bands AS (SELECT doc_id, i // {MINHASH_K // LSH_BANDS} AS band,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list(m ORDER BY i)),
+                       (a, x) -> (a * {FP_MUL} + x) % {FP_MOD}) AS bh
+              FROM mins GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           FLOOR((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE FLOOR((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000
+          >= {JACCARD_T}
+    """
+)
+
+
+@query("dd_minhash_lsh", oracle=DD_LSH_ORACLE)
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, the 100 TB dedup path:
     signatures are JVM hash-min expressions over the shingle array (no
@@ -132,8 +177,8 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                band_fingerprint(
+                    [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
                 ).alias("bh"),
             )
             for b in range(LSH_BANDS)

@@ -15,7 +15,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mister_spark.functions.hashing import minhash_signatures
+from mister_spark.functions.hashing import (
+    duck_minhash_mins,
+    mh_hash60,
+    minhash_signatures,
+)
+from mister_spark.functions.text import DUCK_TOKENS
+from mister_spark.operators.dedup import DD_NGRAM_ORACLE
 from mister_spark.operators.common import cat, money, ratio
 from mister_spark.registry import query
 
@@ -182,7 +188,57 @@ ml_label_spreading.__doc__ = ml_label_spreading.__doc__.format(
 )
 
 
-@query("dd_minhash_error_curve")  # sketch accuracy eval → rows-only
+def _mh_curve_oracle() -> str:
+    # the exact pair set is rebuilt from the chain's own `sh` CTE
+    # (nesting DD_NGRAM_ORACLE as a subquery shadows `sh` and trips a
+    # DuckDB internal error)
+    parts = [
+        duck_minhash_mins(max(MH_KS), DUCK_TOKENS),
+        """psz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""",
+        """pcold AS (SELECT s FROM sh GROUP BY s
+                     HAVING COUNT(*) <= 100)""",
+        """pshc AS (SELECT sh.doc_id, sh.s FROM sh
+                    JOIN pcold USING (s))""",
+        """pinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS i
+                      FROM pshc a JOIN pshc b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)""",
+        """pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b,
+               FLOOR((i / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000
+                 AS jaccard
+        FROM pinter JOIN psz sa ON doc_a = sa.doc_id
+                    JOIN psz sb ON doc_b = sb.doc_id
+        WHERE FLOOR((i / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000
+              >= 0.5)""",
+    ]
+    rows = []
+    for k in MH_KS:
+        parts.append(f"""
+    est{k} AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+                      SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+                        / CAST({k} AS DOUBLE) AS mh_est
+               FROM pairs p
+               JOIN mins a ON a.doc_id = p.doc_a AND a.i < {k}
+               JOIN mins b ON b.doc_id = p.doc_b AND b.i = a.i
+               GROUP BY 1, 2, 3)""")
+        rows.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS pairs,
+           FLOOR(AVG(ABS(mh_est - jaccard)) * 10000 + 0.5) / 10000
+             AS mean_abs_error
+    FROM est{k}""")
+    return "WITH " + ",\n".join(parts) + "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "dd_minhash_error_curve",
+    # Real oracle: one 64-perm universal-hash signature table serves
+    # every k (permutation i < k is the same map on both engines); the
+    # estimate is an exact dyadic match fraction per verified pair.
+    oracle=_mh_curve_oracle(),
+)
 def dd_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash accuracy curve: on the exact-verified near-dup pairs
     (dd_ngram_jaccard), compare the k-hash MinHash Jaccard estimate
@@ -199,7 +255,7 @@ def dd_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _doc_shingles(spark, sf_dir)
     hashed = ds.filter(F.size("sh") > 0).select(
         "doc_id",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
+        F.explode(F.transform("sh", lambda s: mh_hash60(s))).alias("h"),
     )
     out_rows = []
     for k in MH_KS:
@@ -227,7 +283,14 @@ def dd_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.abs(F.col("mh_est") - F.col("jaccard"))).alias("mae"),
             F.count(F.lit(1)).alias("pairs"),
         ).collect()[0]
-        out_rows.append((k, int(r["pairs"]), round(float(r["mae"]), 4)))
+        out_rows.append(
+            (
+                k,
+                int(r["pairs"]),
+                __import__("math").floor(float(r["mae"]) * 10000 + 0.5)
+                / 10000,
+            )
+        )
     return spark.createDataFrame(
         out_rows, "k long, pairs long, mean_abs_error double"
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.ranks import global_rank, ntile_from_rank
 from mister_spark.operators.common import cat, money, ratio
+from mister_spark.operators.dedup import DD_LSH_ORACLE, DD_NGRAM_ORACLE
 from mister_spark.registry import query
 
 DAY_US = 86_400_000_000
@@ -342,7 +343,30 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_lsh_eval")  # hash-based candidate side → rows-only; pytest gates
+@query(
+    "dd_lsh_eval",
+    # Real oracle: both pair sets are oracle-exact queries now (the
+    # exact-Jaccard SQL and the shared universal-hash LSH SQL), so the
+    # eval is two wrapped subqueries and set arithmetic.
+    oracle=f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({DD_NGRAM_ORACLE}) q1),
+    lsh AS (SELECT doc_a, doc_b FROM ({DD_LSH_ORACLE}) q2),
+    tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM lsh JOIN exact USING (doc_a, doc_b)),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM exact),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lsh)
+    SELECT ne.c AS n_exact_pairs, nl.c AS n_lsh_pairs,
+           tp.c AS true_positives,
+           CASE WHEN nl.c > 0
+                THEN FLOOR(CAST(tp.c AS DOUBLE) / nl.c * 10000 + 0.5)
+                     / 10000 ELSE 1.0 END AS precision,
+           CASE WHEN ne.c > 0
+                THEN FLOOR(CAST(tp.c AS DOUBLE) / ne.c * 10000 + 0.5)
+                     / 10000 ELSE 1.0 END AS recall,
+           ne.c - tp.c AS missed
+    FROM tp, ne, nl
+    """,
+)
 def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-pipeline evaluation report: the MinHash-LSH scale path
     (dd_minhash_lsh) measured against the exact shingle-Jaccard ground
@@ -363,6 +387,8 @@ def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = lsh.join(exact, ["doc_a", "doc_b"]).count()
     n_exact = exact.count()
     n_lsh = lsh.count()
+    import math
+
     import pandas as pd
 
     row = pd.DataFrame(
@@ -371,8 +397,12 @@ def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_exact_pairs": n_exact,
                 "n_lsh_pairs": n_lsh,
                 "true_positives": tp,
-                "precision": round(tp / n_lsh, 4) if n_lsh else 1.0,
-                "recall": round(tp / n_exact, 4) if n_exact else 1.0,
+                "precision": math.floor(tp / n_lsh * 10000 + 0.5) / 10000
+                if n_lsh
+                else 1.0,
+                "recall": math.floor(tp / n_exact * 10000 + 0.5) / 10000
+                if n_exact
+                else 1.0,
                 "missed": n_exact - tp,
             }
         ]

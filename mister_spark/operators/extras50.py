@@ -15,6 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mister_spark.functions.hashing import (
+    FP_MOD,
+    FP_MUL,
+    duck_minhash_mins,
+)
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.functions.vectors import dot as _dot, norm as _norm
 from mister_spark.operators.common import cat, ratio, rnd
@@ -278,7 +283,38 @@ def ml_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_lsh_param_sweep")  # hash-based → rows-only; pytest monotone gates
+def _sweep_oracle() -> str:
+    import math
+
+    parts = [duck_minhash_mins(SWEEP_K, DUCK_TOKENS)]
+    rows = []
+    for b, r in SWEEP_CONFIGS:
+        parts.append(f"""
+    bands_{b}_{r} AS (
+      SELECT doc_id, i // {r} AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list(m ORDER BY i)),
+                         (a, x) -> (a * {FP_MUL} + x) % {FP_MOD}) AS bh
+      FROM mins WHERE i < {b * r} GROUP BY doc_id, band)""")
+        s50 = math.floor((1.0 / b) ** (1.0 / r) * 10000 + 0.5) / 10000
+        rows.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           {s50!r} AS s50_threshold,
+           CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT)
+             AS n_collisions
+    FROM (SELECT COUNT(*) AS m FROM bands_{b}_{r}
+          GROUP BY band, bh) q""")
+    return "WITH " + ",\n".join(parts) + "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "dd_lsh_param_sweep",
+    # Real oracle: one shared 16-perm universal-hash signature table,
+    # each banding config a GROUP BY over its i-order polynomial band
+    # folds, collisions counted as sum m(m-1)/2 over bucket sizes.
+    oracle=_sweep_oracle(),
+)
 def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding tradeoff table: for (bands × rows) splits of
     a {SWEEP_K}-hash signature, the measured band-collision count (Σ C(bucket,2), an upper bound
@@ -294,13 +330,17 @@ def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-count — the same linear band-join shape as dd_minhash_lsh,
     never all-pairs. Candidate counts come from groupBy(band,hash)
     bucket sizes (Σ m·(m−1)/2), so no pair materialization at all."""
-    from mister_spark.functions.hashing import minhash_signatures
+    from mister_spark.functions.hashing import (
+        band_fingerprint,
+        mh_hash60,
+        minhash_signatures,
+    )
     from mister_spark.operators.dedup import _doc_shingles
 
     ds = _doc_shingles(spark, sf_dir)
     hashed = ds.filter(F.size("sh") > 0).select(
         "doc_id",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
+        F.explode(F.transform("sh", lambda s: mh_hash60(s))).alias("h"),
     )
     sigs = minhash_signatures(hashed, SWEEP_K).localCheckpoint()
     frames = []
@@ -309,8 +349,8 @@ def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.xxhash64(
-                        *[F.col(f"m{i * r + j}") for j in range(r)]
+                    band_fingerprint(
+                        [f"m{i * r + j}" for j in range(r)]
                     ).alias("bh"),
                 )
                 for i in range(b)
@@ -331,7 +371,12 @@ def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(b).cast("bigint").alias("bands"),
             F.lit(r).cast("bigint").alias("rows_per_band"),
-            F.lit(round((1.0 / b) ** (1.0 / r), 4)).alias("s50_threshold"),
+            F.lit(
+                __import__("math").floor(
+                    (1.0 / b) ** (1.0 / r) * 10000 + 0.5
+                )
+                / 10000
+            ).alias("s50_threshold"),
             "n_collisions",
         )
         frames.append(cand)
