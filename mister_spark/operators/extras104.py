@@ -18,13 +18,64 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio
 from mister_spark.operators.extras47 import _copurchase_edges
+from mister_spark.operators.extras47 import COP_SUPPORT, _DUCK_BASKETS
 from mister_spark.registry import query
 
 MST_MAX_ROUNDS = 6
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-@query("graph_mst_boruvka")  # iterative component merge → rows-only
+@query(
+    "graph_mst_boruvka",
+    # Real oracle: Borůvka with the strict (cost, u, v) total order
+    # picks the UNIQUE minimum spanning forest of the perturbed
+    # weights — the same forest Kruskal under that order accepts. The
+    # CTE replays Kruskal: edges ranked by (cost, u, v), one edge per
+    # iteration, the full label relation carried and union-by-min
+    # relabeled (multi-ref recursion looks up both endpoint labels);
+    # accepted edges are recovered post-hoc as those whose endpoints
+    # disagreed at it = rank - 1.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_BASKETS},
+    cew AS (SELECT p1 AS u, p2 AS v, 1.0 / w AS cost FROM (
+              SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2) q WHERE w >= {COP_SUPPORT}),
+    re AS MATERIALIZED (SELECT u, v, cost,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cost, u, v) AS INT)
+                   AS rn
+          FROM cew),
+    nodes AS (SELECT DISTINCT u AS node FROM (
+                SELECT u FROM cew UNION ALL SELECT v FROM cew) q),
+    ne AS (SELECT CAST(COUNT(*) AS INT) AS n FROM re),
+    kr AS (
+      SELECT 0 AS it, node, node AS lab FROM nodes
+      UNION ALL
+      SELECT k.it + 1, k.node,
+             CASE WHEN k.lab = a.lab OR k.lab = b.lab
+                  THEN LEAST(a.lab, b.lab) ELSE k.lab END
+      FROM kr k
+      JOIN re e ON e.rn = k.it + 1
+      JOIN kr a ON a.node = e.u
+      JOIN kr b ON b.node = e.v
+      CROSS JOIN ne
+      WHERE k.it < ne.n),
+    acc AS (SELECT e.rn, e.cost FROM re e
+            JOIN kr a ON a.it = e.rn - 1 AND a.node = e.u
+            JOIN kr b ON b.it = e.rn - 1 AND b.node = e.v
+            WHERE a.lab <> b.lab),
+    fin AS (SELECT COUNT(DISTINCT lab) AS comps FROM kr, ne
+            WHERE it = ne.n),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
+    SELECT nn.n AS nodes, CAST(fin.comps AS BIGINT) AS components,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM acc) AS tree_edges,
+           FLOOR((SELECT COALESCE(SUM(cost), 0.0) FROM acc)
+                 * 10000 + 0.5) / 10000 AS total_cost
+    FROM nn, fin
+    """,
+)
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest of the co-purchase graph (edge cost =
     1/shared-orders, so strong ties are cheap) via Borůvka rounds:
@@ -132,11 +183,13 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = (
         chosen.agg(F.sum("cost")).collect()[0][0] if chosen is not None else 0.0
     )
+    import math
+
     row = (
         int(n_nodes),
         int(n_comp),
         int(n_edges),
-        round(float(total or 0.0), 4),
+        math.floor(float(total or 0.0) * 10000 + 0.5) / 10000,
     )
     return spark.createDataFrame(
         [row], "nodes long, components long, tree_edges long, total_cost double"
