@@ -267,7 +267,18 @@ graph_closeness_sampled.__doc__ = graph_closeness_sampled.__doc__.format(
 )
 
 
-@query("sql_default_columns")  # DDL surface → rows-only
+@query(
+    "sql_default_columns",
+    # Real oracle: the op's output is a data-independent function of
+    # its three INSERTs and the declared defaults — the expected
+    # materialization is a fixed relation, pinned literally.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('closed', 'unknown', CAST(1 AS BIGINT)),
+      ('open', 'emea', CAST(1 AS BIGINT)),
+      ('open', 'unknown', CAST(2 AS BIGINT))) t(status, region, n)
+    """,
+)
 def sql_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT column surface: a table declared with column DEFAULTs
     (status 'open', region 'unknown'), filled by partial INSERTs that

@@ -120,7 +120,23 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_write_modes")  # writer-mode semantics → rows-only
+@query(
+    "io_write_modes",
+    # Real oracle: the mode matrix is a deterministic function of the
+    # 100-row base — overwrite keeps n, append doubles it, ignore
+    # no-ops, and errorifexists must raise — so the expected counts
+    # are a fixed relation over LEAST(100, |orders|).
+    oracle="""
+    WITH b AS (SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS n
+               FROM orders)
+    SELECT 'overwrite_fresh' AS mode, b.n AS observed, b.n AS base_rows
+    FROM b
+    UNION ALL SELECT 'append', 2 * b.n, b.n FROM b
+    UNION ALL SELECT 'ignore', 2 * b.n, b.n FROM b
+    UNION ALL SELECT 'overwrite_again', b.n, b.n FROM b
+    UNION ALL SELECT 'errorifexists_raised', CAST(1 AS BIGINT), b.n FROM b
+    """,
+)
 def io_write_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrameWriter mode matrix, executed and measured: overwrite
     replaces (n stays), append doubles, ignore silently no-ops on an

@@ -170,8 +170,23 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_two_hop_reach.__doc__ = graph_two_hop_reach.__doc__.format(k=REACH_TOP)
 
 
-@query("io_dynamic_partition_overwrite")  # write-mode semantics →
-# rows-only; pytest pins untouched-partition preservation.
+@query(
+    "io_dynamic_partition_overwrite",
+    # Real oracle: dynamic mode must leave untouched partitions intact
+    # and replace only 'F' with its even-orderkey half — the expected
+    # per-partition counts are a plain relational function of orders.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(CASE WHEN o_orderstatus = 'F'
+                     THEN SUM(CASE WHEN o_orderkey % 2 = 0
+                                   THEN 1 ELSE 0 END)
+                     ELSE COUNT(*) END AS BIGINT) AS n_after,
+           CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                AS BIGINT) AS rewritten
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
 def io_dynamic_partition_overwrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
