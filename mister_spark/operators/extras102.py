@@ -108,7 +108,24 @@ def sketch_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_misra_gries.__doc__ = sketch_misra_gries.__doc__.format(k=MG_K)
 
 
-@query("io_schema_compat_audit")  # schema metadata → rows-only
+@query(
+    "io_schema_compat_audit",
+    # Real oracle: the audit is a data-independent function of the
+    # orders schema and the three planted changes — the expected
+    # classification is a fixed relation, pinned literally.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_channel', 'added', '', 'string', 'backward_compatible'),
+      ('o_custkey', 'type_changed', 'bigint', 'string', 'breaking'),
+      ('o_orderdate', 'unchanged', 'timestamp_ntz', 'timestamp_ntz',
+       'compatible'),
+      ('o_orderkey', 'unchanged', 'bigint', 'bigint', 'compatible'),
+      ('o_orderpriority', 'dropped', 'string', '', 'forward_breaking'),
+      ('o_orderstatus', 'unchanged', 'string', 'string', 'compatible'),
+      ('o_totalprice', 'unchanged', 'double', 'double', 'compatible'))
+      t("column", change, v1, v2, compat)
+    """,
+)
 def io_schema_compat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution compatibility audit between the orders schema
     v1 (as stored) and a candidate v2 (drops o_orderpriority, adds a

@@ -330,8 +330,21 @@ def ev_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_segment_migration.__doc__ = ev_segment_migration.__doc__.format(t=SEG_TIERS)
 
 
-@query("io_schema_drift")  # metadata comparison → rows-only; pytest pins
-# the classification of each planted change.
+@query(
+    "io_schema_drift",
+    # Real oracle: the drift report is a data-independent function of
+    # the two planted schema versions — pinned literally.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_channel', CAST(NULL AS VARCHAR), 'string', 'added_safe'),
+      ('o_custkey', 'bigint', 'int', 'narrowed'),
+      ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+      ('o_orderstatus', 'string', CAST(NULL AS VARCHAR),
+       'dropped_breaking'),
+      ('o_totalprice', 'double', 'double', 'unchanged'))
+      t("column", type_v1, type_v2, verdict)
+    """,
+)
 def io_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema drift alert between two versions of a staged table: v2
     adds a column (safe), drops one (breaking for readers that select
