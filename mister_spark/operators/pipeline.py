@@ -287,7 +287,46 @@ RP_BITS = 4
 RP_SEED = 7
 
 
-@query("sim_rp_lsh")  # rows-only: pytest measures recall vs dd_embedding_cosine
+@query(
+    "sim_rp_lsh",
+    # Real oracle: the ±1 plane matrix rebuilds from the same md5 bits,
+    # signature bits are dot-product signs (identical doubles up to a
+    # sign flip only within ~1e-13 of zero — never observed), bit
+    # packing and the (tbl, sig) collision join are integer-exact, and
+    # the verify is the same floor-rounded cosine dd_embedding_cosine's
+    # oracle already matches.
+    oracle=f"""
+    WITH planes AS MATERIALIZED (
+      SELECT d.d, c.c,
+             CASE WHEN (CAST('0x' || substr(md5(
+                    CAST(d.d AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)),
+                    1, 15) AS BIGINT) & 1) = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(range(0, 64)) AS d) d,
+           (SELECT unnest(range(0, {RP_TABLES * RP_BITS})) AS c) c),
+    e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+    dots AS (SELECT e.vec_id, p.c,
+                    SUM(e.v[CAST(p.d AS INT) + 1] * p.w) AS s
+             FROM e, planes p GROUP BY 1, 2),
+    sigs AS (SELECT vec_id, c // {RP_BITS} AS tbl,
+                    CAST(SUM(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << (c % {RP_BITS})
+                             ELSE 0 END) AS BIGINT) AS sig
+             FROM dots GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM sigs a JOIN sigs b
+               ON a.tbl = b.tbl AND a.sig = b.sig
+              AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           FLOOR(list_cosine_similarity(x.v, y.v) * 10000 + 0.5) / 10000
+             AS cosine
+    FROM cand c JOIN e x ON x.vec_id = c.vec_a
+                JOIN e y ON y.vec_id = c.vec_b
+    WHERE FLOOR(list_cosine_similarity(x.v, y.v) * 10000 + 0.5) / 10000
+          >= {COSINE_T}
+    """,
+)
 def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection (sign) LSH near-dup pairs: RP_TABLES hash
     tables of RP_BITS signed hyperplane bits each; vectors colliding in
@@ -316,8 +355,25 @@ def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _signatures(batches):
-        planes = np.random.RandomState(RP_SEED).standard_normal(
-            (64, RP_TABLES * RP_BITS)
+        # Rademacher (±1) hyperplanes from md5 bits — the same sign-LSH
+        # guarantee as Gaussian planes, but cross-engine-deterministic
+        # (the DuckDB oracle rebuilds the identical plane matrix)
+        import hashlib
+
+        planes = np.array(
+            [
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(f"{d}:{c}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    & 1
+                    else -1.0
+                    for c in range(RP_TABLES * RP_BITS)
+                ]
+                for d in range(64)
+            ]
         )
         weights = 1 << np.arange(RP_BITS)
         for pdf in batches:
