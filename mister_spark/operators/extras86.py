@@ -305,7 +305,46 @@ ev_dtw_distance.__doc__ = ev_dtw_distance.__doc__.format(
 )
 
 
-@query("sim_ann_recall_curve")  # measured vs exact top-k → rows-only
+def _ann_curve_oracle() -> str:
+    import math
+
+    from mister_spark.operators.similarity import (
+        IVF_NLIST,
+        duck_ivf_topk,
+    )
+
+    base = duck_ivf_topk(IVF_NLIST, ANN_K)
+    # strip the nprobe-specific tail CTE; keep the shared scored/crank
+    base = base[: base.rindex(",\n    ivf_out AS (")] + ""
+    tops = []
+    rows = []
+    for p in ANN_NPROBES:
+        tops.append(f"""
+    got{p} AS (SELECT s.vec_id
+               FROM scored s JOIN crank cr ON cr.j = s.j AND cr.rk <= {p}
+               ORDER BY s.cosine DESC, s.vec_id LIMIT {ANN_K})""")
+        frac = math.floor(p / IVF_NLIST * 10000 + 0.5) / 10000
+        rows.append(f"""
+    SELECT CAST({p} AS BIGINT) AS nprobe, {frac!r} AS probe_frac,
+           FLOOR((SELECT COUNT(*) FROM got{p} g
+                  JOIN got{IVF_NLIST} x ON x.vec_id = g.vec_id)
+                 / {float(ANN_K)!r} * 10000 + 0.5) / 10000 AS recall""")
+    return (
+        "WITH RECURSIVE "
+        + base
+        + ","
+        + ",".join(tops)
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query(
+    "sim_ann_recall_curve",
+    # Real oracle: the shared spherical-k-means CTE scores every
+    # vector once; each nprobe point is a grid-stable top-K cut and
+    # the recall an integer intersection over K.
+    oracle=_ann_curve_oracle(),
+)
 def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall@{k} vs nprobe for query vec_id=0, measured against
     the exact full-scan top-{k}: the published tuning curve that turns
@@ -315,6 +354,8 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each point is one narrow mapInPandas scan (codebook in the
     task closure, no shuffle) + an O(k) TakeOrdered collect — the
     curve costs |nprobes| scans and collects only model-sized state."""
+    import math
+
     emb = _emb(spark, sf_dir).localCheckpoint()
     exact = {
         r["vec_id"] for r in ivf_topk(emb, IVF_NLIST, ANN_K).collect()
@@ -325,8 +366,9 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 nprobe,
-                round(nprobe / IVF_NLIST, 4),
-                round(len(got & exact) / ANN_K, 4),
+                math.floor(nprobe / IVF_NLIST * 10000 + 0.5) / 10000,
+                math.floor(len(got & exact) / ANN_K * 10000 + 0.5)
+                / 10000,
             )
         )
     return spark.createDataFrame(

@@ -64,6 +64,82 @@ def ivf_train_df(emb: DataFrame):
 
 
 
+def duck_ivf_topk(nprobe: int, k: int) -> str:
+    """DuckDB twin of ivf_train + ivf_topk as a CTE block ending in
+    `ivf_out` (vec_id, cosine): spherical k-means replayed as a
+    recursive CTE (init = first IVF_NLIST normalized sample rows,
+    argmax-dot assignment with first-index tie-break, empty clusters
+    keep their centroid, renormalize per iter), then probe selection,
+    corpus assignment and the floor-rounded cosine top-k — all the
+    same accounting as the numpy driver loop."""
+    unit = (
+        "list_transform({v}, x -> x / GREATEST(SQRT(list_reduce("
+        "list_prepend(CAST(0 AS DOUBLE), list_transform({v}, y -> y * y)),"
+        " (a, b) -> a + b)), 1e-12))"
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+        " (p, q) -> p + q)"
+    )
+    return f"""
+    esel AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings),
+    samp AS MATERIALIZED (
+      SELECT vec_id, {unit.format(v="v")} AS x,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      FROM esel ORDER BY vec_id LIMIT {IVF_SAMPLE}),
+    km AS (
+      SELECT 0 AS it, CAST(rn - 1 AS INT) AS j, x AS c
+      FROM samp WHERE rn <= {IVF_NLIST}
+      UNION ALL
+      SELECT s.it + 1, s.j,
+             CASE WHEN m.nm IS NULL THEN s.c
+                  ELSE {unit.format(v="m.nm")} END
+      FROM km s LEFT JOIN (
+        SELECT g.it, g.j, list(g.mv ORDER BY g.pos) AS nm FROM (
+          SELECT r.it, r.j, u.i AS pos, AVG(u.xx) AS mv
+          FROM (
+            SELECT k2.it, k2.j, sm.x
+            FROM (SELECT k3.it, sm2.vec_id, k3.j,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY k3.it, sm2.vec_id
+                           ORDER BY {dot.format(a="sm2.x", b="k3.c")}
+                             DESC, k3.j) AS rk
+                  FROM km k3, samp sm2 WHERE k3.it < 5) a2
+            JOIN km k2 ON k2.it = a2.it AND k2.j = a2.j
+            JOIN samp sm ON sm.vec_id = a2.vec_id
+            WHERE a2.rk = 1) r
+          CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(r.x)))
+                                AS i, unnest(r.x) AS xx) u
+          GROUP BY r.it, r.j, u.i) g
+        GROUP BY g.it, g.j) m
+        ON m.it = s.it AND m.j = s.j
+      WHERE s.it < 5),
+    cb AS MATERIALIZED (SELECT j, c FROM km WHERE it = 5),
+    qn AS (SELECT {unit.format(v="v")} AS q FROM esel WHERE vec_id = 0),
+    crank AS MATERIALIZED (SELECT cb.j,
+                   ROW_NUMBER() OVER (
+                     ORDER BY {dot.format(a="cb.c", b="qn.q")} DESC,
+                              cb.j) AS rk
+            FROM cb, qn),
+    asg AS (SELECT e.vec_id, {unit.format(v="e.v")} AS nv, cb.j
+            FROM esel e, cb
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY {dot.format(a=unit.format(v="e.v"), b="cb.c")}
+                DESC, cb.j) = 1),
+    scored AS MATERIALIZED (
+      SELECT a.vec_id, a.j,
+             FLOOR({dot.format(a="a.nv", b="qn.q")} * 10000 + 0.5)
+               / 10000 AS cosine
+      FROM asg a CROSS JOIN qn WHERE a.vec_id <> 0),
+    ivf_out AS (
+      SELECT s.vec_id, s.cosine
+      FROM scored s JOIN crank cr ON cr.j = s.j AND cr.rk <= {nprobe}
+      ORDER BY 2 DESC, s.vec_id LIMIT {k})"""
+
+
 @query(
     "sim_brute_topk",
     oracle="""
@@ -170,7 +246,16 @@ def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf")  # rows-only: pytest measures recall vs sim_brute_topk
+@query(
+    "sim_ivf",
+    # Real oracle: duck_ivf_topk replays the spherical-k-means
+    # codebook, probe pruning, and the floor-rounded cosine top-k; the
+    # boundary orders by the ROUNDED cosine with a vec_id tie-break,
+    # so the cut is grid-stable across engines.
+    oracle="WITH RECURSIVE "
+    + duck_ivf_topk(IVF_NPROBE, 10)
+    + "\nSELECT vec_id, cosine FROM ivf_out",
+)
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN for query vec_id=0: a FIXED IVF_NLIST-centroid
     codebook is trained on a bounded sample (ivf_train), every corpus
