@@ -344,7 +344,114 @@ def _pq_train(sample):
     return np.stack(books)
 
 
-@query("sim_pq")  # rows-only: pytest measures recall vs sim_topk_join
+def _duck_pq_oracle() -> str:
+    """The full PQ pipeline as CTEs: 8 per-subspace Lloyd chains in one
+    recursion keyed by subspace (first-16 init, L2-argmin assignment
+    with first-index tie-break, empty clusters keep their centroid),
+    relational ADC tables and codes, the (adist, vec_id) shortlist and
+    the grid-stable cosine re-rank."""
+    unit = (
+        "list_transform({v}, x -> x / GREATEST(SQRT(list_reduce("
+        "list_prepend(CAST(0 AS DOUBLE), list_transform({v}, y -> y * y)),"
+        " (a, b) -> a + b)), 1e-12))"
+    )
+    l2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(range(1, len({a}) + 1),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (p, q) -> p + q)"
+    )
+    return f"""
+    esel AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings),
+    jr AS (SELECT unnest(range(0, {PQ_M})) AS j),
+    pqs AS MATERIALIZED (
+      SELECT {unit.format(v="v")} AS x,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      FROM esel WHERE vec_id % {PQ_SAMPLE_STRIDE} = 0 AND vec_id >= 8
+      ORDER BY vec_id LIMIT 512),
+    sub AS MATERIALIZED (
+      SELECT rn, jr.j,
+             x[CAST(jr.j * {PQ_DSUB} AS INT) + 1 :
+               CAST(jr.j * {PQ_DSUB} AS INT) + {PQ_DSUB}] AS sv
+      FROM pqs, jr),
+    pk AS (
+      SELECT 0 AS it, j, CAST(rn - 1 AS INT) AS k, sv AS c
+      FROM sub WHERE rn <= {PQ_K}
+      UNION ALL
+      SELECT s.it + 1, s.j, s.k,
+             CASE WHEN m.nm IS NULL THEN s.c ELSE m.nm END
+      FROM pk s LEFT JOIN (
+        SELECT g.it, g.j, g.k, list(g.mv ORDER BY g.pos) AS nm FROM (
+          SELECT r.it, r.j, r.k, u.i AS pos, AVG(u.xx) AS mv
+          FROM (
+            SELECT a2.it, a2.j, a2.k, sb.sv
+            FROM (SELECT k3.it, k3.j, s2.rn, k3.k,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY k3.it, k3.j, s2.rn
+                           ORDER BY {l2.format(a="s2.sv", b="k3.c")},
+                                    k3.k) AS rk
+                  FROM pk k3 JOIN sub s2 ON s2.j = k3.j
+                  WHERE k3.it < 5) a2
+            JOIN sub sb ON sb.j = a2.j AND sb.rn = a2.rn
+            WHERE a2.rk = 1) r
+          CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                                len(r.sv))) AS i,
+                                unnest(r.sv) AS xx) u
+          GROUP BY r.it, r.j, r.k, u.i) g
+        GROUP BY g.it, g.j, g.k) m
+        ON m.it = s.it AND m.j = s.j AND m.k = s.k
+      WHERE s.it < 5),
+    books AS MATERIALIZED (SELECT j, k, c FROM pk WHERE it = 5),
+    qn8 AS MATERIALIZED (SELECT vec_id AS q_id, {unit.format(v="v")} AS qx
+                         FROM esel WHERE vec_id < 8),
+    qsub AS (SELECT q_id, jr.j,
+                    qx[CAST(jr.j * {PQ_DSUB} AS INT) + 1 :
+                       CAST(jr.j * {PQ_DSUB} AS INT) + {PQ_DSUB}] AS qv
+             FROM qn8, jr),
+    adt AS MATERIALIZED (SELECT q.q_id, b.j, b.k,
+                                {l2.format(a="q.qv", b="b.c")} AS d
+                         FROM qsub q JOIN books b ON b.j = q.j),
+    vx AS MATERIALIZED (SELECT vec_id, {unit.format(v="v")} AS nx
+                        FROM esel WHERE vec_id >= 8),
+    vsub AS (SELECT vec_id, jr.j,
+                    nx[CAST(jr.j * {PQ_DSUB} AS INT) + 1 :
+                       CAST(jr.j * {PQ_DSUB} AS INT) + {PQ_DSUB}] AS sv
+             FROM vx, jr),
+    codes AS MATERIALIZED (SELECT vec_id, j, k FROM (
+               SELECT vs.vec_id, vs.j, b.k,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY vs.vec_id, vs.j
+                        ORDER BY {l2.format(a="vs.sv", b="b.c")}, b.k)
+                        AS rk
+               FROM vsub vs JOIN books b ON b.j = vs.j) q WHERE rk = 1),
+    adist AS (SELECT t.q_id, c.vec_id, SUM(t.d) AS ad
+              FROM codes c JOIN adt t ON t.j = c.j AND t.k = c.k
+              GROUP BY 1, 2),
+    short AS (SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY ad, vec_id) AS srn
+                FROM adist) s WHERE srn <= {PQ_SHORTLIST}),
+    rer AS (SELECT sh.q_id, sh.vec_id,
+                   FLOOR(list_cosine_similarity(e.v, qe.v)
+                         * 10000 + 0.5) / 10000 AS cosine
+            FROM short sh JOIN esel e ON e.vec_id = sh.vec_id
+                          JOIN esel qe ON qe.vec_id = sh.q_id)
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT q_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, vec_id)
+                  AS BIGINT) AS rn
+      FROM rer) f WHERE rn <= {PQ_TOPK}"""
+
+
+@query(
+    "sim_pq",
+    # Real oracle: _duck_pq_oracle replays codebook training, ADC
+    # scoring, the shortlist and the grid-stable re-rank; pytest still
+    # measures recall vs the exact top-k.
+    oracle="WITH RECURSIVE " + _duck_pq_oracle(),
+)
 def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN: codebooks trained driver-side on a bounded
     deterministic sample (the FAISS pattern — training never scans the
