@@ -101,7 +101,79 @@ def io_clustered_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_quantization_sweep")  # accuracy-vs-bits → rows-only
+def _qz_oracle() -> str:
+    unit = (
+        "list_transform({v}, x -> x / GREATEST(SQRT(list_reduce("
+        "list_prepend(CAST(0 AS DOUBLE), list_transform({v}, y -> y * y)),"
+        " (a, b) -> a + b)), 1e-12))"
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+        " (p, q) -> p + q)"
+    )
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, {unit.format(v="CAST(embedding AS DOUBLE[])")} AS x
+      FROM embeddings)""",
+        "q0 AS (SELECT x FROM e WHERE vec_id = 0)",
+        f"""ex AS MATERIALIZED (SELECT e.vec_id,
+               {dot.format(a="e.x", b="q0.x")} AS s
+             FROM e, q0)""",
+        """mx AS (SELECT MAX(m) AS mab FROM (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(x, v -> ABS(v))),
+             (a, b) -> GREATEST(a, b)) AS m FROM e) t)""",
+        """ext AS (SELECT vec_id FROM (
+      SELECT ex.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY FLOOR(ex.s * 10000 + 0.5) / 10000 DESC,
+                        ex.vec_id) AS rk
+      FROM ex WHERE ex.vec_id <> 0) q WHERE rk <= 10)""",
+    ]
+    rows = []
+    for bits in QZ_BITS:
+        lev = 2 ** (bits - 1) - 1
+        parts.append(f"""
+    qz{bits} AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(x, v ->
+               LEAST(GREATEST(FLOOR(v / (mx.mab / {lev}) + 0.5),
+                              {-lev - 1}), {lev}) * (mx.mab / {lev}))
+               AS qv
+      FROM e, mx)""")
+        parts.append(f"""
+    sims{bits} AS MATERIALIZED (
+      SELECT n.vec_id,
+             {dot.format(a=unit.format(v="n.qv"), b=unit.format(v="qq.qv"))}
+               AS s
+      FROM qz{bits} n, (SELECT qv FROM qz{bits} WHERE vec_id = 0) qq)""")
+        parts.append(f"""
+    top{bits} AS (SELECT vec_id FROM (
+      SELECT s.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY FLOOR(s.s * 10000 + 0.5) / 10000 DESC,
+                        s.vec_id) AS rk
+      FROM sims{bits} s WHERE s.vec_id <> 0) q WHERE rk <= {QZ_TOPK})""")
+        rows.append(f"""
+    SELECT CAST({bits} AS BIGINT) AS bits,
+           (SELECT FLOOR(AVG(ABS(s.s - ex.s)) * 1e6 + 0.5) / 1e6
+            FROM sims{bits} s JOIN ex ON ex.vec_id = s.vec_id)
+             AS mean_cosine_distortion,
+           (SELECT FLOOR(COUNT(*) / {float(QZ_TOPK)!r} * 10000 + 0.5)
+                   / 10000
+            FROM top{bits} t JOIN ext ON ext.vec_id = t.vec_id)
+             AS top10_overlap""")
+    return "WITH " + ",\n".join(parts) + "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "ml_quantization_sweep",
+    # Real oracle: the half-up quantizer, fold-normalized cosines and
+    # grid-stable top-10 cuts reproduce relationally; distortion means
+    # round at 1e-6 and overlaps are integer intersections over K.
+    oracle=_qz_oracle(),
+)
 def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding quantization sweep: uniform symmetric quantization
     at {b} bits, measuring (a) mean cosine distortion vs float and
@@ -117,29 +189,44 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    import math
+
     rows = emb.collect()  # fixture-sized; bucketed candidates at scale
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     q = Xn[0]
     exact_sims = Xn @ q
-    exact_top = set(
-        ids[np.argsort(-exact_sims)][1 : QZ_TOPK + 1].tolist()
-    )
+
+    def grid_top(sims_arr):
+        # top-K on the ROUNDED similarity with a vec_id tie-break —
+        # the grid-stable cut every cross-engine boundary in this repo
+        # uses (raw-float argsort boundaries flip on ulp drift)
+        g = np.floor(sims_arr * 10000 + 0.5) / 10000
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != 0),
+            key=lambda i: (-g[i], ids[i]),
+        )
+        return {int(ids[i]) for i in order[:QZ_TOPK]}
+
+    exact_top = grid_top(exact_sims)
     out = []
     for bits in QZ_BITS:
         levels = 2 ** (bits - 1) - 1
         scale = np.abs(Xn).max() / levels
-        Q = np.clip(np.round(Xn / scale), -levels - 1, levels) * scale
+        # half-up quantizer (floor(x + 0.5)) — deterministic on both
+        # engines, unlike banker's np.round
+        Q = np.clip(np.floor(Xn / scale + 0.5), -levels - 1, levels) * scale
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
         sims = Qn @ (Q[0] / max(np.linalg.norm(Q[0]), 1e-12))
-        top = set(ids[np.argsort(-sims)][1 : QZ_TOPK + 1].tolist())
+        top = grid_top(sims)
         distortion = float(np.mean(np.abs(sims - exact_sims)))
         out.append(
             (
                 bits,
-                round(distortion, 6),
-                round(len(top & exact_top) / QZ_TOPK, 4),
+                math.floor(distortion * 1e6 + 0.5) / 1e6,
+                math.floor(len(top & exact_top) / QZ_TOPK * 10000 + 0.5)
+                / 10000,
             )
         )
     return spark.createDataFrame(
