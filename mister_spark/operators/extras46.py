@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, ratio
+from mister_spark.functions.hashing import mh_hash60
 from mister_spark.registry import query
 
 ENT_Q = 1_000_000  # per-term quantization grid (1e-6)
@@ -256,7 +257,54 @@ def tx_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_kmv_setops")  # hash-sketch estimates → rows-only; pytest gates
+@query(
+    "sketch_kmv_setops",
+    # Real oracle: the bottom-k hashes are exact rationals of the
+    # shared 60-md5-bit family, so theta, the (k-1)/theta estimates,
+    # the theta-intersection rule and inclusion-exclusion are all
+    # deterministic arithmetic both engines reproduce.
+    oracle=f"""
+    WITH pair AS (SELECT DISTINCT event_type, user_id FROM events
+                  WHERE event_type IN ('view', 'click')),
+    h AS (SELECT DISTINCT event_type,
+                 CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 15) AS BIGINT)
+                      % {KMV_MOD} AS DOUBLE) / {KMV_MOD} AS u
+          FROM pair),
+    sk AS (SELECT event_type, u FROM (
+             SELECT event_type, u,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY u) AS rk
+             FROM h) q WHERE rk <= {KMV_K}),
+    theta AS (SELECT event_type, COUNT(*) AS k,
+                     CASE WHEN COUNT(*) < {KMV_K} THEN 1.0
+                          ELSE MAX(u) END AS theta
+              FROM sk GROUP BY 1),
+    est AS (SELECT event_type,
+                   CASE WHEN k < {KMV_K} THEN CAST(k AS DOUBLE)
+                        ELSE (k - 1) / theta END AS est, theta
+            FROM theta),
+    tmin AS (SELECT MIN(theta) AS th FROM est),
+    inter_n AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS n_common FROM (
+                  SELECT u, tmin.th, COUNT(*) AS c
+                  FROM sk, tmin WHERE u < tmin.th
+                  GROUP BY u, tmin.th) q
+                WHERE c = 2 GROUP BY th),
+    singles AS (SELECT 'distinct(' || event_type || ')' AS set_expr,
+                       est AS estimate
+                FROM est),
+    inter AS (SELECT 'view ∩ click' AS set_expr,
+                     n_common / th AS estimate
+              FROM inter_n),
+    uni AS (SELECT 'view ∪ click' AS set_expr,
+                   s.s - i.estimate AS estimate
+            FROM (SELECT SUM(estimate) AS s FROM singles) s, inter i)
+    SELECT set_expr, FLOOR(estimate * 10000 + 0.5) / 10000 AS estimate
+    FROM (SELECT * FROM singles
+          UNION ALL SELECT * FROM inter
+          UNION ALL SELECT * FROM uni) all_rows
+    """,
+)
 def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k / theta) sketch set algebra over per-type distinct
     users: keep each type's {KMV_K} smallest distinct user hashes;
@@ -280,7 +328,12 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = pair.select(
         "event_type",
         (
-            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(KMV_MOD))
+            # 60 md5 bits (cross-engine, like the MinHash family) mod a
+            # prime near 2^53 -> uniform [0,1) both engines reproduce
+            F.pmod(
+                mh_hash60(F.col("user_id").cast("string")),
+                F.lit(KMV_MOD),
+            )
             .cast("double")
             / KMV_MOD
         ).alias("u"),
