@@ -98,7 +98,22 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_iceberg_roundtrip")  # filesystem metadata flow → rows-only
+@query(
+    "io_iceberg_roundtrip",
+    # Real oracle: the 3-version script is fixed (one manifest +
+    # manifest list per version), every version must re-read
+    # row-identically through the Iceberg tree, and the current rows
+    # reduce to the [400,800] delete-band count over orders.
+    oracle="""
+    SELECT CAST(3 AS INT) AS versions,
+           (SELECT CAST(COUNT(*) - SUM(CASE WHEN o_orderkey
+                        BETWEEN 400 AND 800 THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM orders) AS rows_current,
+           CAST(1 AS INT) AS all_versions_match,
+           CAST(3 AS INT) AS manifest_files,
+           CAST(3 AS INT) AS manifest_lists
+    """,
+)
 def io_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot table → Iceberg v2 metadata tree → re-read, audited:
     build a 3-version table (create / append / copy-on-write

@@ -16,7 +16,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from mister_spark.operators.common import cat
 from mister_spark.registry import query
 
-@query("io_snapshot_table")  # storage-format exercise → rows-only; pytest gates
+@query(
+    "io_snapshot_table",
+    # Real oracle: the commit structure is fixed (create=1 dir,
+    # append=+1, the [60%,70%] band lives strictly inside the second
+    # commit's dir so the stats-pruned delete rewrites exactly one dir
+    # and reuses one), so every version's rows reduce to relational
+    # counts over orders with the same integer split arithmetic.
+    oracle="""
+    WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+               FROM orders),
+    c AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+             WHERE o_orderkey < (mn + mx) // 2) AS n1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+             WHERE o_orderkey BETWEEN mn + (mx - mn) * 6 // 10
+                                  AND mn + (mx - mn) * 7 // 10) AS nd)
+    SELECT CAST(0 AS BIGINT) AS version, 'create' AS op,
+           n1 AS live_rows, CAST(1 AS BIGINT) AS n_dirs,
+           CAST(NULL AS BIGINT) AS dirs_reused, n1 AS readable_rows
+    FROM c
+    UNION ALL SELECT 1, 'append', n2, 2, NULL, n2 FROM c
+    UNION ALL SELECT 2, 'delete_range', n2 - nd, 2, 1, n2 - nd FROM c
+    """,
+)
 def io_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional snapshot-table audit: create a versioned table
     from orders (two commits split at the orderkey midpoint), run a

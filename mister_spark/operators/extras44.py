@@ -28,7 +28,34 @@ CORR_WINDOW = 14  # trailing days
 CORR_MIN_N = 7
 
 
-@query("io_snapshot_merge")  # storage-format exercise → rows-only; pytest gates
+@query(
+    "io_snapshot_merge",
+    # Real oracle: the fixed commit structure reduces every version to
+    # relational counts — updates hit the [60%,70%] key band (no count
+    # change), inserts add LEAST(50, |orders|) brand-new keys past the
+    # max, and the stats pruning must leave the first commit's dir
+    # untouched (dirs_reused = 1).
+    oracle="""
+    WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+               FROM orders),
+    c AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+             WHERE o_orderkey < (mn + mx) // 2) AS n1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+             WHERE o_orderkey BETWEEN mn + (mx - mn) * 6 // 10
+                                  AND mn + (mx - mn) * 7 // 10) AS nu,
+            (SELECT CAST(LEAST(50, COUNT(*)) AS BIGINT) FROM orders)
+              AS ni)
+    SELECT CAST(0 AS BIGINT) AS version, 'create' AS op,
+           n1 AS live_rows, CAST(NULL AS BIGINT) AS dirs_reused,
+           CAST(NULL AS BIGINT) AS n_updated,
+           CAST(NULL AS BIGINT) AS n_inserted
+    FROM c
+    UNION ALL SELECT 1, 'append', n2, NULL, NULL, NULL FROM c
+    UNION ALL SELECT 2, 'merge', n2 + ni, 1, nu, ni FROM c
+    """,
+)
 def io_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the transactional snapshot table: seed orders in
     two commits (split at the key midpoint), then upsert a CDC batch

@@ -244,7 +244,22 @@ def io_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("io_snapshot_vacuum")  # storage-format exercise → rows-only; pytest
+@query(
+    "io_snapshot_vacuum",
+    # Real oracle: the vacuum script is data-independent except the
+    # 50-row head — 3 versions collapse to 1, the two unreferenced
+    # dirs delete, dropped-version time travel must raise, and disk
+    # must match the manifest.
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_versions_before,
+           CAST(1 AS BIGINT) AS n_versions_after,
+           CAST(2 AS BIGINT) AS n_dirs_deleted,
+           (SELECT CAST(LEAST(50, COUNT(*)) AS BIGINT) FROM orders)
+             AS rows_at_head,
+           TRUE AS old_time_travel_fails,
+           TRUE AS disk_matches_manifest
+    """,
+)
 def io_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACUUM on the transactional snapshot table: build three versions
     (create/append/overwrite), vacuum to the last one, and audit —

@@ -284,8 +284,26 @@ def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_recall_at_k.__doc__ = ml_recall_at_k.__doc__.format(k=RECALL_K)
 
 
-@query("io_snapshot_changes")  # filesystem-versioned CDC read → rows-only;
-# pytest pins the exact added-rows accounting per commit.
+@query(
+    "io_snapshot_changes",
+    # Real oracle: the 3-commit structure is fixed — create adds the
+    # %3=0 dir, append the %3=1 dir, and the %6=0 merge's key range
+    # spans both dirs so the stats pruning rewrites both (plus the
+    # empty insert dir): the CDC read reports both dirs' contents as
+    # that commit's additions.
+    oracle="""
+    WITH c AS (SELECT
+      CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS a,
+      CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS b
+     FROM orders)
+    SELECT CAST(0 AS INT) AS version, 'create' AS op,
+           CAST(1 AS INT) AS new_dirs, a AS rows_added FROM c
+    UNION ALL SELECT 1, 'append', 1, b FROM c
+    UNION ALL SELECT 2, 'merge', 3, a + b FROM c
+    """,
+)
 def io_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental/CDC read from the transactional snapshot table:
     build a 3-commit table (create, append, merge), then answer

@@ -219,8 +219,31 @@ def ds_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 ds_coreset_kcenter.__doc__ = ds_coreset_kcenter.__doc__.format(k=CORESET_K)
 
 
-@query("io_snapshot_history")  # filesystem-versioned metadata → rows-only;
-# pytest pins the op sequence + row accounting.
+@query(
+    "io_snapshot_history",
+    # Real oracle: the 4-commit structure is fixed (create evens = 1
+    # dir, append odds = 2, the 0-99 delete touches both dirs, the %7
+    # merge rewrites both + adds one) and every version's live rows
+    # reduce to relational counts: the merge re-inserts exactly the
+    # %7 keys the delete removed.
+    oracle="""
+    WITH c AS (SELECT
+      CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS evens,
+      CAST(COUNT(*) AS BIGINT) AS n_all,
+      CAST(SUM(CASE WHEN o_orderkey BETWEEN 0 AND 99 THEN 1 ELSE 0 END)
+           AS BIGINT) AS d99,
+      CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                     AND o_orderkey BETWEEN 0 AND 99
+                    THEN 1 ELSE 0 END) AS BIGINT) AS r799
+     FROM orders)
+    SELECT CAST(0 AS INT) AS version, 'create' AS op,
+           CAST(1 AS INT) AS n_dirs, evens AS live_rows FROM c
+    UNION ALL SELECT 1, 'append', 2, n_all FROM c
+    UNION ALL SELECT 2, 'delete_range', 2, n_all - d99 FROM c
+    UNION ALL SELECT 3, 'merge', 3, n_all - d99 + r799 FROM c
+    """,
+)
 def io_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY for the transactional snapshot table: build a
     4-commit table (create → append → delete_range → merge) and expose

@@ -24,8 +24,26 @@ SC_TREATED = "src0"
 SC_STEPS = 400
 
 
-@query("io_snapshot_clone")  # manifest-only clone → rows-only; pytest
-# pins zero-copy + copy-on-write divergence.
+@query(
+    "io_snapshot_clone",
+    # Real oracle: the clone lifecycle is a fixed script over the %3
+    # residue classes — the clone diverges by the %3=2 append while the
+    # source stays at the 2-commit row count; the zero-copy flag and
+    # version numbers are structural constants.
+    oracle="""
+    WITH c AS (SELECT
+      CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS ab,
+      CAST(COUNT(*) AS BIGINT) AS abc
+     FROM orders)
+    SELECT 'clone' AS "table", abc AS live_rows,
+           CAST(1 AS BIGINT) AS version, ab AS rows_at_clone,
+           CAST(1 AS BIGINT) AS zero_copy
+    FROM c
+    UNION ALL SELECT 'source', ab, 1, ab, 1 FROM c
+    """,
+)
 def io_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow-clone lifecycle: clone a 2-commit table by manifest
     reference (zero data copied — proven by byte accounting), then
