@@ -208,7 +208,16 @@ ev_position_attribution.__doc__ = ev_position_attribution.__doc__.format(
 )
 
 
-@query("io_read_options_surface")  # reader-option semantics → rows-only
+@query(
+    "io_read_options_surface",
+    # Real oracle: the staged layout is fixed (100 rows per leaf, two
+    # leaves) — a fixed relation.
+    oracle="""
+    SELECT CAST(100 AS BIGINT) AS rows_plain,
+           CAST(200 AS BIGINT) AS rows_recursive,
+           CAST(200 AS BIGINT) AS rows_glob
+    """,
+)
 def io_read_options_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-reader option surface on a nested directory tree
     (region=a/, region=b/nested/): (1) plain read of the root fails

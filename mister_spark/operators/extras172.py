@@ -177,7 +177,27 @@ def ev_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_msprt.__doc__ = ev_msprt.__doc__.format(k=MSPRT_LOOKS, mix=MSPRT_MIX)
 
 
-@query("io_iceberg_expire")  # filesystem metadata flow → rows-only
+@query(
+    "io_iceberg_expire",
+    # Real oracle: the expiry script is structural — 3 snapshots keep
+    # 2, one manifest list deletes, the head stays put, reads are
+    # unchanged; the only data-dependent number is the %2 overwrite's
+    # row count.
+    oracle="""
+    WITH c AS (SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS evens
+               FROM orders)
+    SELECT CAST(1 AS INT) AS expired, CAST(2 AS INT) AS kept,
+           CAST(1 AS INT) AS deleted_files,
+           evens AS rows_before, evens AS rows_after,
+           CAST(1 AS INT) AS current_unchanged,
+           CAST(1 AS INT) AS head_stable,
+           CAST(1 AS INT) AS expired_unreadable,
+           CAST(1 AS INT) AS kept_readable,
+           CAST(1 AS INT) AS metadata_log_len
+    FROM c
+    """,
+)
 def io_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot-expiry audit: export a 3-version snapshot
     table to an Iceberg metadata tree, expire all but the newest 2

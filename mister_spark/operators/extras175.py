@@ -93,7 +93,31 @@ def stat_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_iceberg_mor_deletes")  # filesystem metadata flow → rows-only
+@query(
+    "io_iceberg_mor_deletes",
+    # Real oracle: the stacked merge-on-read contract reduces to two
+    # price-band counts over orders — the first delete removes the
+    # >200k rows, the overlapping second removes exactly the live
+    # (150k, 200k] band, and every structural flag (no data rewrite,
+    # reconciling counts, zero duplicate delete pairs) must hold.
+    oracle="""
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN o_totalprice > 200000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                      CAST(SUM(CASE WHEN o_totalprice > 150000
+                                AND o_totalprice <= 200000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d2
+               FROM orders)
+    SELECT n AS rows_before, n - d1 AS rows_after, d1 AS deleted_rows,
+           d1 AS expected_deleted, CAST(0 AS BIGINT) AS still_matching,
+           n AS time_travel_rows, CAST(1 AS INT) AS data_files_untouched,
+           CAST(1 AS INT) AS counts_reconcile, d2 AS deleted_rows_2,
+           d2 AS expected_deleted_2,
+           CAST(1 AS INT) AS stacked_counts_reconcile,
+           CAST(0 AS BIGINT) AS dup_delete_pairs
+    FROM c
+    """,
+)
 def io_iceberg_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read audit: export a 2-version snapshot table to an
     Iceberg tree, issue a row-level delete (o_totalprice > 200000)

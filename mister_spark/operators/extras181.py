@@ -15,7 +15,21 @@ from mister_spark.operators.common import cat
 from mister_spark.registry import query
 
 
-@query("io_iceberg_schema_evolution")  # filesystem metadata flow → rows-only
+@query(
+    "io_iceberg_schema_evolution",
+    # Real oracle: every audited property of the two-schema export is
+    # a structural constant of the script (field-id stability,
+    # appended id, null backfill, time-travel shape).
+    oracle="""
+    SELECT CAST(2 AS INT) AS schemas,
+           CAST(1 AS INT) AS snapshot_schema_ids_differ,
+           CAST(1 AS INT) AS old_field_ids_stable,
+           CAST(1 AS INT) AS new_id_appended,
+           CAST(4 AS INT) AS current_cols,
+           CAST(1 AS INT) AS nulls_backfill_old_rows,
+           CAST(1 AS INT) AS time_travel_old_shape
+    """,
+)
 def io_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-column evolution audit: create a 3-column snapshot table,
     append a batch carrying a NEW 4th column (o_orderpriority), export

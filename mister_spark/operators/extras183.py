@@ -18,7 +18,21 @@ PYDS_PARTS = 8
 PYDS_CUT = 50.0
 
 
-@query("io_python_datasource")  # connector surface audit → rows-only
+@query(
+    "io_python_datasource",
+    # Real oracle: the synthetic Python DataSource audit is
+    # data-independent — a fixed relation.
+    oracle="""
+    SELECT CAST(20000 AS BIGINT) AS total_rows,
+           CAST(8 AS INT) AS parts_declared, CAST(8 AS INT) AS parts_seen,
+           CAST(9998 AS BIGINT) AS pushed_rows,
+           CAST(9998 AS BIGINT) AS pushed_expected,
+           CAST(1 AS INT) AS pushdown_applied,
+           CAST(1252 AS BIGINT) AS mixed_rows,
+           CAST(1252 AS BIGINT) AS mixed_expected,
+           CAST(1 AS INT) AS residual_correct
+    """,
+)
 def io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python DataSource contract audit over the deterministic ledger
     source: (1) an unfiltered read returns every generated row across
@@ -96,7 +110,20 @@ def io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_python_datasink")  # connector surface audit → rows-only
+@query(
+    "io_python_datasink",
+    # Real oracle: the sink contract is a relational count of the
+    # <2000-key slice plus structural constants (4 committed files,
+    # no tmp residue, exact round trip).
+    oracle="""
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+               WHERE o_orderkey < 2000)
+    SELECT n AS rows_in, n AS success_total, n AS rows_read_back,
+           CAST(4 AS INT) AS committed_files, CAST(0 AS INT) AS tmp_residue,
+           CAST(1 AS INT) AS round_trip_exact
+    FROM c
+    """,
+)
 def io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python DataSource WRITER contract audit (sources/pyds.py): a
     two-phase-commit JSONL sink — tasks write _tmp_ files and return
@@ -164,7 +191,17 @@ def io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_python_source")  # streaming connector audit → rows-only
+@query(
+    "stream_python_source",
+    # Real oracle: the synthetic streaming-source resume audit is
+    # data-independent — a fixed relation.
+    oracle="""
+    SELECT CAST(40 AS INT) AS run1_rows, CAST(10 AS INT) AS run2_rows,
+           CAST(1 AS INT) AS run1_complete,
+           CAST(1 AS INT) AS run2_delta_only,
+           CAST(1 AS INT) AS resume_exactly_once
+    """,
+)
 def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python STREAMING DataSource contract audit (sources/pyds.py):
     an offset-tracked tick source is drained by a first query (polled

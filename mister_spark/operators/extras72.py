@@ -213,8 +213,16 @@ def stat_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_orphan_files")  # filesystem sweep vs manifests → rows-only;
-# pytest pins the planted-orphan detection.
+@query(
+    "io_orphan_files",
+    # Real oracle: the planted-debris audit is a fixed relation.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('data/c0-create', CAST(1 AS BIGINT)),
+      ('data/c1-append', CAST(1 AS BIGINT)),
+      ('data/c99-debris', CAST(0 AS BIGINT))) t(dir, referenced)
+    """,
+)
 def io_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan-file sweep for the snapshot table: list every data dir on
     storage, diff against the union of dirs referenced by ANY retained
