@@ -119,7 +119,17 @@ def stat_mardia_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_input_file_audit")  # physical lineage → rows-only
+@query(
+    "io_input_file_audit",
+    # Real oracle: the single-file lineitem input yields one audit row
+    # holding every row (share exactly 1).
+    oracle="""
+    SELECT 'lineitem.parquet' AS file,
+           CAST(COUNT(*) AS BIGINT) AS rows,
+           1.0 AS share
+    FROM lineitem
+    """,
+)
 def io_input_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Input-file lineage: attribute every lineitem row to its
     physical parquet file via input_file_name() and report per-file

@@ -235,7 +235,16 @@ def ds_quality_length_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ds_quality_length_mi.__doc__ = ds_quality_length_mi.__doc__.format(b=MI_BINS)
 
 
-@query("io_nested_pruning")  # nested schema pruning → rows-only; plan gate
+@query(
+    "io_nested_pruning",
+    # Real oracle: the struct rollup is a priority count and the scan
+    # must prune to the one subfield (flag pinned 1).
+    oracle="""
+    SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS schema_pruned
+    FROM orders GROUP BY 1
+    """,
+)
 def io_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested schema pruning: write orders with the payload folded
     into a STRUCT (meta.priority, meta.price, meta.status), then read

@@ -134,7 +134,22 @@ def ml_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_commit_protocol_audit")  # write-contract audit → rows-only
+@query(
+    "io_commit_protocol_audit",
+    # Real oracle: the single-file orders input writes one part file
+    # with a _SUCCESS marker and no temp debris; the footer and
+    # readback must both account for every row.
+    oracle="""
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    SELECT CAST(1 AS BIGINT) AS has_success,
+           CAST(0 AS BIGINT) AS temp_dirs,
+           CAST(1 AS BIGINT) AS part_files,
+           CAST(1 AS BIGINT) AS valid_footers,
+           n AS footer_rows, n AS readback_rows,
+           CAST(1 AS BIGINT) AS consistent
+    FROM c
+    """,
+)
 def io_commit_protocol_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-protocol audit: after a successful parquet write, the
     directory must contain a _SUCCESS marker, ZERO _temporary debris,

@@ -191,8 +191,22 @@ def ml_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_bootstrap_diff_ci.__doc__ = ml_bootstrap_diff_ci.__doc__.format(b=BOOT_B)
 
 
-@query("io_modified_after_scan")  # filesystem-mtime semantics →
-# rows-only; pytest pins the old-files-skipped contract.
+@query(
+    "io_modified_after_scan",
+    # Real oracle: the two file drops split orders by key parity, so
+    # the mtime-filtered read must see exactly the odd half.
+    oracle="""
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS evens,
+                      CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS odds
+               FROM orders)
+    SELECT n AS n_total, odds AS n_after_cutoff,
+           evens AS n_old, CAST(1 AS BIGINT) AS skipped_old
+    FROM c
+    """,
+)
 def io_modified_after_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental file discovery with `modifiedAfter`: stage two file
     drops with distinct mtimes, then read with the cutoff between them

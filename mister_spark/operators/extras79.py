@@ -99,8 +99,17 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("io_aqe_coalesce")  # runtime plan inspection → rows-only; pytest
-# pins the coalesced-partition contract.
+@query(
+    "io_aqe_coalesce",
+    # Real oracle: the session pins 32 shuffle partitions and AQE must
+    # coalesce the tiny aggregate to 1 - structural constants.
+    oracle="""
+    SELECT CAST(32 AS BIGINT) AS configured_partitions,
+           CAST(1 AS BIGINT) AS runtime_partitions,
+           CAST(1 AS BIGINT) AS aqe_enabled,
+           CAST(1 AS BIGINT) AS coalesced
+    """,
+)
 def io_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive Query Execution, made visible: run a groupBy whose
     shuffle writes far fewer bytes than `spark.sql.shuffle.partitions`

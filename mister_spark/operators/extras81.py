@@ -169,8 +169,17 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 stat_ljung_box.__doc__ = stat_ljung_box.__doc__.format(K=LB_LAGS)
 
 
-@query("io_dynamic_partition_pruning")  # runtime plan feature →
-# rows-only; pytest pins the dynamicpruning subquery in the plan.
+@query(
+    "io_dynamic_partition_pruning",
+    # Real oracle: the star join reduces to a priority-band rollup and
+    # the DPP injection must be visible in the plan.
+    oracle="""
+    SELECT 'rush' AS tier, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue,
+           CAST(1 AS BIGINT) AS pruning_visible
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
 def io_dynamic_partition_pruning(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
