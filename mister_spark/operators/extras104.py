@@ -196,7 +196,19 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sql_hints_surface")  # plan-shape surface → rows-only; plan gates
+@query(
+    "sql_hints_surface",
+    # Real oracle: the hint variants must agree with the plain rollup -
+    # distinct customers per grouping, every order joined (the FK is
+    # total), identical across hints.
+    oracle="""
+    WITH g AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS k,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    SELECT k AS groups_repartition, k AS groups_coalesce,
+           n AS joined_rows, CAST(1 AS BIGINT) AS variants_agree
+    FROM g
+    """,
+)
 def sql_hints_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioning-hint surface: the same aggregate written with (a)
     a REPARTITION(8, key) hint (explicit exchange), (b) a COALESCE(2)

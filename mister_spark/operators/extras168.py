@@ -20,7 +20,19 @@ SKEW_DIM = 100_000
 SKEW_HOT_PCT = 45  # percent of fact rows landing on the single hot key
 
 
-@query("j_skew_aqe")  # runtime-adaptive plan demonstration → rows-only
+@query(
+    "j_skew_aqe",
+    # Real oracle: the synthetic skew fixture is data-independent
+    # (400k rows, 45% on hot keys) and AQE's skew split must fire -
+    # a fixed relation.
+    oracle="""
+    SELECT CAST(400000 AS BIGINT) AS fact_rows,
+           CAST(400000 AS BIGINT) AS join_rows,
+           CAST(180000 AS BIGINT) AS hot_key_rows,
+           CAST(1 AS BIGINT) AS skew_split_applied,
+           CAST(1 AS BIGINT) AS skewed_shuffle_reads
+    """,
+)
 def j_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated hot-key stress join under AQE skew splitting.
 
