@@ -3,10 +3,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a cold run that includes plan+IO, then a
-timed run; the reported per-query time is the timed run (steady-state,
-what a resident cluster would see), and "value" is the total timed
-seconds across all headline queries.
+Each query gets one warm run (plan + IO + page cache), then 5 timed
+runs; the reported per-query time is the MEDIAN of the 5 (steady-state,
+robust to host CPU-steal windows), "spread" is max/min of the 5 runs
+per query, and "value" is the total of the medians across all headline
+queries. "baseline_subset_total" is the sum of medians over the 28
+queries pinned in BASELINE.md — the cross-round 2x regression gate.
 """
 
 from __future__ import annotations
@@ -141,15 +143,19 @@ SCALING_QUERIES = [
 ]
 
 
-def _timed(fn, spark, sf_dir: str) -> float:
-    """Warm run (plan + IO + page cache), then best-of-two timed runs."""
+def _run_times(fn, spark, sf_dir: str, n: int) -> list[float]:
+    """Warm run (plan + IO + page cache), then n timed runs."""
     fn(spark, sf_dir).count()
     runs = []
-    for _ in range(2):
+    for _ in range(n):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
+    return runs
+
+
+def _timed(fn, spark, sf_dir: str) -> float:
+    return round(min(_run_times(fn, spark, sf_dir, 2)), 3)
 
 
 def scaling_main() -> None:
@@ -218,18 +224,21 @@ def main() -> None:
     spark = get_session("mister_spark_bench")
     names = [n for n in HEADLINE if n in registry.QUERIES]
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        fn(spark, sf_dir).count()  # warm: plan + file listing + page cache
-        # best of two timed runs: a single run is vulnerable to JIT /
-        # GC pauses landing in the measurement window (observed ±4 s on
-        # the first query of a busy JVM)
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        times[name] = round(min(runs), 3)
+        # Noise-robust protocol (round-6 verdict item 2): one warm run
+        # (plan + file listing + page cache), then median of 5 timed
+        # runs. A single run — or even best-of-two — is vulnerable to
+        # host-level CPU-steal windows (observed 0.2%→5% oscillation
+        # faking a 4x regression on an unchanged query in r06); the
+        # median absorbs one or two bad windows. `spread` = max/min of
+        # the 5 runs is emitted per query so a reader can tell code
+        # regressions (tight spread, shifted median) from measurement
+        # weather (wide spread) without re-running.
+        runs = sorted(_run_times(fn, spark, sf_dir, 5))
+        times[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = round(runs[-1] / max(runs[0], 1e-6), 2)
         # Measurement hygiene: drop caches left by the query and force a
         # full GC OUTSIDE the timed window, so blocks pinned by one
         # query's localCheckpoint/broadcast lineage (ContextCleaner only
@@ -277,6 +286,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spreads,
+                "protocol": "warm run then median-of-5 timed runs per query; spread = max/min of the 5 runs",
                 "writes": writes,
                 "baseline_subset_total": round(
                     sum(times[n] for n in BASELINE_SUBSET if n in times), 3
