@@ -214,6 +214,17 @@ def write_container(
     os.replace(tmp, path)
 
 
+def read_container_meta(path: str) -> dict[str, bytes]:
+    """Return an Avro object container file's key-value metadata map
+    (the header map real Iceberg readers consult for 'schema',
+    'partition-spec-id', 'snapshot-id', ... before decoding records)."""
+    with open(path, "rb") as f:
+        buf = io.BytesIO(f.read(1 << 20))
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"not an Avro object container file: {path}")
+    return _read_datum(buf, {"type": "map", "values": "bytes"})
+
+
 def read_container(path: str) -> tuple[dict, list[dict]]:
     """Read an Avro object container file written with the null codec.
     Returns (writer schema, records)."""

@@ -22,7 +22,12 @@ Spec-conformance notes, stated loudly:
   ``mister_spark.sources.avro`` with the spec's v2 field names and
   field-ids (``manifest_path``/500, ``added_data_files_count``/504,
   ``data_file.record_count``/103, …) embedded in the Avro schema —
-  the layout a real Iceberg reader expects.
+  the layout a real Iceberg reader expects. Each file also carries the
+  spec's required Avro key-value metadata (manifests: ``schema``,
+  ``partition-spec``, ``partition-spec-id``, ``format-version``,
+  ``content``; manifest lists: ``snapshot-id``, ``parent-snapshot-id``,
+  ``sequence-number``, ``format-version``) — the header map Java's
+  ManifestReader/ManifestLists consult before decoding records.
 
 Schema field-ids are assigned in column order (1..N, nested element
 ids after all top-level ids) — the initial-assignment rule the spec
@@ -110,16 +115,55 @@ MANIFEST_ENTRY_SCHEMA = {
 }
 
 
-def _write_manifest(path: str, entries: list[dict]) -> None:
-    write_container(path, MANIFEST_ENTRY_SCHEMA, entries)
+def _write_manifest(
+    path: str,
+    entries: list[dict],
+    table_schema: dict | None = None,
+    content: str = "data",
+) -> None:
+    """Write a manifest with the Avro key-value metadata real Iceberg
+    readers require (Java's ManifestReader calls getMetaString("schema")
+    etc.): table schema JSON, partition spec (fields list + id), format
+    version and manifest content kind."""
+    meta = {
+        "format-version": b"2",
+        "content": content.encode(),
+        "partition-spec": b"[]",  # unpartitioned spec's fields
+        "partition-spec-id": b"0",
+    }
+    if table_schema is not None:
+        meta["schema"] = json.dumps(table_schema).encode()
+        if "schema-id" in table_schema:
+            meta["schema-id"] = str(table_schema["schema-id"]).encode()
+    write_container(path, MANIFEST_ENTRY_SCHEMA, entries, metadata=meta)
 
 
 def _read_manifest(path: str) -> list[dict]:
     return read_container(path)[1]
 
 
-def _write_manifest_list(path: str, recs: list[dict]) -> None:
-    write_container(path, MANIFEST_FILE_SCHEMA, recs)
+def _write_manifest_list(
+    path: str,
+    recs: list[dict],
+    snapshot_id: int | None = None,
+    parent_snapshot_id: int | None = None,
+    sequence_number: int | None = None,
+) -> None:
+    """Manifest lists carry their own required key-value metadata
+    (snapshot-id, sequence-number, format-version; parent-snapshot-id
+    is 'null' for the first snapshot, matching Java's writer)."""
+    meta: dict[str, bytes] = {"format-version": b"2"}
+    if snapshot_id is not None:
+        meta["snapshot-id"] = str(snapshot_id).encode()
+        meta["parent-snapshot-id"] = (
+            b"null"
+            if parent_snapshot_id is None
+            else str(parent_snapshot_id).encode()
+        )
+        meta["sequence-number"] = str(
+            snapshot_id if sequence_number is None else sequence_number
+        ).encode()
+    write_container(path, MANIFEST_FILE_SCHEMA, recs, metadata=meta)
 
 
 def _read_manifest_list(path: str) -> list[dict]:
@@ -269,7 +313,9 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
     # exactly how Iceberg reuses manifests between commits)
     manifest_for_dir: dict[str, dict] = {}
 
-    def manifest(rel_dir: str, abs_dir: str, snapshot_id: int) -> dict:
+    def manifest(
+        rel_dir: str, abs_dir: str, snapshot_id: int, table_schema: dict
+    ) -> dict:
         if rel_dir in manifest_for_dir:
             return manifest_for_dir[rel_dir]
         entries = []
@@ -294,7 +340,7 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
             )
         name = f"manifest-{rel_dir.replace('/', '-')}.avro"
         path = os.path.join(meta_dir, name)
-        _write_manifest(path, entries)
+        _write_manifest(path, entries, table_schema=table_schema)
         rec = {
             "manifest_path": os.path.abspath(path),
             "manifest_length": os.path.getsize(path),
@@ -333,14 +379,21 @@ def export_iceberg(table: SnapshotTable, dest: str) -> str:
         total_files = 0
         for e in m["entries"]:
             abs_dir = os.path.join(table.path, e["dir"])
-            rec = manifest(e["dir"], abs_dir, sid)
+            rec = manifest(
+                e["dir"], abs_dir, sid, schemas[version_schema_id[v]]
+            )
             mlist.append(rec)
             total_rows += rec["added_rows_count"]
             total_files += rec["added_data_files_count"]
         mlist_name = f"snap-{sid}-manifest-list.avro"
         mlist_path = os.path.join(meta_dir, mlist_name)
-        _write_manifest_list(mlist_path, mlist)
         parent = m.get("parent")
+        _write_manifest_list(
+            mlist_path,
+            mlist,
+            snapshot_id=sid,
+            parent_snapshot_id=None if parent is None else parent + 1,
+        )
         snapshots.append(
             {
                 "snapshot-id": sid,
@@ -594,7 +647,12 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
         for fp in del_files
     ]
     dm_path = os.path.join(meta_dir, f"manifest-delete-{new_sid}.avro")
-    _write_manifest(dm_path, entries)
+    cur_schema = next(
+        s
+        for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    _write_manifest(dm_path, entries, table_schema=cur_schema, content="deletes")
     prev_mlist = _read_manifest_list(snap["manifest-list"])
     new_mlist = prev_mlist + [
         {
@@ -614,7 +672,9 @@ def delete_where(spark: SparkSession, dest: str, condition: str) -> dict:
         }
     ]
     mlist_path = os.path.join(meta_dir, f"snap-{new_sid}-manifest-list.avro")
-    _write_manifest_list(mlist_path, new_mlist)
+    _write_manifest_list(
+        mlist_path, new_mlist, snapshot_id=new_sid, parent_snapshot_id=sid
+    )
     # summary total-records is the TABLE total after the commit (the
     # spec's semantics), i.e. live data rows minus every position
     # delete — exact because stacked deletes never duplicate a

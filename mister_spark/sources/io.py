@@ -117,6 +117,24 @@ def _python_avro(spark: SparkSession) -> str:
     return AVRO_FORMAT
 
 
+def _avro_connector_absent(exc: Exception) -> bool:
+    """True only when the failure means the spark-avro jar is missing.
+
+    A genuine JVM-path failure (corrupt file, schema mismatch,
+    permissions) must NOT be swallowed and retried via the pure-Python
+    fallback — that would surface as an unrelated secondary error and
+    mask the root cause. Spark raises 'Failed to find data source:
+    avro' (AnalysisException) / ClassNotFoundException when the
+    connector is absent; only those messages trigger the fallback."""
+    msg = str(exc)
+    return (
+        "Failed to find data source" in msg
+        or "FAILED_REGISTER_PROVIDER" in msg
+        or "ClassNotFoundException" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+    )
+
+
 @_reader("avro")
 def read_avro(spark: SparkSession, path: str, **opts) -> DataFrame:
     """Avro read surface: spark-avro when the jar is on the classpath
@@ -125,7 +143,9 @@ def read_avro(spark: SparkSession, path: str, **opts) -> DataFrame:
     schema from the first file's embedded writer schema."""
     try:
         return spark.read.options(**opts).format("avro").load(path)
-    except Exception:  # connector jar absent → pure-Python fallback
+    except Exception as exc:
+        if not _avro_connector_absent(exc):
+            raise
         return (
             spark.read.format(_python_avro(spark)).options(**opts).load(path)
         )
@@ -135,7 +155,9 @@ def read_avro(spark: SparkSession, path: str, **opts) -> DataFrame:
 def write_avro(df: DataFrame, path: str, **opts) -> None:
     try:
         df.write.mode("overwrite").options(**opts).format("avro").save(path)
-    except Exception:
+    except Exception as exc:
+        if not _avro_connector_absent(exc):
+            raise
         spark = df.sparkSession
         (
             df.write.format(_python_avro(spark))

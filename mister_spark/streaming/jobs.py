@@ -301,14 +301,21 @@ def _sessionize_evict_group(key: tuple, pdfs, state: GroupState):
     for t in times:
         if last_us is None:
             open_sess, open_n, open_start, open_end = 1, 1, t, t
+            last_us = t
         elif t - last_us > GAP_US:
             closed.append((open_sess, open_n, open_start, open_end))
             open_sess += 1
             open_n, open_start, open_end = 1, t, t
+            last_us = t
         else:
+            # In-gap merge. Within a batch `times` is sorted, but a
+            # late-but-within-watermark event in a LATER micro-batch can
+            # arrive with t < last_us; min/max so an out-of-order arrival
+            # can never shrink the session bounds or the eviction timeout.
             open_n += 1
-            open_end = t
-        last_us = t
+            open_start = min(open_start, t)
+            open_end = max(open_end, t)
+            last_us = max(last_us, t)
     state.update((last_us, open_sess, open_n, open_start, open_end))
     # evict once event time passes the gap beyond this key's last event
     state.setTimeoutTimestamp(last_us // 1_000 + GAP_MS)

@@ -116,6 +116,48 @@ def test_metadata_tree_is_spec_shaped(spark, tmp_path, table):
     assert all(r["manifest_path"].endswith(".avro") for r in mlist)
 
 
+def test_manifest_avro_key_value_metadata(spark, tmp_path, table):
+    """Real Iceberg readers require Avro file key-value metadata —
+    Java's ManifestReader calls getMetaString("schema") / "content" /
+    "partition-spec-id"; ManifestLists checks "snapshot-id" /
+    "sequence-number" / "format-version". Assert both file kinds carry
+    them and that the manifest's embedded schema matches the table's."""
+    import json
+
+    from mister_spark.sources.avro import read_container_meta
+
+    dest = str(tmp_path / "ice")
+    export_iceberg(table, dest)
+    md = current_metadata(dest)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    snap = by_id[md["current-snapshot-id"]]
+    ml_meta = read_container_meta(snap["manifest-list"])
+    assert ml_meta["format-version"] == b"2"
+    assert ml_meta["snapshot-id"] == str(md["current-snapshot-id"]).encode()
+    assert int(ml_meta["sequence-number"]) == md["current-snapshot-id"]
+    parent = snap.get("parent-snapshot-id")
+    assert ml_meta["parent-snapshot-id"] == (
+        b"null" if parent is None else str(parent).encode()
+    )
+    from mister_spark.sources.iceberg import _read_manifest_list
+
+    for rec in _read_manifest_list(snap["manifest-list"]):
+        m_meta = read_container_meta(rec["manifest_path"])
+        for key in (
+            "schema", "partition-spec", "partition-spec-id",
+            "format-version", "content",
+        ):
+            assert key in m_meta, key
+        assert m_meta["content"] == b"data"
+        assert m_meta["partition-spec-id"] == b"0"
+        assert json.loads(m_meta["partition-spec"]) == []
+        emb = json.loads(m_meta["schema"].decode())
+        assert emb["type"] == "struct" and emb["fields"]
+        assert any(
+            s["fields"] == emb["fields"] for s in md["schemas"]
+        )
+
+
 def test_stacked_overlapping_deletes_reconcile(spark, tmp_path, table):
     """Two deletes whose predicates overlap: the second must only
     remove rows still live after the first — deleted_rows never

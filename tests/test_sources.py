@@ -176,3 +176,32 @@ def test_avro_fallback_handles_arrays_and_parallel_read(spark, sf_dir):
     assert a[k] == pytest.approx(b[k])
     # the embedded writer schema drives inference: array<float> survives
     assert dict(back.dtypes)["embedding"] == "array<float>"
+
+
+def test_avro_fallback_only_on_connector_absent():
+    """The pure-Python fallback must engage ONLY when the spark-avro
+    jar is missing; a genuine JVM-path failure (corrupt file, schema
+    mismatch, permissions) is re-raised so the root cause isn't masked
+    by an unrelated secondary error from the fallback."""
+    from mister_spark.sources.io import _avro_connector_absent
+
+    # connector-absent shapes (Spark 3.x and 4.x messages)
+    assert _avro_connector_absent(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: avro.")
+    )
+    assert _avro_connector_absent(
+        Exception("Failed to find data source: avro. Avro is built-in...")
+    )
+    assert _avro_connector_absent(
+        Exception("java.lang.ClassNotFoundException: avro.DefaultSource")
+    )
+    # genuine failures with the jar present must re-raise
+    assert not _avro_connector_absent(
+        Exception("org.apache.avro.InvalidAvroMagicException: Not an Avro data file")
+    )
+    assert not _avro_connector_absent(
+        Exception("Incompatible schema: field n_name not found")
+    )
+    assert not _avro_connector_absent(
+        Exception("java.io.IOException: Permission denied")
+    )

@@ -112,6 +112,52 @@ def test_stream_session_state_event_time_eviction(spark, tmp_path):
     assert (3, 1) not in rows
 
 
+def test_stream_session_late_in_gap_event_cannot_shrink_session(spark, tmp_path):
+    """A late-but-within-watermark event that lands INSIDE an open
+    session's gap in a later micro-batch must merge without regressing
+    the session bounds: end_us stays the max event time seen, start_us
+    the min, and the eviction timeout is keyed off the max (an
+    out-of-order arrival must not shorten it)."""
+    import datetime as dt
+    import os
+
+    from mister_spark.streaming.jobs import run_stream_sessionize_evicting
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        p = str(tmp_path / "staging" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        part = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+        dest = str(tmp_path / "in" / f"{name}.parquet")
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        os.rename(os.path.join(p, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # batch 1: user 1 at 00:00 and 00:05 -> open session, last=00:05
+    write_file("f1", [(1, mins(0)), (1, mins(5))], 1_700_000_000)
+    # batch 2: late in-gap event at 00:03 (watermark after batch 1 is
+    # 00:05 - 10 min < 00:03, so it is NOT dropped) — must merge
+    # without moving end_us back to 00:03 or shortening the timeout
+    write_file("f2", [(1, mins(3))], 1_700_000_010)
+    # batch 3: far-future dummy to push the watermark past user 1's
+    # 00:05 + 30 min gap and evict the session
+    write_file("f3", [(9, mins(240))], 1_700_000_020)
+
+    out = run_stream_sessionize_evicting(
+        spark, str(tmp_path / "in"), watermark="10 minutes"
+    ).collect()
+    rows = {(r["user_id"], r["sess_id"]): r for r in out}
+    r1 = rows[(1, 1)]
+    assert r1["closed_by_timeout"] == 1
+    assert r1["n_events"] == 3
+    assert r1["start_us"] == int(t0.timestamp() * 1e6)
+    # the regression under test: end_us must be 00:05, not the late 00:03
+    assert r1["end_us"] == int(mins(5).timestamp() * 1e6)
+
+
 def test_stream_foreach_batch_sink(spark):
     import os
 
