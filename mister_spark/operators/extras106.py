@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
 from mister_spark.operators.common import cat, money, ratio
+from mister_spark.operators.duck_linalg import duck_spd_solve
 from mister_spark.registry import query
 
 SPLIT_DATE = "1998-01-01"  # mid-corpus split for the paired designs
@@ -162,7 +163,61 @@ def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_spline_regression")  # normal-equation solve → rows-only
+@query(
+    "ml_spline_regression",
+    # Real oracle: the 5×5 hinge-basis normal equations assembled from
+    # the same sufficient sums and solved by the shared Cholesky
+    # recursion; the 2×2 line fit is inline Cramer. Slopes/RMSE land
+    # on the operator's rounding grids.
+    oracle=f"""
+    WITH RECURSIVE
+    li AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem),
+    fx AS (SELECT [CAST(1.0 AS DOUBLE), x,
+                   GREATEST(x - 15.0, 0.0), GREATEST(x - 30.0, 0.0),
+                   GREATEST(x - 40.0, 0.0)] AS f, y
+           FROM li),
+    st AS (SELECT p.i AS i, p.j AS j, SUM(f[p.i] * f[p.j]) AS g
+           FROM fx CROSS JOIN LATERAL (
+             SELECT i.i AS i, j.j AS j
+             FROM (SELECT unnest(range(1, 6)) AS i) i,
+                  (SELECT unnest(range(1, 6)) AS j) j) p
+           GROUP BY p.i, p.j),
+    mat AS (SELECT list(row ORDER BY i) AS a FROM (
+        SELECT i, list(g ORDER BY j) AS row FROM st GROUP BY i) z),
+    xy AS (SELECT list(s ORDER BY i) AS v FROM (
+        SELECT u.i AS i, SUM(f[u.i] * y) AS s
+        FROM fx CROSS JOIN LATERAL (SELECT unnest(range(1, 6)) AS i) u
+        GROUP BY u.i) z),
+    rhs AS (SELECT [v] AS b FROM xy),
+    nyy AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y * y) AS yy
+            FROM fx),
+    {duck_spd_solve(5, 1)},
+    fit AS (SELECT sol.x[1] AS beta,
+                   nyy.yy - list_aggregate(list_transform(range(1, 6),
+                     i -> sol.x[1][i] * xy.v[i]), 'sum') AS sse_spline,
+                   m.a[1][1] * m.a[2][2] - m.a[1][2] * m.a[2][1] AS det,
+                   (xy.v[1] * m.a[2][2] - m.a[1][2] * xy.v[2]) AS w0n,
+                   (m.a[1][1] * xy.v[2] - m.a[2][1] * xy.v[1]) AS w1n,
+                   nyy.n AS n, nyy.yy AS yy
+            FROM sol CROSS JOIN xy CROSS JOIN nyy CROSS JOIN mat m),
+    fin AS (SELECT beta, sse_spline, n,
+                   yy - (w0n / det * (SELECT v[1] FROM xy)
+                         + w1n / det * (SELECT v[2] FROM xy)) AS sse_line
+            FROM fit)
+    SELECT CAST(s.seg AS BIGINT) AS segment,
+           s.lo AS x_lo, s.hi AS x_hi,
+           FLOOR((beta[2] + COALESCE(list_aggregate(
+             list_transform(range(3, s.seg + 3), k -> beta[k]), 'sum'),
+             0.0)) * 1e4 + 0.5) / 1e4 AS slope,
+           FLOOR(SQRT(sse_spline / n) * 1e4 + 0.5) / 1e4 AS rmse_spline,
+           FLOOR(SQRT(sse_line / n) * 1e4 + 0.5) / 1e4 AS rmse_line
+    FROM fin CROSS JOIN (VALUES (0, 0.0, 15.0), (1, 15.0, 30.0),
+                                (2, 30.0, 40.0), (3, 40.0, 1e9))
+      AS s(seg, lo, hi)
+    """,
+)
 def ml_spline_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Piecewise-linear spline regression of extendedprice on
     quantity with hinge basis max(0, x−k) at knots {k}: the design
@@ -206,12 +261,16 @@ def ml_spline_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = np.linalg.solve(XX2, Xy2)
     sse_line = float(row["yy"] - b2 @ Xy2)
     # segment slopes: derivative accumulates hinge coefficients
+    import math
+
     bounds = [0.0] + list(SPLINE_KNOTS)
     out = []
-    slope = beta[1]
     for seg in range(len(bounds)):
-        if seg > 0:
-            slope += beta[1 + seg]
+        # slope as the oracle computes it: beta[1] + Σ hinge coefs,
+        # left-to-right (identical double arithmetic both engines)
+        slope = beta[1]
+        for k in range(seg):
+            slope = slope + beta[2 + k]
         lo = bounds[seg]
         hi = bounds[seg + 1] if seg + 1 < len(bounds) else float("inf")
         out.append(
@@ -219,9 +278,9 @@ def ml_spline_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seg,
                 lo,
                 hi if hi != float("inf") else 1e9,
-                round(float(slope), 4),
-                round((sse_spline / n) ** 0.5, 4),
-                round((sse_line / n) ** 0.5, 4),
+                math.floor(float(slope) * 1e4 + 0.5) / 1e4,
+                math.floor((sse_spline / n) ** 0.5 * 1e4 + 0.5) / 1e4,
+                math.floor((sse_line / n) ** 0.5 * 1e4 + 0.5) / 1e4,
             )
         )
     return spark.createDataFrame(

@@ -32,7 +32,109 @@ WALKS_PER_NODE = 2
 FC_H = 7
 
 
-@query("ml_ridge_path")  # driver solves over one stats pass → rows-only
+def _det3(c1, c2, c3) -> str:
+    """SQL string: determinant of the 3×3 matrix with columns c1..c3
+    (each a 3-tuple of scalar SQL expressions)."""
+    (a, d, g), (b, e, h), (c, f, i) = c1, c2, c3
+    return (
+        f"({a}*({e}*{i}-{f}*{h}) - {b}*({d}*{i}-{f}*{g})"
+        f" + {c}*({d}*{h}-{e}*{g}))"
+    )
+
+
+def _ridge_path_oracle() -> str:
+    """Standardized 3×3 ridge path in pure SQL: sufficient statistics,
+    closed-form symmetric eigenvalues (trigonometric cubic — agrees
+    with LAPACK to ~1e-10, absorbed by the 1e-4 df grid), and per-λ
+    Cramer solves. No recursion needed at p = 3."""
+    col1 = ("a11", "a12", "a13")
+    col2 = ("a12", "a22", "a23")
+    col3 = ("a13", "a23", "a33")
+    cyc = ("cy1", "cy2", "cy3")
+    det = _det3(col1, col2, col3)
+    b1 = f"{_det3(cyc, col2, col3)} / {det}"
+    b2 = f"{_det3(col1, cyc, col3)} / {det}"
+    b3 = f"{_det3(col1, col2, cyc)} / {det}"
+    bcol1 = ("b11", "b12", "b13")
+    bcol2 = ("b12", "b22", "b23")
+    bcol3 = ("b13", "b23", "b33")
+    detb = _det3(bcol1, bcol2, bcol3)
+    lams = ", ".join(f"({v!r})" for v in RIDGE_LAMBDAS)
+    return f"""
+    WITH f AS (SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+                      CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS x2,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS DOUBLE) AS x3,
+                      CAST(o_totalprice AS DOUBLE) AS y
+               FROM orders),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 AVG(x1) AS m1, AVG(x2) AS m2, AVG(x3) AS m3,
+                 STDDEV_SAMP(x1) AS s1, STDDEV_SAMP(x2) AS s2,
+                 STDDEV_SAMP(x3) AS s3, AVG(y) AS my,
+                 SUM(x1*x1) AS xx11, SUM(x1*x2) AS xx12,
+                 SUM(x1*x3) AS xx13, SUM(x2*x2) AS xx22,
+                 SUM(x2*x3) AS xx23, SUM(x3*x3) AS xx33,
+                 SUM(x1*y) AS xy1, SUM(x2*y) AS xy2, SUM(x3*y) AS xy3,
+                 SUM(y*y) AS yy
+          FROM f),
+    c AS (SELECT n,
+                 (xx11 - n*m1*m1)/(s1*s1) AS c11,
+                 (xx12 - n*m1*m2)/(s1*s2) AS c12,
+                 (xx13 - n*m1*m3)/(s1*s3) AS c13,
+                 (xx22 - n*m2*m2)/(s2*s2) AS c22,
+                 (xx23 - n*m2*m3)/(s2*s3) AS c23,
+                 (xx33 - n*m3*m3)/(s3*s3) AS c33,
+                 (xy1 - n*m1*my)/s1 AS cy1,
+                 (xy2 - n*m2*my)/s2 AS cy2,
+                 (xy3 - n*m3*my)/s3 AS cy3,
+                 yy - n*my*my AS syy
+          FROM s),
+    e0 AS (SELECT c.*, (c11 + c22 + c33) / 3 AS q,
+                  SQRT(((c11-(c11+c22+c33)/3)*(c11-(c11+c22+c33)/3)
+                        + (c22-(c11+c22+c33)/3)*(c22-(c11+c22+c33)/3)
+                        + (c33-(c11+c22+c33)/3)*(c33-(c11+c22+c33)/3)
+                        + 2*(c12*c12 + c13*c13 + c23*c23)) / 6) AS pp
+           FROM c),
+    e1 AS (SELECT e0.*, (c11-q)/pp AS b11, c12/pp AS b12, c13/pp AS b13,
+                  (c22-q)/pp AS b22, c23/pp AS b23, (c33-q)/pp AS b33
+           FROM e0),
+    e2 AS (SELECT e1.*,
+                  ACOS(LEAST(GREATEST({detb} / 2, -1.0), 1.0)) / 3 AS phi
+           FROM e1),
+    ev AS (SELECT e2.*, q + 2*pp*COS(phi) AS ev1,
+                  q + 2*pp*COS(phi + 2.0943951023931953) AS ev3
+           FROM e2),
+    lp AS (SELECT ev.*, lv.lam AS lam,
+                  c11 + lv.lam AS a11, c12 AS a12, c13 AS a13,
+                  c22 + lv.lam AS a22, c23 AS a23, c33 + lv.lam AS a33
+           FROM ev CROSS JOIN (VALUES {lams}) AS lv(lam)),
+    bt AS (SELECT lp.*, {b1} AS bb1, {b2} AS bb2, {b3} AS bb3 FROM lp),
+    gv AS (SELECT lam, n, syy,
+                  SQRT(bb1*bb1 + bb2*bb2 + bb3*bb3) AS coef_norm,
+                  syy - 2*(bb1*cy1 + bb2*cy2 + bb3*cy3)
+                      + (bb1*(c11*bb1 + c12*bb2 + c13*bb3)
+                         + bb2*(c12*bb1 + c22*bb2 + c23*bb3)
+                         + bb3*(c13*bb1 + c23*bb2 + c33*bb3)) AS sse,
+                  CASE WHEN lam > 0
+                       THEN ev1/(ev1+lam)
+                            + (3*q - ev1 - ev3)/((3*q - ev1 - ev3)+lam)
+                            + ev3/(ev3+lam)
+                       ELSE 3.0 END AS df
+           FROM bt),
+    gg AS (SELECT lam, coef_norm, sse / syy AS sse_ratio, df,
+                  sse / ((n - df) * (n - df)) AS gcv
+           FROM gv),
+    g0 AS (SELECT gcv AS gcv0 FROM gg WHERE lam = 0)
+    SELECT lam,
+           FLOOR(coef_norm * 1e6 + 0.5) / 1e6 AS coef_norm,
+           FLOOR(sse_ratio * 1e6 + 0.5) / 1e6 AS sse_ratio,
+           FLOOR(df * 1e4 + 0.5) / 1e4 AS eff_df,
+           FLOOR(gcv / gcv0 * 1e8 + 0.5) / 1e8 AS gcv_rel
+    FROM gg CROSS JOIN g0
+    """
+
+
+@query("ml_ridge_path", oracle=_ridge_path_oracle())
 def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ridge regularization path for predicting order totalprice from
     (weekday, priority, epoch-day) — one XᵀX/Xᵀy sufficient-statistics
@@ -94,14 +196,18 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         sse = float(syy - 2 * beta @ cy + beta @ C @ beta)
         df = float(np.sum(evals / (evals + lam))) if lam > 0 else float(p)
         path.append((lam, beta, sse, df, sse / (n - df) ** 2))
+    import math
+
     gcv0 = path[0][4]
+    # floor-grid rounding (common.rnd's form) — identical double
+    # arithmetic to the oracle's FLOOR(x*10^n+0.5)/10^n
     out = [
         (
             float(lam),
-            round(float(np.linalg.norm(beta)), 6),
-            round(sse / syy, 6),
-            round(df, 4),
-            round(gcv / gcv0, 8),
+            math.floor(float(np.linalg.norm(beta)) * 1e6 + 0.5) / 1e6,
+            math.floor(sse / syy * 1e6 + 0.5) / 1e6,
+            math.floor(df * 1e4 + 0.5) / 1e4,
+            math.floor(gcv / gcv0 * 1e8 + 0.5) / 1e8,
         )
         for lam, beta, sse, df, gcv in path
     ]

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_emb_cov_inverse
 from mister_spark.operators.extras84 import _emb_cov_stats
 from mister_spark.registry import query
 
@@ -72,7 +73,29 @@ def sql_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_mardia_kurtosis")  # matrix inverse → rows-only; numpy replay
+@query(
+    "stat_mardia_kurtosis",
+    # Real oracle: (S + 1e-9·I)⁻¹ via the shared Cholesky recursion,
+    # then b₂ as the mean squared per-row quadratic form — all plain
+    # SQL; the 1e-4 grid absorbs Cholesky-vs-LU float drift.
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_emb_cov_inverse(1e-9)},
+    q2 AS (SELECT AVG(q * q) AS b2 FROM (
+             SELECT list_aggregate(list_transform(range(1, 65), i ->
+                      (e.v[i] - mx.mu[i])
+                      * list_aggregate(list_transform(range(1, 65), j ->
+                          sol.x[i][j] * (e.v[j] - mx.mu[j])), 'sum')),
+                      'sum') AS q
+             FROM ex e CROSS JOIN emu mx CROSS JOIN sol) z)
+    SELECT CAST(nx.n AS BIGINT) AS n, CAST(64 AS BIGINT) AS dim,
+           FLOOR(q2.b2 * 1e4 + 0.5) / 1e4 AS b2,
+           CAST(64 * 66 AS DOUBLE) AS expected,
+           FLOOR((q2.b2 - 64 * 66) / SQRT(8.0 * 64 * 66 / nx.n) * 1e4 + 0.5)
+             / 1e4 AS z
+    FROM q2 CROSS JOIN enn nx
+    """,
+)
 def stat_mardia_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mardia's multivariate kurtosis for the embedding corpus:
     b₂ = mean[((x−μ)ᵀS⁻¹(x−μ))²]; under multivariate normality
@@ -107,12 +130,16 @@ def stat_mardia_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = sum(r["s"] for r in rows) / sum(r["c"] for r in rows)
     expected = d * (d + 2)
     z = (b2 - expected) / (8.0 * d * (d + 2) / n) ** 0.5
+    import math
+
+    # floor-grid rounding (common.rnd's form) — identical double
+    # arithmetic to the oracle's FLOOR(x*1e4+0.5)/1e4
     row = (
         int(n),
         d,
-        round(b2, 4),
+        math.floor(b2 * 1e4 + 0.5) / 1e4,
         float(expected),
-        round(z, 4),
+        math.floor(z * 1e4 + 0.5) / 1e4,
     )
     return spark.createDataFrame(
         [row], "n long, dim long, b2 double, expected double, z double"

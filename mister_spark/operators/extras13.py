@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from mister_spark.functions.ranks import global_rank
 from mister_spark.functions.text import DUCK_TOKENS, tokens
 from mister_spark.operators.common import cat, money, rnd
+from mister_spark.operators.duck_linalg import duck_spd_solve
 from mister_spark.registry import query
 
 BOOL_TERMS = ("data", "query", "table")
@@ -235,7 +236,40 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_ridge")  # float linear solve → rows-only; pytest vs numpy
+@query(
+    "ml_ridge",
+    # Real oracle: the 65×65 ridge normal equations assembled from the
+    # same Gramian sums and solved by the shared Cholesky recursion
+    # (duck_linalg.duck_spd_solve); the 1e-6 weight grid absorbs the
+    # ~1e-13 Cholesky-vs-LU float drift on this ridge-conditioned
+    # system.
+    oracle=f"""
+    WITH RECURSIVE
+    exr AS (SELECT list_append(CAST(embedding AS DOUBLE[]),
+                               CAST(1.0 AS DOUBLE)) AS xv,
+                   CAST(label % 2 AS DOUBLE) AS y
+            FROM embeddings),
+    gram AS (SELECT p.i AS i, p.j AS j, SUM(xv[p.i] * xv[p.j]) AS g
+             FROM exr CROSS JOIN LATERAL (
+               SELECT i.i AS i, j.j AS j
+               FROM (SELECT unnest(range(1, 66)) AS i) i,
+                    (SELECT unnest(range(1, 66)) AS j) j) p
+             GROUP BY p.i, p.j),
+    mat AS (SELECT list(row ORDER BY i) AS a FROM (
+        SELECT i, list(g + CASE WHEN i = j THEN {RIDGE_LAMBDA!r}
+                               ELSE 0.0 END ORDER BY j) AS row
+        FROM gram GROUP BY i) z),
+    rhs AS (SELECT [list(s ORDER BY i)] AS b FROM (
+        SELECT u.i AS i, SUM(xv[u.i] * y) AS s
+        FROM exr CROSS JOIN LATERAL
+          (SELECT unnest(range(1, 66)) AS i) u
+        GROUP BY u.i) z),
+    {duck_spd_solve(65, 1)}
+    SELECT CAST(u.i - 1 AS INT) AS dim,
+           FLOOR(sol.x[1][u.i] * 1e6 + 0.5) / 1e6 AS weight
+    FROM sol CROSS JOIN LATERAL (SELECT unnest(range(1, 66)) AS i) u
+    """,
+)
 def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form ridge regression (λ=1) of label%2 on the embedding:
     the normal equations (XᵀX + λI)w = Xᵀy solved on the driver from

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio, rnd
+from mister_spark.operators.duck_linalg import duck_emb_cov_inverse
 from mister_spark.registry import query
 
 HUBER_DELTA = 1.345
@@ -232,7 +233,26 @@ def _emb_cov_stats(spark: SparkSession, sf_dir: str):
     return n, mu, cov
 
 
-@query("ml_mahalanobis_outliers")  # matrix inverse → rows-only; numpy replay
+@query(
+    "ml_mahalanobis_outliers",
+    # Real oracle: Σ+ridge·I inverted by the shared Cholesky recursion
+    # (duck_linalg, 64 identity RHS), then the per-row quadratic form
+    # and top-20 in plain SQL; the 1e-4 grid absorbs the ~1e-13
+    # Cholesky-vs-LU float drift.
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_emb_cov_inverse(1e-6)},
+    d2 AS (SELECT e.vec_id AS vec_id,
+                  list_aggregate(list_transform(range(1, 65), i ->
+                    (e.v[i] - mx.mu[i])
+                    * list_aggregate(list_transform(range(1, 65), j ->
+                        sol.x[i][j] * (e.v[j] - mx.mu[j])), 'sum')),
+                    'sum') AS q
+           FROM ex e CROSS JOIN emu mx CROSS JOIN sol)
+    SELECT vec_id, FLOOR(q * 1e4 + 0.5) / 1e4 AS d2
+    FROM d2 ORDER BY 2 DESC, vec_id LIMIT 20
+    """,
+)
 def ml_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{top} multivariate outliers among the embeddings by squared
     Mahalanobis distance (x−μ)ᵀ Σ⁻¹ (x−μ) — the covariance-corrected

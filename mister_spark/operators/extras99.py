@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_spd_solve
 from mister_spark.operators.extras84 import _emb_cov_stats
 from mister_spark.registry import query
 
@@ -67,7 +68,68 @@ def sql_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_hotelling_t2")  # matrix inverse → rows-only; numpy replay
+@query(
+    "stat_hotelling_t2",
+    # Real oracle: per-parity sufficient statistics (sums + raw
+    # second moments) assemble the pooled ridge-regularized scatter
+    # as a DOUBLE[][] literal-shaped CTE, and the d×d solve runs as
+    # the shared Cholesky recursion (duck_linalg.duck_spd_solve) —
+    # the same algebra numpy's LU performs, agreeing to ~1e-13 which
+    # the 1e-4 output grid absorbs.
+    oracle=f"""
+    WITH RECURSIVE
+    ex AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+                  CAST(label % 2 AS INT) AS g
+           FROM embeddings),
+    cnt AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n FROM ex GROUP BY g),
+    sums AS (SELECT g, u.dim AS dim, SUM(v[u.dim]) AS s
+             FROM ex CROSS JOIN LATERAL
+               (SELECT unnest(range(1, 65)) AS dim) u
+             GROUP BY g, u.dim),
+    ssq AS (SELECT g, p.i AS i, p.j AS j, SUM(v[p.i] * v[p.j]) AS ss
+            FROM ex CROSS JOIN LATERAL (
+              SELECT i.i AS i, j.j AS j
+              FROM (SELECT unnest(range(1, 65)) AS i) i,
+                   (SELECT unnest(range(1, 65)) AS j) j) p
+            GROUP BY g, p.i, p.j),
+    tot AS (SELECT SUM(n) AS n FROM cnt),
+    mat AS (SELECT list(row ORDER BY i) AS a FROM (
+        SELECT z.i AS i, list(z.val ORDER BY z.j) AS row FROM (
+          SELECT q.i, q.j,
+                 SUM(q.ss - si.s * sj.s / c.n) / (t.n - 2)
+                 + CASE WHEN q.i = q.j THEN {T2_RIDGE} ELSE 0.0 END AS val
+          FROM ssq q
+          JOIN cnt c USING (g)
+          JOIN sums si ON si.g = q.g AND si.dim = q.i
+          JOIN sums sj ON sj.g = q.g AND sj.dim = q.j
+          CROSS JOIN tot t
+          GROUP BY q.i, q.j, t.n) z
+        GROUP BY z.i) zz),
+    dif AS (SELECT list(d ORDER BY dim) AS diff FROM (
+        SELECT s0.dim AS dim, s0.s / c0.n - s1.s / c1.n AS d
+        FROM sums s0 JOIN sums s1 ON s0.dim = s1.dim
+                     AND s0.g = 0 AND s1.g = 1
+        CROSS JOIN (SELECT n FROM cnt WHERE g = 0) c0
+        CROSS JOIN (SELECT n FROM cnt WHERE g = 1) c1) q),
+    rhs AS (SELECT [diff] AS b FROM dif),
+    {duck_spd_solve(64, 1)},
+    t2v AS (SELECT (c0.n * c1.n) / (c0.n + c1.n)
+                   * list_aggregate(list_transform(range(1, 65),
+                       i -> dif.diff[i] * sol.x[1][i]), 'sum') AS t2,
+                   c0.n AS n0, c1.n AS n1
+            FROM sol CROSS JOIN dif
+            CROSS JOIN (SELECT n FROM cnt WHERE g = 0) c0
+            CROSS JOIN (SELECT n FROM cnt WHERE g = 1) c1)
+    SELECT CAST(n0 AS BIGINT) AS n_even, CAST(n1 AS BIGINT) AS n_odd,
+           CAST(64 AS BIGINT) AS dim,
+           FLOOR(t2 * 1e4 + 0.5) / 1e4 AS t2,
+           FLOOR(t2 * (n0 + n1 - 64 - 1) / (64 * (n0 + n1 - 2)) * 1e4 + 0.5)
+             / 1e4 AS f_stat,
+           CAST(64 AS BIGINT) AS df1,
+           CAST(n0 + n1 - 64 - 1 AS BIGINT) AS df2
+    FROM t2v
+    """,
+)
 def stat_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotelling's T² two-sample test between even- and odd-labeled
     embedding populations: T² = (nm/(n+m))·(μ₁−μ₂)ᵀ S_pooled⁻¹
@@ -124,12 +186,16 @@ def stat_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n1 * n2) / (n1 + n2) * diff @ np.linalg.solve(sp, diff)
     )
     fstat = t2 * (n1 + n2 - d - 1) / (d * (n1 + n2 - 2))
+    # floor-grid rounding (common.rnd's form) so the DuckDB oracle's
+    # FLOOR(x*1e4+0.5)/1e4 is the identical double arithmetic
+    import math
+
     row = (
         int(n1),
         int(n2),
         d,
-        round(t2, 4),
-        round(fstat, 4),
+        math.floor(t2 * 1e4 + 0.5) / 1e4,
+        math.floor(fstat * 1e4 + 0.5) / 1e4,
         d,
         int(n1 + n2 - d - 1),
     )
