@@ -119,7 +119,82 @@ stat_prediction_interval.__doc__ = stat_prediction_interval.__doc__.format(
 )
 
 
-@query("ml_label_spreading")  # iterative graph propagation → rows-only
+@query(
+    "ml_label_spreading",
+    # Real oracle: the mutual-cosine kNN graph (deterministic
+    # sim-desc/vec_id tie-break), the 5+5 lowest-vec_id seed pick and
+    # all {it} clamped propagation rounds replay as SQL — the
+    # propagation is a recursive CTE pulling each node's neighbor
+    # mean per round.
+    oracle=f"""
+    WITH RECURSIVE
+    ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  CAST(label % 2 AS INT) AS y
+           FROM embeddings),
+    nrm AS (SELECT vec_id, y, list_transform(v, x -> x /
+              GREATEST(SQRT(list_aggregate(list_transform(v,
+                z -> z * z), 'sum')), 1e-12)) AS u
+            FROM ex),
+    knn AS (SELECT a, b FROM (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_aggregate(list_transform(range(1, 65),
+                   i -> a.u[i] * b.u[i]), 'sum') DESC, b.vec_id) AS rn
+        FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id) q
+      WHERE rn <= {LS_KNN}),
+    seeds AS (SELECT vec_id, y FROM (
+        SELECT vec_id, y,
+               ROW_NUMBER() OVER (PARTITION BY y ORDER BY vec_id) AS rc
+        FROM (SELECT vec_id, y,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+              FROM ex) q
+        WHERE rn <= {10 * LS_SEEDS_PER_CLASS}) z
+      WHERE rc <= {LS_SEEDS_PER_CLASS}),
+    prop AS (
+      SELECT 0 AS it, e.vec_id AS vec_id,
+             CASE WHEN sd.vec_id IS NOT NULL AND sd.y = 0
+                  THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS f0,
+             CASE WHEN sd.vec_id IS NOT NULL AND sd.y = 1
+                  THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS f1
+      FROM ex e LEFT JOIN seeds sd ON e.vec_id = sd.vec_id
+      UNION ALL
+      SELECT q.it, q.vec_id,
+             CASE WHEN sd.vec_id IS NOT NULL
+                  THEN CASE WHEN sd.y = 0 THEN 1.0 ELSE 0.0 END
+                  ELSE q.m0 END,
+             CASE WHEN sd.vec_id IS NOT NULL
+                  THEN CASE WHEN sd.y = 1 THEN 1.0 ELSE 0.0 END
+                  ELSE q.m1 END
+      FROM (SELECT p.it + 1 AS it, k.a AS vec_id,
+                   AVG(p.f0) AS m0, AVG(p.f1) AS m1
+            FROM prop p JOIN knn k ON p.vec_id = k.b
+            WHERE p.it < {LS_ITERS}
+            GROUP BY p.it, k.a) q
+      LEFT JOIN seeds sd ON q.vec_id = sd.vec_id
+    ),
+    fin AS (SELECT p.vec_id, p.f0, p.f1, e.y,
+                   sd.vec_id IS NOT NULL AS is_seed
+            FROM prop p JOIN ex e ON p.vec_id = e.vec_id
+            LEFT JOIN seeds sd ON p.vec_id = sd.vec_id
+            WHERE p.it = {LS_ITERS}),
+    m AS (SELECT
+        (SELECT COUNT(*) FROM seeds) AS n_seeds,
+        COUNT(*) FILTER (WHERE f0 + f1 > 0 AND NOT is_seed) AS spread,
+        CAST(COUNT(*) FILTER (WHERE f0 + f1 > 0 AND NOT is_seed)
+             AS DOUBLE) / COUNT(*) AS coverage,
+        CAST(COUNT(*) FILTER (WHERE f0 + f1 > 0 AND NOT is_seed
+               AND (CASE WHEN f1 > f0 THEN 1 ELSE 0 END) = y)
+             AS DOUBLE)
+          / NULLIF(COUNT(*) FILTER (WHERE f0 + f1 > 0
+                                      AND NOT is_seed), 0) AS acc
+        FROM fin)
+    SELECT CAST(n_seeds AS BIGINT) AS seeds,
+           CAST(spread AS BIGINT) AS spread_to,
+           FLOOR(coverage * 1e4 + 0.5) / 1e4 AS coverage,
+           FLOOR(COALESCE(acc, 0.0) * 1e4 + 0.5) / 1e4 AS accuracy
+    FROM m
+    """,
+)
 def ml_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spreading: keep {s} labeled seeds per
     class (lowest vec_ids of each parity label), build the mutual
@@ -148,7 +223,12 @@ def ml_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation at scale is the LSH/IVF bucket join, same downstream
     S = Xn @ Xn.T
     np.fill_diagonal(S, -np.inf)
-    nn = np.argsort(-S, axis=1)[:, :LS_KNN]
+    # deterministic tie-break: (similarity desc, vec_id asc) — exact
+    # duplicate embeddings produce exact cosine ties, and an unstable
+    # argsort would make the neighbor set engine-dependent
+    nn = np.array(
+        [np.lexsort((ids, -S[i]))[:LS_KNN] for i in range(len(ids))]
+    )
     seeds = {}
     for cls in (0, 1):
         for i in np.argsort(ids)[: 10 * LS_SEEDS_PER_CLASS]:
@@ -170,12 +250,15 @@ def ml_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = assigned & ~np.isin(
         np.arange(len(ids)), list(seeds.keys())
     )
+    import math
+
     acc = float((pred[mask] == y[mask]).mean()) if mask.any() else 0.0
+    # floor-grid rounding — identical double arithmetic to the oracle
     row = (
         len(seeds),
         int(mask.sum()),
-        round(float(mask.mean()), 4),
-        round(acc, 4),
+        math.floor(float(mask.mean()) * 1e4 + 0.5) / 1e4,
+        math.floor(acc * 1e4 + 0.5) / 1e4,
     )
     return spark.createDataFrame(
         [row],

@@ -216,8 +216,132 @@ def ml_roc_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_roc_hull.__doc__ = ml_roc_hull.__doc__.format(b=ROC_BINS, c=ROC_COST_FN_FP)
 
 
-@query("ev_synthetic_control")  # rows-only: projected-gradient weight
-# fit on the driver over donor-day matrices; pytest gates pre-fit error.
+def _sc_oracle() -> str:
+    """Projected-gradient synthetic control replayed as a recursive
+    CTE: the donor×day matrix, treated series and Frobenius step size
+    are list-valued CTEs; each of the {s} steps is one gradient
+    update plus the exact sort/cumsum simplex projection in list ops.
+    The projection is continuous in w, so a borderline rho flip
+    cannot move the output; the 1e-2/1e-3 grids absorb float drift.
+    """.format(s=SC_STEPS)
+    k = "len(xm.m)"
+    nd = "len(tr.y)"
+    # v_t = (Xpreᵀ w − ypre)_t ; g_s = (Xpre v)_s — pre-period only
+    v = (
+        "list_transform(range(1, mm.mid + 1), t -> "
+        "list_aggregate(list_transform(range(1, {k} + 1), s2 -> "
+        "xm.m[s2][t] * s.w[s2]), 'sum') - tr.y[t])".format(k=k)
+    )
+    g = (
+        "list_transform(range(1, {k} + 1), s2 -> "
+        "list_aggregate(list_transform(range(1, mm.mid + 1), t -> "
+        "xm.m[s2][t] * lv.v[t]), 'sum'))".format(k=k)
+    )
+    return f"""
+    WITH RECURSIVE
+    base AS (SELECT 'src' || CAST(user_id % 20 AS VARCHAR) AS seg,
+                    date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) AS t,
+                    SUM(value) AS y
+             FROM events WHERE event_type = 'purchase'
+             GROUP BY 1, 2),
+    days AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) AS INT) AS ti
+             FROM (SELECT DISTINCT t FROM base) q),
+    segs AS (SELECT seg, CAST(ROW_NUMBER() OVER (ORDER BY seg) AS INT)
+                    AS si
+             FROM (SELECT DISTINCT seg FROM base) q),
+    dense AS (SELECT sg.seg, sg.si, dy.ti,
+                     COALESCE(b.y, CAST(0.0 AS DOUBLE)) AS y0
+              FROM segs sg CROSS JOIN days dy
+              LEFT JOIN base b ON b.seg = sg.seg AND b.t = dy.t),
+    tr0 AS (SELECT list(y0 ORDER BY ti) AS y FROM dense
+            WHERE seg = '{SC_TREATED}'),
+    mm AS (SELECT CAST(len(y) // 2 AS INT) AS mid, len(y) AS nd
+           FROM tr0),
+    tr AS (SELECT list_slice(y, 1, mm.mid) AS y, t0.y AS yall
+           FROM tr0 t0 CROSS JOIN mm),
+    xall AS (SELECT list(row ORDER BY si) AS m FROM (
+        SELECT si, list(y0 ORDER BY ti) AS row FROM dense
+        WHERE seg <> '{SC_TREATED}' GROUP BY si) q),
+    xm AS (SELECT list_transform(m, r -> list_slice(r, 1, mm.mid)) AS m,
+                  xall.m AS mall
+           FROM xall CROSS JOIN mm),
+    lr AS (SELECT 1.0 / (SQRT(list_aggregate(list_transform(
+             range(1, {k} + 1), i -> list_aggregate(list_transform(
+               range(1, {k} + 1), j -> list_aggregate(list_transform(
+                 range(1, mm.mid + 1), t -> xm.m[i][t] * xm.m[j][t]),
+                 'sum') * list_aggregate(list_transform(
+                 range(1, mm.mid + 1), t -> xm.m[i][t] * xm.m[j][t]),
+                 'sum')), 'sum')), 'sum')) + 1e-9) AS lr
+           FROM xm CROSS JOIN mm),
+    pg AS (
+      SELECT 0 AS it,
+             list_transform(range(1, {k} + 1),
+                            i -> 1.0 / {k}) AS w
+      FROM xm
+      UNION ALL
+      SELECT s.it + 1, lw.wnew
+      FROM pg s CROSS JOIN xm CROSS JOIN mm CROSS JOIN tr CROSS JOIN lr
+      CROSS JOIN LATERAL (SELECT {v} AS v) lv
+      CROSS JOIN LATERAL (SELECT list_transform(range(1, {k} + 1),
+        i -> s.w[i] - lr.lr * ({g})[i]) AS w2) lw2
+      CROSS JOIN LATERAL (SELECT list_sort(lw2.w2, 'DESC') AS u) lu
+      CROSS JOIN LATERAL (SELECT list_transform(range(1, {k} + 1),
+        i -> list_aggregate(list_slice(lu.u, 1, i), 'sum')) AS css) lc
+      CROSS JOIN LATERAL (SELECT list_max(list_transform(
+        range(1, {k} + 1),
+        i -> CASE WHEN lu.u[i] * i > lc.css[i] - 1 THEN i
+                  ELSE 0 END)) AS rho) lrho
+      CROSS JOIN LATERAL (SELECT (lc.css[lrho.rho] - 1) / lrho.rho
+        AS theta) lt
+      CROSS JOIN LATERAL (SELECT list_transform(lw2.w2,
+        x -> GREATEST(x - lt.theta, CAST(0.0 AS DOUBLE))) AS wnew) lw
+      WHERE s.it < {SC_STEPS}
+    ),
+    wf AS (SELECT w FROM pg WHERE it = {SC_STEPS}),
+    synth AS (SELECT list_transform(range(1, mm.nd + 1), t ->
+                list_aggregate(list_transform(range(1, {k} + 1),
+                  s2 -> xm.mall[s2][t] * wf.w[s2]), 'sum')) AS sv
+              FROM wf CROSS JOIN xm CROSS JOIN mm),
+    met AS (SELECT
+        SQRT(list_aggregate(list_transform(range(1, mm.mid + 1), t ->
+          (sy.sv[t] - tr.yall[t]) * (sy.sv[t] - tr.yall[t])), 'sum')
+          / mm.mid) AS pre_rmse,
+        SQRT(list_aggregate(list_transform(range(1, mm.mid + 1), t ->
+          (list_aggregate(list_transform(range(1, {k} + 1),
+             s2 -> xm.m[s2][t]), 'sum') / {k} - tr.yall[t])
+          * (list_aggregate(list_transform(range(1, {k} + 1),
+             s2 -> xm.m[s2][t]), 'sum') / {k} - tr.yall[t])), 'sum')
+          / mm.mid) AS naive_rmse,
+        list_aggregate(list_transform(range(mm.mid + 1, mm.nd + 1),
+          t -> tr.yall[t] - sy.sv[t]), 'sum') / (mm.nd - mm.mid)
+          AS post_effect
+        FROM synth sy CROSS JOIN xm CROSS JOIN mm CROSS JOIN tr),
+    top AS (SELECT string_agg(
+              seg || ':' ||
+              CAST(FLOOR(w * 1000 + 0.5) / 1000 AS VARCHAR),
+              ',' ORDER BY w DESC, seg) AS top_donors
+            FROM (SELECT d.seg AS seg, wf.w[d.di] AS w,
+                         ROW_NUMBER() OVER (ORDER BY wf.w[d.di] DESC,
+                                            d.seg) AS rn
+                  FROM (SELECT seg,
+                          CAST(ROW_NUMBER() OVER (ORDER BY seg) AS INT)
+                            AS di
+                        FROM segs WHERE seg <> '{SC_TREATED}') d
+                  CROSS JOIN wf) q
+            WHERE rn <= 3)
+    SELECT '{SC_TREATED}' AS treated,
+           FLOOR(pre_rmse * 100 + 0.5) / 100 AS pre_rmse,
+           FLOOR(naive_rmse * 100 + 0.5) / 100 AS naive_rmse,
+           FLOOR(post_effect * 100 + 0.5) / 100 AS post_effect,
+           (SELECT top_donors FROM top) AS top_donors
+    FROM met
+    """
+
+
+@query("ev_synthetic_control", oracle=_sc_oracle())
+# Projected-gradient fit replayed in the oracle's recursive CTE;
+# pytest additionally gates pre-fit error.
 def ev_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic control for segment '{t}' (users hashing to it):
     donor-segment daily purchase series fit the treated segment's

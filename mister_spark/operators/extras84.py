@@ -304,7 +304,11 @@ def gmm_train(spark: SparkSession, sf_dir: str):
     Driver state is (π, μ, σ) — O(K); each iteration is ONE aggregate
     over the scan computing responsibility-weighted sufficient stats
     as JVM expressions (no Python in the row path). Deterministic
-    init: μ at the 25/50/75 approx percentiles, shared σ, uniform π.
+    init: μ at the exact 25/50/75 percentiles (engine-portable linear
+    interpolation, so the DuckDB oracle replays the identical
+    trajectory; at corpus scale swap the init — and only the init —
+    to percentile_approx: EM is robust to an O(n/accuracy)-rank init
+    perturbation), shared σ, uniform π.
 
     Returns (pis, mus, sigmas, logliks-per-iteration)."""
     ev = (
@@ -313,7 +317,7 @@ def gmm_train(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     init = ev.agg(
-        F.percentile_approx("x", [0.25, 0.5, 0.75], 10000).alias("q"),
+        F.expr("percentile(x, array(0.25D, 0.5D, 0.75D))").alias("q"),
         F.stddev_samp("x").alias("sd"),
     ).collect()[0]
     mus = [float(v) for v in init["q"]]
@@ -355,7 +359,84 @@ def gmm_train(spark: SparkSession, sf_dir: str):
     return pis, mus, sigmas, logliks
 
 
-@query("ml_gmm_em")  # iterative EM → rows-only; pytest pins monotone loglik
+def _gmm_dens(k: int) -> str:
+    """SQL: component k's weighted normal density at e.x under the
+    recursive state s — the exact expression gmm_train builds in Spark
+    (0.5*ln(2π) folded as the same double literal product)."""
+    z = f"((e.x - s.mus[{k}]) / s.sgs[{k}])"
+    return (
+        f"s.pis[{k}] * EXP(-0.5 * {z} * {z}"
+        f" - 0.5 * 1.8378770664093453) / s.sgs[{k}]"
+    )
+
+
+def _gmm_oracle() -> str:
+    """EM replay as a recursive CTE: state (π, μ, σ, mean loglik),
+    one responsibility-weighted aggregate over events per step — the
+    DUCK_LOGREG_GD pattern with K=3 scalar sufficient statistics."""
+    dens = " + ".join(f"d.d{k}" for k in (1, 2, 3))
+    sums = ",\n           ".join(
+        f"SUM(d.d{k} / ({dens})) AS n{k},"
+        f" SUM(d.d{k} / ({dens}) * e.x) AS s{k},"
+        f" SUM(d.d{k} / ({dens}) * e.x * e.x) AS ss{k}"
+        for k in (1, 2, 3)
+    )
+    new_sg = ", ".join(
+        f"SQRT(GREATEST(r.ss{k} / r.n{k}"
+        f" - (r.s{k} / r.n{k}) * (r.s{k} / r.n{k}), 1e-12))"
+        for k in (1, 2, 3)
+    )
+    return f"""
+    WITH RECURSIVE evx AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+    gi AS (SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS q,
+                  stddev_samp(x) AS sd
+           FROM evx),
+    em AS (
+      SELECT 0 AS it,
+             [CAST(1.0 / 3 AS DOUBLE), 1.0 / 3, 1.0 / 3] AS pis,
+             [q[1], q[2], q[3]] AS mus, [sd, sd, sd] AS sgs,
+             CAST(0.0 AS DOUBLE) AS ll
+      FROM gi
+      UNION ALL
+      SELECT r.it + 1,
+             [r.n1 / r.n, r.n2 / r.n, r.n3 / r.n],
+             [r.s1 / r.n1, r.s2 / r.n2, r.s3 / r.n3],
+             [{new_sg}],
+             r.lls / r.n
+      FROM (
+        SELECT s.it AS it, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(LN({dens})) AS lls,
+           {sums}
+        FROM em s CROSS JOIN evx e
+        CROSS JOIN LATERAL (
+          SELECT {_gmm_dens(1)} AS d1, {_gmm_dens(2)} AS d2,
+                 {_gmm_dens(3)} AS d3) d
+        WHERE s.it < {GMM_ITERS}
+        GROUP BY s.it
+      ) r
+    ),
+    fin AS (SELECT pis, mus, sgs, ll FROM em WHERE it = {GMM_ITERS}),
+    comp AS (SELECT u.k AS k, fin.pis[u.k] AS pi, fin.mus[u.k] AS mu,
+                    fin.sgs[u.k] AS sg, fin.ll AS ll
+             FROM fin CROSS JOIN LATERAL
+               (SELECT unnest(range(1, 4)) AS k) u)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY mu, k) - 1 AS BIGINT)
+             AS component,
+           FLOOR(pi * 1e6 + 0.5) / 1e6 AS weight,
+           FLOOR(mu * 1e4 + 0.5) / 1e4 AS mu,
+           FLOOR(sg * 1e4 + 0.5) / 1e4 AS sigma,
+           FLOOR(ll * 1e6 + 0.5) / 1e6 AS final_loglik
+    FROM comp
+    """
+
+
+@query(
+    "ml_gmm_em",
+    # Real oracle: the full EM trajectory replays as a recursive CTE
+    # (exact-percentile init is engine-portable; every iteration is
+    # the same responsibility-weighted aggregate in both engines).
+    oracle=_gmm_oracle(),
+)
 def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-component Gaussian mixture over event value fit by {it} EM
     iterations — the distributional upgrade from a single mean/σ
@@ -365,15 +446,18 @@ def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: see gmm_train — O(K) driver state, one JVM-expression
     aggregate per iteration, no Python row path."""
+    import math
+
     pis, mus, sigmas, logliks = gmm_train(spark, sf_dir)
     order = sorted(range(GMM_K), key=lambda k: mus[k])
+    # floor-grid rounding — identical double arithmetic to the oracle
     rows = [
         (
             i,
-            round(pis[k], 6),
-            round(mus[k], 4),
-            round(sigmas[k], 4),
-            round(logliks[-1], 6),
+            math.floor(pis[k] * 1e6 + 0.5) / 1e6,
+            math.floor(mus[k] * 1e4 + 0.5) / 1e4,
+            math.floor(sigmas[k] * 1e4 + 0.5) / 1e4,
+            math.floor(logliks[-1] * 1e6 + 0.5) / 1e6,
         )
         for i, k in enumerate(order)
     ]
