@@ -24,6 +24,7 @@ from mister_spark.registry import query
 DKW_ALPHA = 0.05
 DKW_QS = [i / 10 for i in range(1, 10)]
 PERM_TOP = 5
+PERM_BUCKETS = 64  # wrap-shift permutation buckets (vec_id % B)
 
 
 @query(
@@ -237,62 +238,129 @@ def stat_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_permutation_importance")  # model scoring passes → rows-only
+def _perm_imp_oracle() -> str:
+    from mister_spark.operators.ml import DUCK_LOGREG_GD, LOGREG_ITERS
+
+    # DuckDB lambdas cannot capture correlated columns through a
+    # LATERAL, so the logistic probability is inlined (twice per loss
+    # term — identical deterministic arithmetic)
+    z_base = (
+        "list_aggregate(list_transform(range(1, 65), "
+        "j -> e.v[j] * wl.w[j]), 'sum') + wl.w[65]"
+    )
+    p_base = f"(1.0 / (1.0 + EXP(-({z_base}))))"
+    z_perm = (
+        "list_aggregate(list_transform(range(1, 65), "
+        "j -> (CASE WHEN j = pe.dim THEN pe.pv ELSE pe.v[j] END)"
+        " * wl.w[j]), 'sum') + wl.w[65]"
+    )
+    p_perm = f"(1.0 / (1.0 + EXP(-({z_perm}))))"
+    return f"""
+    WITH RECURSIVE {DUCK_LOGREG_GD},
+    wl AS (SELECT w FROM gd WHERE it = {LOGREG_ITERS}),
+    exv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST(label % 2 AS DOUBLE) AS y
+            FROM embeddings),
+    dims AS (SELECT dim FROM (
+        SELECT u.i AS dim, ABS(wl.w[u.i]) AS a
+        FROM wl CROSS JOIN LATERAL
+          (SELECT unnest(range(1, 65)) AS i) u) q
+      ORDER BY a DESC, dim LIMIT {PERM_TOP}),
+    bl AS (SELECT AVG(-(e.y * LN({p_base} + 1e-12)
+                        + (1 - e.y) * LN(1 - {p_base} + 1e-12))) AS loss
+           FROM exv e CROSS JOIN wl),
+    pe AS (SELECT d.dim AS dim, e.vec_id, e.v, e.y,
+                  COALESCE(
+                    LAG(e.v[d.dim]) OVER
+                      (PARTITION BY d.dim, e.vec_id % {PERM_BUCKETS}
+                       ORDER BY e.vec_id),
+                    LAST_VALUE(e.v[d.dim]) OVER
+                      (PARTITION BY d.dim, e.vec_id % {PERM_BUCKETS}
+                       ORDER BY e.vec_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)) AS pv
+           FROM exv e CROSS JOIN dims d),
+    pl AS (SELECT pe.dim AS dim,
+                  AVG(-(pe.y * LN({p_perm} + 1e-12)
+                        + (1 - pe.y) * LN(1 - {p_perm} + 1e-12))) AS loss
+           FROM pe CROSS JOIN wl
+           GROUP BY pe.dim)
+    SELECT CAST(pl.dim - 1 AS BIGINT) AS dim,
+           FLOOR(wl.w[pl.dim] * 1e6 + 0.5) / 1e6 AS weight,
+           FLOOR(bl.loss * 1e6 + 0.5) / 1e6 AS base_loss,
+           FLOOR(pl.loss * 1e6 + 0.5) / 1e6 AS perm_loss,
+           FLOOR((pl.loss - bl.loss) * 1e6 + 0.5) / 1e6 AS delta
+    FROM pl CROSS JOIN bl CROSS JOIN wl
+    """
+
+
+@query("ml_permutation_importance", oracle=_perm_imp_oracle())
 def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation importance for the trained logistic model: for each
     of the top-{t} |weight| features, re-score the corpus with that
-    feature's column permuted (batch-local roll — breaks the
-    feature↔label link without moving data across partitions) and
+    feature's column permuted (a deterministic bucketed wrap-shift:
+    within each vec_id%{b} bucket, ordered by vec_id, every row takes
+    its predecessor's value and the first row takes the last's —
+    breaks the feature↔label link reproducibly in any engine) and
     report the log-loss increase. A feature whose permutation doesn't
     hurt wasn't earning its coefficient — the importance check that
     survives correlated features better than reading weights.
 
-    Scale: one narrow Arrow scoring pass per audited feature (weights
-    ride the closure, partials are O(1) per batch); the permutation is
-    partition-local so no extra shuffle ever runs."""
+    Scale: scoring is pure JVM column math (weights are literals — no
+    Python row path); the permutation is one window per audited
+    feature, partitioned by the id bucket, so each sort is
+    bucket-local and bounded — never a global sort. The oracle replays
+    training via the shared DUCK_LOGREG_GD fragment and the identical
+    window."""
     import numpy as np
-    import pandas as pd
+
+    from pyspark.sql import Window as W
 
     from mister_spark.operators.ml import logreg_train
 
-    w, losses = logreg_train(spark, sf_dir)
+    w, _losses = logreg_train(spark, sf_dir)
     w = np.asarray(w, dtype=np.float64)
-    dims = np.argsort(-np.abs(w[:-1]))[:PERM_TOP]
+    aw = np.abs(w[:-1])
+    # deterministic top-|w| pick: (|w| desc, dim asc)
+    dims = np.lexsort((np.arange(len(aw)), -aw))[:PERM_TOP]
     emb = cat(spark, sf_dir)["embeddings"].select(
+        "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         (F.col("label") % 2).cast("double").alias("y"),
     ).localCheckpoint()
 
-    def loss_pass(perm_dim: int):
-        def f(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.array(list(pdf["v"]), dtype=np.float64)
-                y = pdf["y"].to_numpy()
-                if perm_dim >= 0:
-                    X = X.copy()
-                    X[:, perm_dim] = np.roll(X[:, perm_dim], 1)
-                z = X @ w[:-1] + w[-1]
-                p = 1.0 / (1.0 + np.exp(-z))
-                eps = 1e-12
-                ll = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
-                yield pd.DataFrame({"s": [float(ll.sum())], "n": [len(ll)]})
+    def loss(df, perm_dim: int | None = None) -> float:
+        z = None
+        for j in range(len(w) - 1):
+            xj = F.col("pv") if j == perm_dim else F.col("v")[j]
+            t = xj * float(w[j])
+            z = t if z is None else z + t
+        z = z + F.lit(float(w[-1]))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        eps = F.lit(1e-12)
+        ll = -(
+            F.col("y") * F.log(p + eps)
+            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p + eps)
+        )
+        return float(df.agg(F.avg(ll)).collect()[0][0])
 
-        rows = emb.mapInPandas(f, "s double, n long").collect()
-        return sum(r["s"] for r in rows) / sum(r["n"] for r in rows)
+    base = loss(emb)
+    win = W.partitionBy(F.col("vec_id") % PERM_BUCKETS).orderBy("vec_id")
+    full = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    import math
 
-    base = loss_pass(-1)
     out = []
     for d in dims:
-        pl = loss_pass(int(d))
+        xd = F.col("v")[int(d)]
+        pv = F.coalesce(F.lag(xd, 1).over(win), F.last(xd).over(full))
+        pl = loss(emb.withColumn("pv", pv), int(d))
         out.append(
             (
                 int(d),
-                round(float(w[d]), 6),
-                round(base, 6),
-                round(pl, 6),
-                round(pl - base, 6),
+                math.floor(float(w[d]) * 1e6 + 0.5) / 1e6,
+                math.floor(base * 1e6 + 0.5) / 1e6,
+                math.floor(pl * 1e6 + 0.5) / 1e6,
+                math.floor((pl - base) * 1e6 + 0.5) / 1e6,
             )
         )
     out.sort(key=lambda r: (-r[4], r[0]))
@@ -304,5 +372,5 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_permutation_importance.__doc__ = ml_permutation_importance.__doc__.format(
-    t=PERM_TOP
+    t=PERM_TOP, b=PERM_BUCKETS
 )

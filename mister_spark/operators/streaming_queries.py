@@ -173,9 +173,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
 
 
-@query("stream_stream_left_join")  # watermark-tail withholding is a
-# physical streaming property → rows-only; pytest pins the exact
-# matched set + the tail containment.
+@query(
+    "stream_stream_left_join",
+    # Real oracle: matched pairs emit eagerly; an unmatched purchase
+    # emits its NULL row iff the final watermark proves its 5-minute
+    # window closed — W = min of the two stream watermarks (Spark
+    # tracks max event time in MILLISECONDS, hence the //1000
+    # truncation) minus the 10-minute delay; purchases whose window
+    # extends past W correctly stay withheld (the stream's tail).
+    oracle="""
+    WITH wm AS (SELECT (LEAST(
+          max(epoch_us(ts)) FILTER (WHERE event_type = 'purchase'),
+          max(epoch_us(ts)) FILTER (WHERE event_type = 'error'))
+          // 1000 - 600000) * 1000 AS w
+        FROM events)
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND epoch_us(e.ts) >  epoch_us(p.ts)
+     AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000
+    CROSS JOIN wm
+    WHERE e.event_id IS NOT NULL
+       OR epoch_us(p.ts) + 300000000 <= wm.w
+    """,
+)
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_left_join(spark, sf_dir)
 

@@ -52,6 +52,8 @@ def test_permutation_importance(spark):
     for r in rows:
         # permuting a feature cannot meaningfully REDUCE the loss
         assert r["delta"] > -0.01
-        assert abs(r["perm_loss"] - r["base_loss"] - r["delta"]) < 1e-6
+        # perm/base/delta are each floor-rounded on the 1e-6 grid from
+        # raw values, so the reconstruction can be off by one grid cell
+        assert abs(r["perm_loss"] - r["base_loss"] - r["delta"]) <= 2e-6
     deltas = [r["delta"] for r in rows]
     assert deltas == sorted(deltas, reverse=True)
