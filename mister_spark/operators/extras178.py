@@ -56,7 +56,135 @@ def _irls_partials(wb: np.ndarray, d1: int):
     return f
 
 
-@query("ds_quality_classifier")  # iterative Newton fit → rows-only
+def _qc_oracle() -> str:
+    """The entire pipeline — vocab pick, exact train median, pattern
+    collapse, standardization, 8 IRLS/Newton steps (each a 65×65
+    Cholesky solve via duck_linalg, one instance per step in the same
+    WITH RECURSIVE list) and held-out scoring — replayed in SQL. The
+    z-clip, ridge and 1e-12 floors are reproduced exactly; float
+    drift between numpy GEMM partials and SQL sums is absorbed by the
+    1e-4 output grid."""
+    from mister_spark.functions.text import DUCK_TOKENS
+    from mister_spark.operators.duck_linalg import duck_spd_solve
+
+    d, d1 = QC_DIM, QC_DIM + 1
+    blocks = []
+    for t in range(QC_ITERS):
+        blocks.append(f"""
+    pz{t} AS MATERIALIZED (SELECT p.c, p.y, p.xs1,
+                     1.0 / (1.0 + EXP(-LEAST(GREATEST(
+                       list_aggregate(list_transform(range(1, {d1 + 1}),
+                         i -> p.xs1[i] * w.w[i]), 'sum'),
+                       -35.0), 35.0))) AS pr
+              FROM ptr p CROSS JOIN w{t} w),
+    hb{t} AS (SELECT pr2.i AS i, pr2.j AS j,
+                     SUM(z.c * z.pr * (1 - z.pr)
+                         * z.xs1[pr2.i] * z.xs1[pr2.j]) AS h
+              FROM pz{t} z CROSS JOIN pairs pr2
+              GROUP BY 1, 2),
+    mat{t} AS MATERIALIZED (SELECT list(row ORDER BY i) AS a FROM (
+        SELECT i, list(h + CASE WHEN i = j THEN {QC_RIDGE!r}
+                           ELSE 0.0 END ORDER BY j) AS row
+        FROM hb{t} GROUP BY i) q),
+    rhs{t} AS MATERIALIZED (SELECT [list(g ORDER BY i)] AS b FROM (
+        SELECT u.i AS i, SUM(z.c * (z.pr - z.y) * z.xs1[u.i]) AS g
+        FROM pz{t} z CROSS JOIN dims1 u GROUP BY u.i) q),
+    {duck_spd_solve(d1, 1, mat=f"mat{t}", rhs=f"rhs{t}",
+                    out=f"sol{t}", tag=f"ls{t}")},
+    w{t + 1} AS (SELECT list_transform(range(1, {d1 + 1}),
+                   i -> w.w[i] - s.x[1][i]) AS w
+                 FROM w{t} w CROSS JOIN sol{t} s)""")
+    newton = ",".join(blocks)
+    return f"""
+    WITH RECURSIVE
+    tf AS MATERIALIZED (SELECT DISTINCT doc_id, t.tok AS tok
+           FROM documents, LATERAL (
+             SELECT unnest({DUCK_TOKENS}) AS tok) t),
+    voc AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS INT)
+                   AS idx
+            FROM (SELECT tok FROM (
+                SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+                ORDER BY df DESC, tok LIMIT {d}) q) z),
+    med AS (SELECT median(CAST(n_chars AS DOUBLE)) AS m
+            FROM documents WHERE doc_id % 4 <> 0),
+    pres AS (SELECT doc_id, list(DISTINCT idx) AS ids
+             FROM tf JOIN voc USING (tok) GROUP BY doc_id),
+    xr AS (SELECT dd.doc_id % 4 = 0 AS heldout,
+                  CASE WHEN CAST(dd.n_chars AS DOUBLE) > med.m
+                       THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS y,
+                  list_transform(range(1, {d + 1}), i ->
+                    CASE WHEN COALESCE(list_contains(p.ids, i), FALSE)
+                         THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END) AS x
+           FROM documents dd LEFT JOIN pres p USING (doc_id)
+           CROSS JOIN med),
+    pat AS MATERIALIZED (SELECT x, heldout, y, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM xr GROUP BY 1, 2, 3),
+    ntr AS (SELECT SUM(c) AS n FROM pat WHERE NOT heldout),
+    mus AS (SELECT u.i AS i, SUM(p.c * p.x[u.i]) / any_value(nt.n) AS mu
+            FROM pat p CROSS JOIN ntr nt
+            CROSS JOIN LATERAL
+              (SELECT unnest(range(1, {d + 1})) AS i) u
+            WHERE NOT p.heldout GROUP BY u.i),
+    musd AS MATERIALIZED (SELECT list(mu ORDER BY i) AS mu,
+                    list(GREATEST(SQRT(mu * (1 - mu)), 1e-9)
+                         ORDER BY i) AS sd
+             FROM mus),
+    stdp AS MATERIALIZED (SELECT heldout, y, c,
+                    list_append(list_transform(range(1, {d + 1}),
+                      i -> (p.x[i] - m.mu[i]) / m.sd[i]),
+                      CAST(1.0 AS DOUBLE)) AS xs1
+             FROM pat p CROSS JOIN musd m),
+    ptr AS MATERIALIZED (SELECT * FROM stdp WHERE NOT heldout),
+    pairs AS MATERIALIZED (SELECT i.i AS i, j.j AS j
+              FROM (SELECT unnest(range(1, {d1 + 1})) AS i) i,
+                   (SELECT unnest(range(1, {d1 + 1})) AS j) j),
+    dims1 AS (SELECT unnest(range(1, {d1 + 1})) AS i),
+    w0 AS (SELECT list_transform(range(1, {d1 + 1}),
+             i -> CAST(0.0 AS DOUBLE)) AS w),
+    {newton},
+    sc AS (SELECT heldout, y, c,
+                  1.0 / (1.0 + EXP(-(list_aggregate(list_transform(
+                    range(1, {d1 + 1}), i -> s.xs1[i] * w.w[i]),
+                    'sum')))) AS p
+           FROM stdp s CROSS JOIN w{QC_ITERS} w),
+    mets AS (SELECT
+        SUM(CASE WHEN NOT heldout THEN -c * LN(GREATEST(
+              CASE WHEN y = 1.0 THEN p ELSE 1.0 - p END, 1e-12))
+            ELSE 0.0 END) AS nll_sum,
+        SUM(c) FILTER (WHERE heldout) AS n,
+        SUM(c) FILTER (WHERE heldout
+          AND (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y)
+          AS correct,
+        SUM(c) FILTER (WHERE heldout AND p >= 0.5 AND y = 1.0) AS tp,
+        SUM(c) FILTER (WHERE heldout AND p >= 0.5) AS pred_pos,
+        SUM(c) FILTER (WHERE heldout AND y = 1.0) AS actual_pos
+        FROM sc)
+    SELECT CAST(nt.n AS BIGINT) AS train_docs,
+           CAST(m.n AS BIGINT) AS heldout_docs,
+           FLOOR(m.correct / m.n * 1e4 + 0.5) / 1e4 AS accuracy,
+           FLOOR(CASE WHEN COALESCE(m.pred_pos, 0) > 0
+                      THEN m.tp / m.pred_pos ELSE 0.0 END
+                 * 1e4 + 0.5) / 1e4 AS precision,
+           FLOOR(CASE WHEN COALESCE(m.actual_pos, 0) > 0
+                      THEN m.tp / m.actual_pos ELSE 0.0 END
+                 * 1e4 + 0.5) / 1e4 AS recall,
+           FLOOR(CASE WHEN COALESCE(m.tp / m.pred_pos, 0)
+                        + COALESCE(m.tp / m.actual_pos, 0) > 0
+                      THEN 2 * (m.tp / m.pred_pos)
+                           * (m.tp / m.actual_pos)
+                           / ((m.tp / m.pred_pos)
+                              + (m.tp / m.actual_pos))
+                      ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS f1,
+           FLOOR(GREATEST(m.actual_pos, m.n - m.actual_pos) / m.n
+                 * 1e4 + 0.5) / 1e4 AS majority_baseline,
+           FLOOR(m.nll_sum / nt.n * 1e4 + 0.5) / 1e4 AS train_nll
+    FROM mets m CROSS JOIN ntr nt
+    """
+
+
+@query("ds_quality_classifier", oracle=_qc_oracle())
+# Full IRLS replay (8 Cholesky-solved Newton steps) in the oracle;
+# pytest additionally gates accuracy above the majority baseline.
 def ds_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words logistic quality classifier: binary token-presence
     features over the top-{dim} doc-frequency terms, standardized by
@@ -202,17 +330,21 @@ def ds_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = m["tp"] / m["actual_pos"] if m["actual_pos"] else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     base_acc = max(m["actual_pos"], m["n"] - m["actual_pos"]) / m["n"]
+    import math
+
+    r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    # floor-grid rounding — identical double arithmetic to the oracle
     return spark.createDataFrame(
         [
             (
                 int(n_train),
                 int(m["n"]),
-                round(acc, 4),
-                round(prec, 4),
-                round(rec, 4),
-                round(f1, 4),
-                round(base_acc, 4),
-                round(float(nll), 4),
+                r4(acc),
+                r4(prec),
+                r4(rec),
+                r4(f1),
+                r4(base_acc),
+                r4(float(nll)),
             )
         ],
         "train_docs long, heldout_docs long, accuracy double, "

@@ -339,7 +339,124 @@ def als_train(spark: SparkSession, sf_dir: str):
 als_train.__doc__ = als_train.__doc__.format(k=ALS_RANK, lam=ALS_LAMBDA)
 
 
-@query("ml_als_factorization")  # iterative solves → rows-only; pytest gates
+def _als_d3(c1, c2, c3) -> str:
+    (a, d, g), (b, e, h), (c, f, i) = c1, c2, c3
+    return (
+        f"({a}*({e}*{i}-{f}*{h}) - {b}*({d}*{i}-{f}*{g})"
+        f" + {c}*({d}*{h}-{e}*{g}))"
+    )
+
+
+def _als_d4(cols) -> str:
+    """4×4 determinant by first-column cofactor expansion."""
+    c1, c2, c3, c4 = cols
+    terms = []
+    for r in range(4):
+        minors = tuple(
+            tuple(col[i] for i in range(4) if i != r)
+            for col in (c2, c3, c4)
+        )
+        sign = "+" if r % 2 == 0 else "-"
+        terms.append(f"{sign} {c1[r]} * {_als_d3(*minors)}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _als_oracle() -> str:
+    """The full ALS trajectory as one recursive CTE: state = both
+    factor tables as DOUBLE[][] (dense-rank indexed), each micro-step
+    re-solves one side's per-entity 4×4 ridge normal equations by
+    Cramer (generated cofactor SQL) from grouped sums over the
+    ratings join — exactly the grouped applyInPandas solve, replayed.
+    Cramer-vs-LU float drift is ~1e-13 on these ridge systems; the
+    1e-6 RMSE grid absorbs it."""
+    k = ALS_RANK
+    # symmetric Gramian entry names with the ridge on the diagonal
+    def g(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        e = f"q.g{lo}{hi}"
+        return f"({e} + {ALS_LAMBDA!r})" if i == j else e
+    gcols = [tuple(g(r, m) for r in range(1, k + 1)) for m in range(1, k + 1)]
+    bcol = tuple(f"q.b{r}" for r in range(1, k + 1))
+    det = _als_d4(gcols)
+    solves = ", ".join(
+        _als_d4(gcols[:m] + [bcol] + gcols[m + 1:]) + f" / {det}"
+        for m in range(k)
+    )
+    def a(i: int) -> str:
+        # input-side factor element i for this rating row (no LATERAL
+        # alias: lambda-free correlated indexing into the state lists)
+        return (
+            f"(CASE WHEN (s.st % 2) = 0 THEN s.qi[x.iidx][{i}]"
+            f" ELSE s.pu[x.uidx][{i}] END)"
+        )
+
+    gsums = ",\n             ".join(
+        f"SUM({a(i)} * {a(j)}) AS g{i}{j}"
+        for i in range(1, k + 1)
+        for j in range(i, k + 1)
+    ) + ",\n             " + ",\n             ".join(
+        f"SUM({a(i)} * x.r) AS b{i}" for i in range(1, k + 1)
+    )
+    steps = 2 * ALS_ITERS
+    return f"""
+    WITH RECURSIVE
+    ratings AS (SELECT o_custkey AS u, l_partkey AS i,
+                       CAST(COUNT(*) AS DOUBLE) AS r
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+    ru AS (SELECT u, CAST(ROW_NUMBER() OVER (ORDER BY u) AS INT) AS uidx
+           FROM (SELECT DISTINCT u FROM ratings) q),
+    ri AS (SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) AS iidx
+           FROM (SELECT DISTINCT i FROM ratings) q),
+    rx AS (SELECT r.r, ru.uidx, ri.iidx
+           FROM ratings r JOIN ru USING (u) JOIN ri USING (i)),
+    qinit AS (SELECT list(f ORDER BY iidx) AS qi FROM (
+        SELECT iidx, list_transform(range(1, {k + 1}), j ->
+          CAST(((i * {FP_MUL} + 17 * j) % {FP_MOD}) % 1000 AS DOUBLE)
+            / 1000.0 - 0.5) AS f
+        FROM ri) z),
+    als AS (
+      SELECT 0 AS st, q0.qi AS pu, q0.qi AS qi FROM qinit q0
+      UNION ALL
+      SELECT s.st + 1,
+             CASE WHEN (s.st % 2) = 0 THEN lat.newf ELSE s.pu END,
+             CASE WHEN (s.st % 2) = 0 THEN s.qi ELSE lat.newf END
+      FROM als s
+      CROSS JOIN LATERAL (
+        SELECT list([{solves}] ORDER BY q.tgt) AS newf
+        FROM (
+          SELECT CASE WHEN (s.st % 2) = 0 THEN x.uidx
+                      ELSE x.iidx END AS tgt,
+             {gsums}
+          FROM rx x
+          GROUP BY 1
+        ) q
+      ) lat
+      WHERE s.st < {steps}
+    ),
+    base AS (SELECT SQRT(AVG(r * r)) AS b FROM ratings),
+    rm AS (SELECT t.it AS it,
+                  SQRT(AVG((x.r - list_aggregate(list_transform(
+                    range(1, {k + 1}), m -> p.pu[x.uidx][m]
+                      * q.qi[x.iidx][m]), 'sum'))
+                    * (x.r - list_aggregate(list_transform(
+                    range(1, {k + 1}), m -> p.pu[x.uidx][m]
+                      * q.qi[x.iidx][m]), 'sum')))) AS rmse
+           FROM (VALUES (1), (2), (3)) AS t(it)
+           CROSS JOIN rx x
+           JOIN als p ON p.st = 2 * t.it - 1
+           JOIN als q ON q.st = 2 * t.it
+           GROUP BY t.it)
+    SELECT CAST(it AS BIGINT) AS iteration,
+           FLOOR(rmse * 1e6 + 0.5) / 1e6 AS rmse,
+           FLOOR(base.b * 1e6 + 0.5) / 1e6 AS baseline_rmse
+    FROM rm CROSS JOIN base
+    """
+
+
+@query("ml_als_factorization", oracle=_als_oracle())
+# Full ALS replay in the oracle's recursive CTE; pytest additionally
+# gates non-increasing RMSE.
 def ml_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative filtering by alternating least squares on the
     customer×part purchase matrix (see als_train): per-iteration
@@ -347,9 +464,16 @@ def ml_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     that powers 'customers like you bought' — here with both factor
     sides distributed, so neither users nor items need to fit on any
     single node."""
+    import math
+
     rmses, base = als_train(spark, sf_dir)
+    # floor-grid rounding — identical double arithmetic to the oracle
     rows = [
-        (it + 1, round(e, 6), round(base, 6))
+        (
+            it + 1,
+            math.floor(e * 1e6 + 0.5) / 1e6,
+            math.floor(base * 1e6 + 0.5) / 1e6,
+        )
         for it, e in enumerate(rmses)
     ]
     return spark.createDataFrame(
