@@ -284,8 +284,63 @@ def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
-@query("ml_absorbing_markov")  # rows-only: fundamental-matrix solve on
-# the driver (|states|^3); pytest replays in numpy.
+ABS_MK_ITERS = 200  # Neumann-series depth in the oracle (rho^200 << 1e-4)
+
+
+@query(
+    "ml_absorbing_markov",
+    # The fundamental matrix N = (I-Q)^-1 is a LAPACK solve on the
+    # driver, but the quantities REPORTED (N·1 and N·R) are Neumann
+    # series N = sum_n Q^n, so the oracle replays the series as a
+    # recursive CTE over the same transition matrix: v_{n+1} = Q v_n
+    # starting from 1 (expected steps) and from R (absorption prob),
+    # accumulated for 200 terms. With every Q row sum <= 1 - p(absorb)
+    # the tail is < rho^200, far below the pinned 1e-4 grid, so the
+    # series and the solve agree exactly after rounding.
+    oracle=f"""
+    WITH RECURSIVE tr AS (
+      SELECT s, nxt, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+        SELECT event_type AS s,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events) WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT st FROM (
+                 SELECT s AS st FROM tr UNION ALL SELECT nxt FROM tr)),
+    trans AS (SELECT st FROM states WHERE st <> '{ABSORB_STATE}'),
+    rs AS (SELECT s, SUM(c) AS tot FROM tr GROUP BY s),
+    q AS (SELECT tr.s AS i, tr.nxt AS j, tr.c / rs.tot AS p
+          FROM tr JOIN rs ON rs.s = tr.s
+          WHERE tr.s <> '{ABSORB_STATE}' AND tr.nxt <> '{ABSORB_STATE}'),
+    r AS (SELECT t.st AS i,
+                 COALESCE((SELECT tr.c / rs.tot
+                           FROM tr JOIN rs ON rs.s = tr.s
+                           WHERE tr.s = t.st
+                             AND tr.nxt = '{ABSORB_STATE}'), 0.0) AS p
+          FROM trans t),
+    ser AS (
+      SELECT 0 AS it, t.st AS i, CAST(1.0 AS DOUBLE) AS v, r.p AS w,
+             CAST(1.0 AS DOUBLE) AS sv, r.p AS sw
+      FROM trans t JOIN r ON r.i = t.st
+      UNION ALL
+      SELECT it + 1, i, v2, w2, sv + v2, sw + w2 FROM (
+        SELECT s.it, t.st AS i,
+               COALESCE(SUM(q.p * s.v), 0.0) AS v2,
+               COALESCE(SUM(q.p * s.w), 0.0) AS w2,
+               ANY_VALUE(sv0.sv) AS sv, ANY_VALUE(sv0.sw) AS sw
+        FROM trans t
+        CROSS JOIN (SELECT DISTINCT it FROM ser) s0
+        JOIN ser s ON s.it = s0.it
+        LEFT JOIN q ON q.i = t.st AND q.j = s.i
+        JOIN ser sv0 ON sv0.it = s0.it AND sv0.i = t.st
+        GROUP BY s.it, t.st
+      ) WHERE it < {ABS_MK_ITERS}
+    )
+    SELECT i AS state, FLOOR(sv * 10000 + 0.5) / 10000 AS exp_steps,
+           FLOOR(sw * 10000 + 0.5) / 10000 AS p_absorb
+    FROM ser WHERE it = {ABS_MK_ITERS} ORDER BY state
+    """,
+)
 def ml_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absorbing-chain funnel algebra: estimate the per-user event-type
     transition matrix (distributed, like ev_markov), make '{a}'
