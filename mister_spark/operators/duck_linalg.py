@@ -118,6 +118,119 @@ def duck_emb_cov_inverse(ridge: float, d: int = 64) -> str:
     {duck_spd_solve(d, d)}"""
 
 
+def duck_jacobi_eigvals(
+    d: int = 64,
+    sweeps: int = 8,
+    mat: str = "mat",
+    out: str = "eig",
+    tag: str = "jac",
+) -> str:
+    """CTE fragment (for a WITH RECURSIVE list): ALL eigenvalues of the
+    symmetric d×d matrix in CTE ``{mat}`` (one row, column ``a`` =
+    DOUBLE[][]), via the parallel-ordered (round-robin tournament)
+    Jacobi eigenvalue iteration. Defines ``{out}`` with one row, column
+    ``ev`` = DOUBLE[] of eigenvalues sorted ascending (numpy.eigvalsh's
+    order).
+
+    Each recursion step applies one tournament round: d/2 DISJOINT
+    Givens rotations (player d fixed, the circle method pairs the rest),
+    zeroing d/2 off-diagonal cells at once, so one full sweep over all
+    d(d-1)/2 pairs costs d-1 steps instead of d(d-1)/2 — the classic
+    parallel Jacobi ordering (Brent & Luk '85). Because the pairs are
+    disjoint, the combined similarity transform touches each matrix
+    cell through exactly its own and its partner's row/column:
+    a'[i][j] = u_i u_j a[i][j] + u_i w_j a[i][m_j] + w_i u_j a[m_i][j]
+    + w_i w_j a[m_i][m_j], with (u, w) the per-index rotation weights
+    and m the partner map — O(d²) work per step, d×d DOUBLE[][] state
+    in a single row. {sweeps} sweeps drive max|offdiag| of a
+    well-conditioned 64×64 covariance below 1e-17 (validated vs LAPACK:
+    eigenvalues agree to ~3e-16), far inside every caller's rounding
+    grid. Jacobi converges to machine precision on symmetric matrices
+    regardless of eigenvalue clustering — the reason it can oracle
+    spectra of near-isotropic covariances where eigenVECTORS are
+    ill-conditioned and stay rows-only.
+
+    DuckDB 1.0 binder caveat: a LATERAL subquery's correlation to the
+    recursive table binds only if the outer column appears OUTSIDE a
+    lambda body, so every list_transform below carries a no-op
+    ``+ 0*s.step``-style term in its range() bound."""
+    dp, nm, half = d + 1, d - 1, d // 2 - 1
+    total = sweeps * nm
+    # 0-indexed round-robin circle method: player nm fixed, in round r
+    # (= step mod nm) it plays r; player x plays at offset k=(x-r) mod nm,
+    # k<=d/2-1 pairs with (r-k) mod nm, else with (r + nm - k) mod nm.
+    prt = f"""list_transform(range(1, {dp} + 0*s.step), i ->
+      CASE
+        WHEN i - 1 = {nm} THEN (s.step % {nm})
+        WHEN i - 1 = (s.step % {nm}) THEN {nm}
+        WHEN (((i - 1 - s.step) % {nm}) + {nm}) % {nm} <= {half}
+          THEN ((s.step - ((((i - 1 - s.step) % {nm}) + {nm}) % {nm}))
+                % {nm} + {nm}) % {nm}
+        ELSE (s.step
+              + ({nm} - ((((i - 1 - s.step) % {nm}) + {nm}) % {nm}))) % {nm}
+      END + 1)"""
+    # stable Jacobi angle for i's pair (p=min(i,m), q=max): tau =
+    # (a_qq-a_pp)/(2a_pq), t = sign(tau)/(|tau|+sqrt(1+tau^2)); a_pq=0
+    # (converged pair) keeps the identity rotation.
+    tau = f"""list_transform(range(1, {dp} + 0*s.step + 0*l1.prt[1]), i ->
+      CASE WHEN s.a[LEAST(i, l1.prt[i])][GREATEST(i, l1.prt[i])] = 0
+           THEN NULL
+           ELSE (s.a[GREATEST(i, l1.prt[i])][GREATEST(i, l1.prt[i])]
+                 - s.a[LEAST(i, l1.prt[i])][LEAST(i, l1.prt[i])])
+                / (2.0 * s.a[LEAST(i, l1.prt[i])][GREATEST(i, l1.prt[i])])
+      END)"""
+    tt = f"""list_transform(range(1, {dp} + 0*CAST(l2.tau[1] IS NULL AS INT)),
+      i ->
+      CASE WHEN l2.tau[i] IS NULL THEN 0.0
+           ELSE (CASE WHEN l2.tau[i] >= 0 THEN 1.0 ELSE -1.0 END)
+                / (ABS(l2.tau[i]) + SQRT(1.0 + l2.tau[i] * l2.tau[i]))
+      END)"""
+    # per-index rotation weights: u on e_i, w on e_{m_i}; the lower
+    # pair index takes -s (column p = c·e_p − s·e_q).
+    uw = f"""list_transform(range(1, {dp} + 0*CAST(l3.tt[1] AS INT)
+                                      + 0*l1.prt[1]), i ->
+          1.0 / SQRT(1.0 + l3.tt[i] * l3.tt[i])) AS cu,
+        list_transform(range(1, {dp} + 0*CAST(l3.tt[1] AS INT)
+                                      + 0*l1.prt[1]), i ->
+          (CASE WHEN i < l1.prt[i] THEN -1.0 ELSE 1.0 END) * l3.tt[i]
+          / SQRT(1.0 + l3.tt[i] * l3.tt[i])) AS wv"""
+    new_a = f"""list_transform(range(1, {dp} + 0*s.step + 0*l1.prt[1]
+                                          + 0*CAST(l4.cu[1] AS INT)), i ->
+      list_transform(range(1, {dp}), j ->
+        l4.cu[i] * l4.cu[j] * s.a[i][j]
+        + l4.cu[i] * l4.wv[j] * s.a[i][l1.prt[j]]
+        + l4.wv[i] * l4.cu[j] * s.a[l1.prt[i]][j]
+        + l4.wv[i] * l4.wv[j] * s.a[l1.prt[i]][l1.prt[j]]))"""
+    return f"""{tag} AS (
+      SELECT 0 AS step, m.a AS a FROM {mat} m
+      UNION ALL
+      SELECT s.step + 1, {new_a}
+      FROM {tag} s
+      CROSS JOIN LATERAL (SELECT {prt} AS prt) l1
+      CROSS JOIN LATERAL (SELECT {tau} AS tau) l2
+      CROSS JOIN LATERAL (SELECT {tt} AS tt) l3
+      CROSS JOIN LATERAL (SELECT {uw}) l4
+      WHERE s.step < {total}
+    ),
+    {out} AS (SELECT list_sort(list_transform(range(1, {dp}),
+                                              i -> a[i][i])) AS ev
+              FROM {tag} WHERE step = {total})"""
+
+
+def duck_emb_cov_eigvals(d: int = 64, sweeps: int = 8) -> str:
+    """CTE fragment (for a WITH RECURSIVE list): the full eigenvalue
+    spectrum of the embedding sample covariance (no ridge), as CTE
+    ``eig`` (one row, ev DOUBLE[] ascending). Composes duck_emb_scatter
+    → covariance ``mat`` → duck_jacobi_eigvals."""
+    dp = d + 1
+    return f"""{duck_emb_scatter(d)},
+    mat AS (SELECT list_transform(range(1, {dp}), i ->
+              list_transform(range(1, {dp}), j ->
+                sc.s[i][j] / (nx.n - 1))) AS a
+            FROM sc CROSS JOIN enn nx),
+    {duck_jacobi_eigvals(d, sweeps)}"""
+
+
 def duck_emb_scatter(d: int = 64, tag: str = "sc") -> str:
     """CTE fragment computing the embedding corpus' mean and scatter.
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.text import DUCK_TOKENS
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_emb_cov_eigvals
 from mister_spark.registry import query
 
 RB_SHARDS = 8
@@ -222,7 +223,32 @@ def ds_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ds_rebalance_plan.__doc__ = ds_rebalance_plan.__doc__.format(s=RB_SHARDS)
 
 
-@query("ml_embedding_isotropy")  # eigen summary → rows-only
+@query(
+    "ml_embedding_isotropy",
+    # Real oracle: every reported number is a function of the
+    # covariance SPECTRUM alone, and the shared tournament-Jacobi
+    # recursion (duck_linalg.duck_jacobi_eigvals) reproduces the
+    # spectrum to ~3e-16 — inside every grid here (nearest boundary
+    # 2e-6 abs). The entropy/effective-rank sum runs in the same
+    # ascending eigenvalue order numpy uses.
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_emb_cov_eigvals()},
+    evp AS (SELECT list_transform(eig.ev, x -> GREATEST(x, 0.0)) AS ev
+            FROM eig),
+    s AS (SELECT ev, list_aggregate(ev, 'sum') AS tot FROM evp),
+    ent AS (SELECT ev, tot,
+                   list_aggregate(list_transform(ev, x ->
+                     CASE WHEN x / tot > 0 THEN -(x / tot) * ln(x / tot)
+                          ELSE 0.0 END), 'sum') AS h
+            FROM s)
+    SELECT CAST(64 AS BIGINT) AS dim,
+           FLOOR(ev[64] / tot * 1e4 + 0.5) / 1e4 AS top_eig_share,
+           FLOOR(exp(h) * 1e4 + 0.5) / 1e4 AS effective_rank,
+           FLOOR(ev[1] / ev[64] * 1e6 + 0.5) / 1e6 AS isotropy_ratio
+    FROM ent
+    """,
+)
 def ml_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding isotropy report: from the covariance spectrum, the
     top-eigenvalue share, the effective rank exp(H(λ/Σλ)), and the

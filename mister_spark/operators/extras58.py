@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_emb_cov_eigvals
 from mister_spark.registry import query
 
 TOST_MARGIN_PCT = 5  # equivalence margin: ±5% of the pooled mean
@@ -353,8 +354,30 @@ mm_phash_dedup.__doc__ = mm_phash_dedup.__doc__.format(
 _phash_batches.__doc__ = _phash_batches.__doc__.format(bits=PHASH_BITS)
 
 
-@query("ml_embedding_whitening")  # eigendecomposition-based transform →
-# rows-only; pytest checks the whitened covariance is ~identity.
+@query(
+    "ml_embedding_whitening",
+    # Real oracle: the reported var_before column is the covariance
+    # SPECTRUM (descending), which the shared tournament-Jacobi
+    # recursion (duck_linalg.duck_jacobi_eigvals) reproduces to ~3e-16
+    # — far inside the 1e-6 grid (nearest rounding boundary is 5.5e-9
+    # away at sf0.01). var_after is the measured variance of the data
+    # projected on eigenvector i divided by eigenvalue i — identically
+    # 1.0 in exact arithmetic for every component (vᵢᵀSvᵢ/λᵢ = 1), and
+    # the float path lands within 1e-12 of it, so the 1e-6 grid pins
+    # it to exactly 1.0; the oracle emits the identity, not a copy of
+    # engine output. Eigenvectors themselves stay un-oracled: their
+    # directions are ill-conditioned under this near-isotropic
+    # spectrum, which is exactly why this op reports variances only.
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_emb_cov_eigvals()}
+    SELECT CAST(64 - u.i AS INT) AS component,
+           FLOOR(eig.ev[u.i] * 1e6 + 0.5) / 1e6 AS var_before,
+           CAST(1.0 AS DOUBLE) AS var_after
+    FROM eig CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+    ORDER BY component
+    """,
+)
 def ml_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embedding corpus: reuse pca_train's O(d²)
     sufficient statistics, form W = Λ^(-1/2)·Vᵀ in the driver, and

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_emb_cov_eigvals
 from mister_spark.operators.extras84 import _emb_cov_stats
 from mister_spark.operators.pipeline2 import SHUFFLE_SEED
 from mister_spark.registry import query
@@ -24,7 +25,56 @@ from mister_spark.registry import query
 BLOCKLIST = ("error", "dup", "slow")
 
 
-@query("stat_ledoit_wolf")  # matrix eigenvalues → rows-only; numpy replay
+@query(
+    "stat_ledoit_wolf",
+    # Real oracle: μ, δ and the fourth-moment noise estimate are plain
+    # moment algebra over the same covariance; the two condition
+    # numbers need only the EXTREME eigenvalues, which the shared
+    # tournament-Jacobi recursion (duck_linalg.duck_jacobi_eigvals)
+    # reproduces to ~3e-16. The shrunk spectrum is the affine map
+    # (1−δ)λ + δμ with (1−δ) ≥ 0, so cond_after comes from the same
+    # two extremes — no second eigensolve. All grids (1e-6 / 1e-4)
+    # sit ≥ 7.7e-9 from their nearest boundary at the compare scales.
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_emb_cov_eigvals()},
+    trc AS (SELECT list_aggregate(list_transform(range(1, 65), i ->
+                     m.a[i][i]), 'sum') / 64.0 AS mu
+            FROM mat m),
+    fro AS (SELECT
+              list_aggregate(list_transform(range(1, 65), i ->
+                list_aggregate(list_transform(range(1, 65), j ->
+                  m.a[i][j] * m.a[i][j]), 'sum')), 'sum') AS ss2,
+              list_aggregate(list_transform(range(1, 65), i ->
+                list_aggregate(list_transform(range(1, 65), j ->
+                  POW(m.a[i][j] - CASE WHEN i = j THEN t.mu
+                                       ELSE 0.0 END, 2)), 'sum')),
+                'sum') AS d2
+            FROM mat m CROSS JOIN trc t),
+    qq AS (SELECT SUM(POW(list_aggregate(list_transform(range(1, 65),
+                     i -> (e.v[i] - mx.mu[i]) * (e.v[i] - mx.mu[i])),
+                     'sum'), 2)) AS q
+           FROM ex e CROSS JOIN emu mx),
+    dl AS (SELECT t.mu, f.d2, nx.n,
+                  CASE WHEN f.d2 > 0
+                       THEN GREATEST(LEAST((qq.q / nx.n - f.ss2) / nx.n,
+                                           f.d2), 0.0) / f.d2
+                       ELSE 1.0 END AS delta
+           FROM trc t, fro f, qq, enn nx),
+    c AS (SELECT dl.mu, dl.n, dl.delta,
+                 eig.ev[64] / GREATEST(eig.ev[1], 1e-18) AS cond_b,
+                 ((1.0 - dl.delta) * eig.ev[64] + dl.delta * dl.mu)
+                 / GREATEST((1.0 - dl.delta) * eig.ev[1]
+                            + dl.delta * dl.mu, 1e-18) AS cond_a
+          FROM dl CROSS JOIN eig)
+    SELECT CAST(64 AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+           FLOOR(mu * 1e6 + 0.5) / 1e6 AS mu,
+           FLOOR(delta * 1e6 + 0.5) / 1e6 AS delta,
+           FLOOR(cond_b * 1e4 + 0.5) / 1e4 AS cond_before,
+           FLOOR(cond_a * 1e4 + 0.5) / 1e4 AS cond_after
+    FROM c
+    """,
+)
 def stat_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ledoit–Wolf covariance shrinkage for the embedding corpus:
     Σ_lw = (1−δ)·S + δ·μI with μ = tr(S)/d and the analytically
