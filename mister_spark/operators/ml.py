@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_emb_cov_eigvals
 from mister_spark.registry import query
 
 K = 10
@@ -195,7 +196,29 @@ def pca_train(spark: SparkSession, sf_dir: str):
     return evals, evecs, float(evals.sum())
 
 
-@query("ml_pca")  # eigendecomposition of driver-merged partials → rows-only
+@query(
+    "ml_pca",
+    # Real oracle: the report is eigenVALUE-only (per-component
+    # variance, explained and cumulative shares) — no eigenvector
+    # coordinates — so the shared tournament-Jacobi recursion
+    # (duck_linalg.duck_jacobi_eigvals, ~3e-16 vs LAPACK) certifies
+    # every cell. The cumulative share repeats the op's sequential
+    # divide-then-add order over descending components.
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_emb_cov_eigvals()},
+    tot AS (SELECT list_aggregate(ev, 'sum') AS t FROM eig)
+    SELECT CAST(u.i - 1 AS BIGINT) AS component,
+           FLOOR(eig.ev[65 - u.i] * 1e6 + 0.5) / 1e6 AS eigenvalue,
+           FLOOR(eig.ev[65 - u.i] / tot.t * 1e4 + 0.5) / 1e4 AS explained,
+           FLOOR(list_aggregate(list_transform(range(1, u.i + 1),
+                   m -> eig.ev[65 - m] / tot.t), 'sum') * 1e4 + 0.5) / 1e4
+             AS cum_explained
+    FROM eig CROSS JOIN tot
+    CROSS JOIN (SELECT unnest(range(1, {PCA_TOP} + 1)) AS i) u
+    ORDER BY component
+    """,
+)
 def ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PCA_TOP} principal components of the embedding corpus:
     per-component eigenvalue, explained-variance ratio, and the
