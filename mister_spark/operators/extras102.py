@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.duck_linalg import duck_jacobi_eigvals
 from mister_spark.registry import query
 
 MG_K = 8  # Misra-Gries counters
@@ -166,7 +167,61 @@ def io_schema_compat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_procrustes_align")  # SVD alignment → rows-only; numpy replay
+@query(
+    "ml_procrustes_align",
+    # Real oracle: the residuals need only tr(M) and the NUCLEAR norm
+    # Σσ(M) of the 64×64 cross-covariance — never the rotation itself —
+    # and σᵢ(M) = sqrt(λᵢ(MᵀM)), which the shared tournament-Jacobi
+    # recursion (duck_linalg.duck_jacobi_eigvals, 10 sweeps for this
+    # 6-decade spectrum) reproduces to ~5e-14 vs LAPACK's SVD; all
+    # grids sit ≥ 2e-7 from their nearest boundary at both compare
+    # scales. The rotation R = UVᵀ stays un-oracled: like
+    # eigenvectors, its columns are direction-conditioned.
+    oracle=f"""
+    WITH RECURSIVE
+    pr AS (SELECT a.vec_id // 2 AS pid,
+                  CAST(a.embedding AS DOUBLE[]) AS va,
+                  CAST(b.embedding AS DOUBLE[]) AS vb
+           FROM embeddings a JOIN embeddings b
+             ON b.vec_id = a.vec_id + 1
+           WHERE a.vec_id % 2 = 0),
+    m_ss AS (SELECT p.i AS i, p.j AS j, SUM(e.va[p.i] * e.vb[p.j]) AS m
+        FROM pr e
+        CROSS JOIN LATERAL (
+          SELECT i.i AS i, j.j AS j
+          FROM (SELECT unnest(range(1, 65)) AS i) i,
+               (SELECT unnest(range(1, 65)) AS j) j) p
+        GROUP BY p.i, p.j),
+    mm AS (SELECT list(row ORDER BY i) AS m FROM (
+        SELECT q.i AS i, list(q.m ORDER BY q.j) AS row
+        FROM m_ss q GROUP BY q.i) g),
+    mat AS (SELECT list_transform(range(1, 65), i ->
+              list_transform(range(1, 65), j ->
+                list_aggregate(list_transform(range(1, 65), k ->
+                  mm.m[k][i] * mm.m[k][j]), 'sum'))) AS a
+            FROM mm),
+    norms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(list_aggregate(list_transform(va, x -> x * x),
+                                        'sum')) AS na,
+                     SUM(list_aggregate(list_transform(vb, x -> x * x),
+                                        'sum')) AS nb
+              FROM pr),
+    trm AS (SELECT list_aggregate(list_transform(range(1, 65), i ->
+                     mm.m[i][i]), 'sum') AS tr FROM mm),
+    {duck_jacobi_eigvals(64, 10)},
+    sv AS (SELECT list_aggregate(list_transform(eig.ev, x ->
+                    SQRT(GREATEST(x, 0.0))), 'sum') AS s FROM eig)
+    SELECT norms.n AS pairs, CAST(64 AS BIGINT) AS dim,
+           FLOOR((norms.na + norms.nb - 2 * trm.tr)
+                 / (norms.na + norms.nb) * 1e6 + 0.5) / 1e6
+             AS resid_share_before,
+           FLOOR((norms.na + norms.nb - 2 * sv.s)
+                 / (norms.na + norms.nb) * 1e6 + 0.5) / 1e6
+             AS resid_share_after,
+           FLOOR(sv.s * 1e4 + 0.5) / 1e4 AS trace_norm
+    FROM norms, trm, sv
+    """,
+)
 def ml_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orthogonal Procrustes alignment between two embedding 'runs'
     (vectors of even vs odd vec_ids, paired by vec_id // 2): find the
