@@ -140,6 +140,15 @@ SCALING_QUERIES = [
     # super-linearity would hide (round-4 verdict items 5+7)
     "tx_topic_nmf",
     "ds_quality_classifier",
+    # round-7 additions (round-6 verdict item 5): every headline query
+    # over ~1.5 s at sf0.1 now has a measured sf1 point, plus the
+    # prefix-filtered dd_ngram_jaccard rewrite
+    "dd_ngram_jaccard",
+    "stat_dist_fit_compare",
+    "ml_apriori_itemsets",
+    "sketch_ddsketch",
+    "stat_dkw_band",
+    "graph_adamic_adar",
 ]
 
 

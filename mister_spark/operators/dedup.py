@@ -11,7 +11,7 @@ pipeline drops stop-shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.hashing import (
     FP_MOD,
@@ -79,32 +79,95 @@ DD_NGRAM_ORACLE = f"""
 """
 
 
+# The output rounds jaccard to 1e-4 BEFORE the >= 0.5 filter, so a pair
+# survives iff its true jaccard >= 0.49995 — the prefix filter must use
+# that slackened threshold, not 0.5, or boundary pairs would be lost.
+JACCARD_T_SLACK = JACCARD_T - 0.5e-4
+
+
 @query("dd_ngram_jaccard", oracle=DD_NGRAM_ORACLE)
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index:
-    explode → drop hot shingles (bounded fan-out) → self equi-join on
-    shingle → per-pair intersection counts → Jaccard."""
+    """Exact 3-gram Jaccard near-dup pairs via a PREFIX-FILTERED shingle
+    inverted index (Bayardo/Chaudhuri prefix filtering, public
+    literature): build the cold-shingle postings ONCE (64-bit
+    xxhash64 shingle ids so the joins carry longs, not 40-char
+    strings — grouping modulo 2^-64 collision odds, the dd_exact
+    argument), then self-join only each document's PREFIX — its
+    coldn − ⌈t'·n⌉ + 1 globally rarest shingles (df asc, sid asc
+    order). Pigeonhole: a pair with |A∩B| ≥ o must share a shingle
+    inside both prefixes of length |A|−o+1 / |B|−o+1 under any shared
+    total order, and jaccard ≥ t' forces o ≥ ⌈t'·n⌉ per side, so the
+    candidate set is provably complete while the equi-join shrinks
+    ~5x (rare shingles have small df by construction). Exact
+    intersections are then computed ONLY on candidates via
+    array_intersect over the per-doc sorted sid arrays.
+
+    Scale: postings are localCheckpointed so tokenize/shingle string
+    work happens once, not once per reuse; every join stays a bounded
+    fan-out equi-join (df ≤ hot cap on the full postings, and the
+    prefix join's fan-out is further capped by per-doc prefix length);
+    the candidate list — not the quadratic pair space — is all that
+    shuffles into the verify stage."""
     ds = _doc_shingles(spark, sf_dir)
-    sh = ds.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cold = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= HOT_SHINGLE_CAP
+    # checkpoint BEFORE anything branches: the tokenize/trigram string
+    # work is the single most expensive pass and every consumer below
+    # (df window, prefix, arrays) would otherwise re-run it
+    sh = (
+        ds.filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.size("sh").alias("n"),
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias(
+                "sid"
+            ),
+        )
+        .localCheckpoint()
     )
-    shc = sh.join(cold.select("s"), "s")
-    a = shc.select(F.col("doc_id").alias("doc_a"), "s")
-    b = shc.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
+    # df via one window over the materialized postings (one shuffle on
+    # sid) instead of groupBy + self-join (two)
+    shc = (
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sid")))
+        .filter(F.col("df") <= HOT_SHINGLE_CAP)
+        .localCheckpoint()  # cold postings, read twice below
+    )
+    wp = W.partitionBy("doc_id")
+    o_min = F.greatest(F.ceil(F.col("n") * JACCARD_T_SLACK), F.lit(1))
+    pref = (
+        shc.withColumn("r", F.row_number().over(wp.orderBy("df", "sid")))
+        .withColumn("coldn", F.count(F.lit(1)).over(wp))
+        .filter(F.col("r") <= F.col("coldn") - o_min + 1)
+        .select("doc_id", "sid")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "sid")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "sid"), "sid")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    arrs = shc.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sid")).alias("sids"),
+        F.first("n").alias("n"),
+    )
     jac = rnd(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sids").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sids").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )

@@ -166,7 +166,14 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
+        # early termination: once no node adopted a smaller label the
+        # fixpoint is reached (min-label propagation is monotone), so
+        # the remaining fixed-count rounds would be identity passes —
+        # the convergence count scans the just-materialized frame only
+        if labels.filter(F.col("changed")).limit(1).count() == 0:
+            break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
