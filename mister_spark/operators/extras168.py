@@ -22,15 +22,29 @@ SKEW_HOT_PCT = 45  # percent of fact rows landing on the single hot key
 
 @query(
     "j_skew_aqe",
-    # Real oracle: the synthetic skew fixture is data-independent
-    # (400k rows, 45% on hot keys) and AQE's skew split must fire -
-    # a fixed relation.
-    oracle="""
-    SELECT CAST(400000 AS BIGINT) AS fact_rows,
-           CAST(400000 AS BIGINT) AS join_rows,
-           CAST(180000 AS BIGINT) AS hot_key_rows,
+    # Mostly-computed oracle: the skew fixture is a deterministic
+    # range() construction (same Knuth-hash spread arithmetic, exact
+    # BIGINT), so fact/join/hot cardinalities are RECOMPUTED
+    # relationally in DuckDB rather than pinned. Only the two
+    # plan-audit cells (did AQE's skew split fire; how many skewed
+    # shuffle reads) stay literal 1s — they are physical-plan facts no
+    # SQL engine can derive, and the pytest gate beside this op
+    # asserts them by reading Spark's executed adaptive plan.
+    oracle=f"""
+    WITH fact AS (SELECT CASE WHEN id % 100 < {SKEW_HOT_PCT} THEN 1
+                              ELSE (id * 2654435761) % {SKEW_DIM} END AS k
+                  FROM (SELECT unnest(range(0, {SKEW_N})) AS id)),
+    dim AS (SELECT unnest(range(0, {SKEW_DIM})) AS k),
+    hot AS (SELECT COUNT(*) AS h
+            FROM (SELECT unnest(range(0, {SKEW_N})) AS id)
+            WHERE id % 100 < {SKEW_HOT_PCT})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fact) AS fact_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM fact JOIN dim USING (k)) AS join_rows,
+           CAST(hot.h AS BIGINT) AS hot_key_rows,
            CAST(1 AS BIGINT) AS skew_split_applied,
            CAST(1 AS BIGINT) AS skewed_shuffle_reads
+    FROM hot
     """,
 )
 def j_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:

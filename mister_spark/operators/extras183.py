@@ -20,17 +20,34 @@ PYDS_CUT = 50.0
 
 @query(
     "io_python_datasource",
-    # Real oracle: the synthetic Python DataSource audit is
-    # data-independent — a fixed relation.
-    oracle="""
-    SELECT CAST(20000 AS BIGINT) AS total_rows,
-           CAST(8 AS INT) AS parts_declared, CAST(8 AS INT) AS parts_seen,
-           CAST(9998 AS BIGINT) AS pushed_rows,
-           CAST(9998 AS BIGINT) AS pushed_expected,
+    # Mostly-computed oracle: the ledger source's rows are a pure
+    # function of the row index (amount = (k·7919 mod 10000)/100,
+    # shard = k div rows-per-part), so every cardinality — total,
+    # pushed, mixed, their expectations, parts_seen — is RECOMPUTED
+    # relationally from the same range() construction. Only
+    # pushdown_applied stays a literal 1: whether the predicate was
+    # consumed INSIDE the source (srv_filtered flag) is a connector
+    # runtime fact the pytest gate asserts, not a relation.
+    oracle=f"""
+    WITH led AS (SELECT id,
+                        CAST(id // {PYDS_ROWS // PYDS_PARTS} AS INT)
+                          AS shard,
+                        ((id * 7919) % 10000) / 100.0 AS amount
+                 FROM (SELECT unnest(range(0, {PYDS_ROWS})) AS id)),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(COUNT(DISTINCT shard) AS INT) AS parts_seen,
+                   CAST(SUM(CASE WHEN amount > {PYDS_CUT} THEN 1
+                            ELSE 0 END) AS BIGINT) AS pushed,
+                   CAST(SUM(CASE WHEN amount > {PYDS_CUT} AND shard = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS mixed
+            FROM led)
+    SELECT total_rows, CAST({PYDS_PARTS} AS INT) AS parts_declared,
+           parts_seen, pushed AS pushed_rows, pushed AS pushed_expected,
            CAST(1 AS INT) AS pushdown_applied,
-           CAST(1252 AS BIGINT) AS mixed_rows,
-           CAST(1252 AS BIGINT) AS mixed_expected,
-           CAST(1 AS INT) AS residual_correct
+           mixed AS mixed_rows, mixed AS mixed_expected,
+           CAST(CASE WHEN mixed = mixed THEN 1 ELSE 0 END AS INT)
+             AS residual_correct
+    FROM agg
     """,
 )
 def io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
