@@ -161,49 +161,17 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nmf_h_update(W: "np.ndarray", k: int):
-    """mapInPandas factory: one Lee-Seung H step, vectorized per batch.
 
-    Input rows carry the doc's sparse term row (wi, c) AND its factor
-    h — V and H travel together, so the step is a pure map (no join,
-    no shuffle). num = V_doc · W is one gather-GEMM over the batch's
-    concatenated nonzeros; the k×k Gram W^T W ships in the closure."""
+def _nmf_step(W: "np.ndarray", nv: int, k: int):
+    """mapInPandas factory: ONE fused Lee-Seung iteration pass — each
+    batch's H rows take their Lee-Seung multiplicative update, yielded
+    with null partial columns, while the partition accumulates the
+    W-step partials (V^T H, H^T H, column sums) from the UPDATED H; a
+    single tagged partials row (doc_id null) flushes at partition end.
+    Same math as the former two-pass pair at half the scans/jobs."""
     import numpy as np
 
     G = W.T @ W  # k x k
-
-    def f(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            lens = pdf["wi"].map(len).to_numpy()
-            off = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            wi = np.concatenate(pdf["wi"].to_list()).astype(np.int64)
-            c = np.concatenate(pdf["c"].to_list())
-            H = np.array(pdf["h"].to_list())  # m x k
-            num = np.add.reduceat(c[:, None] * W[wi], off, axis=0)
-            H = H * num / (H @ G + 1e-9)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "wi": pdf["wi"],
-                    "c": pdf["c"],
-                    "h": list(map(list, H)),
-                }
-            )
-
-    return f
-
-
-def _nmf_partials(nv: int, k: int):
-    """mapInPandas factory: per-partition V^T H (nv×k scatter-add),
-    H^T H (k×k GEMM) and column sums of H — everything the driver-side
-    W step and the final mass report need, in ONE pass. Each partition
-    emits a single flattened row, so the collected state is
-    O(partitions · nv · k): model-sized, corpus-independent."""
-    import numpy as np
 
     def f(batches):
         import pandas as pd
@@ -215,15 +183,33 @@ def _nmf_partials(nv: int, k: int):
             if not len(pdf):
                 continue
             lens = pdf["wi"].map(len).to_numpy()
+            off = np.concatenate(([0], np.cumsum(lens)[:-1]))
             wi = np.concatenate(pdf["wi"].to_list()).astype(np.int64)
             c = np.concatenate(pdf["c"].to_list())
-            H = np.array(pdf["h"].to_list())
+            H = np.array(pdf["h"].to_list())  # m x k
+            num = np.add.reduceat(c[:, None] * W[wi], off, axis=0)
+            H = H * num / (H @ G + 1e-9)
             Hrep = np.repeat(H, lens, axis=0)
             np.add.at(vth, wi, c[:, None] * Hrep)
             hth += H.T @ H
             hsum += H.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wi": pdf["wi"],
+                    "c": pdf["c"],
+                    "h": list(map(list, H)),
+                    "vth": [None] * len(pdf),
+                    "hth": [None] * len(pdf),
+                    "hsum": [None] * len(pdf),
+                }
+            )
         yield pd.DataFrame(
             {
+                "doc_id": [None],
+                "wi": [None],
+                "c": [None],
+                "h": [None],
                 "vth": [vth.ravel().tolist()],
                 "hth": [hth.ravel().tolist()],
                 "hsum": [hsum.tolist()],
@@ -231,6 +217,7 @@ def _nmf_partials(nv: int, k: int):
         )
 
     return f
+
 
 
 NMF_ORACLE = f"""
@@ -355,14 +342,15 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sparse doc row (wi, c) and its factor h live in ONE
     co-located frame, so after the single build shuffle each
-    iteration is two SHUFFLE-FREE vectorized passes — (1) the H step,
-    a pure map with W and the k×k Gram broadcast in the closure,
-    re-checkpointed so lineage stays flat (superseded checkpoint
-    blocks are reclaimed by the context cleaner; a cluster run would
-    truncate to reliable checkpoints); (2) a partial-aggregation pass
-    whose per-partition output is the O(cap·k) V^T H + k×k H^T H the
-    driver-side W step needs. Nothing corpus-sized ever moves after
-    the build; the final mass report reuses pass (2)'s column sums."""
+    iteration is ONE fused SHUFFLE-FREE vectorized pass (round-7): the
+    H step — a pure map with W and the k×k Gram broadcast in the
+    closure — and the partial aggregation of the O(cap·k) V^T H + k×k
+    H^T H the driver-side W step needs, emitted from the same
+    partition scan as one tagged row; the result is re-checkpointed
+    so lineage stays flat (superseded checkpoint blocks are reclaimed
+    by the context cleaner; a cluster run would truncate to reliable
+    checkpoints). Nothing corpus-sized ever moves after the build; the
+    final mass report reuses the fused pass's column sums."""
     import numpy as np
 
     docs = cat(spark, sf_dir)["documents"]
@@ -415,11 +403,22 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     hsum = np.zeros(k)
+    step_schema = schema + (
+        ", vth array<double>, hth array<double>, hsum array<double>"
+    )
     for _ in range(NMF_ITERS):
-        vh = vh.mapInPandas(_nmf_h_update(W, k), schema).localCheckpoint()
-        parts = vh.mapInPandas(
-            _nmf_partials(nv, k),
-            "vth array<double>, hth array<double>, hsum array<double>",
+        # ONE fused pass per iteration (round-7): each partition
+        # updates its H rows AND emits its W-step partials from the
+        # just-updated values — identical math to the former
+        # H-update-then-partials pair, at half the scans/jobs. The
+        # checkpoint materializes both row kinds; the partials collect
+        # and the next iteration's input are cheap filters over it.
+        out = vh.mapInPandas(_nmf_step(W, nv, k), step_schema).localCheckpoint()
+        vh = out.filter(F.col("doc_id").isNotNull()).select(
+            "doc_id", "wi", "c", "h"
+        )
+        parts = out.filter(F.col("doc_id").isNull()).select(
+            "vth", "hth", "hsum"
         ).collect()
         vth = sum(
             (np.array(p["vth"]).reshape(nv, k) for p in parts),
