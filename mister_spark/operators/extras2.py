@@ -115,10 +115,10 @@ CC_ITERS = 6
     "dd_clusters",
     # Real oracle: reuse dd_ngram_jaccard's pair SQL as the edge list,
     # then transitive-closure min-label reachability (UNION-distinct
-    # recursion) — the fixpoint the Spark loop's {CC_ITERS}-round
-    # min-label propagation reaches (near-dup components are tiny, so
-    # diameter << rounds; pytest pins equality to union-find).
-    # Integer output.
+    # recursion) — the fixpoint the Spark loop's min-label propagation
+    # reaches (it now stops at convergence, capped at {CC_ITERS}
+    # rounds; near-dup components are tiny, so diameter << the cap;
+    # pytest pins equality to union-find). Integer output.
     oracle=f"""
     WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({DD_NGRAM_ORACLE})),
     sym AS (SELECT DISTINCT a, b FROM (
@@ -140,8 +140,11 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc per component', not per pair.
 
     Scale: each iteration is one join + one min-aggregate over the edge
-    list; lineage checkpointed per iteration. Components here are tiny
-    (near-dup groups), so diameter — and iteration count — stays small."""
+    list; lineage checkpointed per iteration, and the loop STOPS at its
+    fixpoint (no label changed — a limit(1) probe on the materialized
+    frame) instead of always running the full round cap. Components
+    here are tiny (near-dup groups), so diameter — and the rounds
+    actually executed — stays small."""
     from mister_spark.operators.dedup import dd_ngram_jaccard
 
     pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
