@@ -827,6 +827,12 @@ def test_round4_wave_plan_pins(spark):
         # wave 185
         "stat_capture_recapture": (3, 0),
         "stat_zip_fit": (2, 0),
+        # wave 186 (stat_wasserstein_1d / stat_energy_distance return
+        # eagerly-computed one-row frames; their heavy lifting is
+        # bucketed windows / broadcast pair joins inside the op)
+        "stat_energy_distance": (0, 0),
+        "stat_wasserstein_1d": (0, 0),
+        "tx_ngram_novelty": (3, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
