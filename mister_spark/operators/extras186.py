@@ -113,7 +113,14 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("t1").over(w_b), F.lit(0)).alias("o1"),
         F.coalesce(F.sum("t2").over(w_b), F.lit(0)).alias("o2"),
     )
-    nxt_bucket = tot.select((F.col("_b") - 1).alias("_b"), F.col("vmin"))
+    # each non-empty bucket's cross-bucket gap target is the NEXT
+    # NON-EMPTY bucket's min value — tot holds only non-empty buckets,
+    # so a lead over its O(buckets) rows skips empties (a duplicate
+    # percentile boundary can leave a bucket index unpopulated; a
+    # fixed "_b + 1" join would drop the gap spanning it)
+    nxt_bucket = tot.select(
+        "_b", F.lead("vmin").over(W.orderBy("_b")).alias("vnext")
+    )
     term = (
         cum.join(F.broadcast(offs), "_b")
         .join(F.broadcast(nxt_bucket), "_b", "left")
@@ -124,7 +131,7 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - (F.col("k2") + F.col("o2")) / F.lit(float(n2))
                 )
                 * (
-                    F.coalesce(F.col("nxt_in"), F.col("vmin"), F.col("v"))
+                    F.coalesce(F.col("nxt_in"), F.col("vnext"), F.col("v"))
                     - F.col("v")
                 )
             ).alias("t")
