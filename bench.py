@@ -149,6 +149,10 @@ SCALING_QUERIES = [
     "sketch_ddsketch",
     "stat_dkw_band",
     "graph_adamic_adar",
+    # wave-186 additions: the new ECDF/pair-statistic paths
+    "stat_wasserstein_1d",
+    "tx_ngram_novelty",
+    "stat_energy_distance",
 ]
 
 
