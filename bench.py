@@ -156,6 +156,40 @@ SCALING_QUERIES = [
 ]
 
 
+def _canary_time(spark, sf_dir: str) -> float:
+    """Fixed reference workload for cross-window comparability.
+
+    Host speed oscillates ~20% between measurement windows (PERF.md),
+    so absolute totals from different windows aren't directly
+    comparable. This canary is a frozen, JVM-only aggregate over the
+    largest fact table — its cost tracks host speed, never code under
+    test — so `subset_over_canary` is a host-normalized ratio a judge
+    on a slow window can compare against a builder on a fast one.
+    The workload is pinned: changing it breaks cross-round ratios.
+    """
+    from pyspark.sql import functions as F
+
+    def q():
+        return (
+            Catalog(spark, sf_dir)["lineitem"]
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("s1"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s2"),
+                F.avg("l_tax").alias("a1"),
+                F.count("*").alias("c"),
+            )
+        )
+
+    q().count()  # warm
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q().count()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[2]
+
+
 def _run_times(fn, spark, sf_dir: str, n: int) -> list[float]:
     """Warm run (plan + IO + page cache), then n timed runs."""
     fn(spark, sf_dir).count()
@@ -238,7 +272,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry.QUERIES]
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in names:
+    # Interleaved canary (round-7 verdict item 5): sample the fixed
+    # reference workload at the start, middle, and end of the window;
+    # the median of the three medians is the window's host-speed unit.
+    canary_runs: list[float] = [_canary_time(spark, sf_dir)]
+    midpoint = len(names) // 2
+    for i, name in enumerate(names):
+        if i == midpoint:
+            canary_runs.append(_canary_time(spark, sf_dir))
         fn = registry.QUERIES[name]
         # Noise-robust protocol (round-6 verdict item 2): one warm run
         # (plan + file listing + page cache), then median of 5 timed
@@ -292,19 +333,42 @@ def main() -> None:
         .parquet(d),
     )
     shutil.rmtree(out_root, ignore_errors=True)
+    canary_runs.append(_canary_time(spark, sf_dir))
+    canary = round(sorted(canary_runs)[len(canary_runs) // 2], 3)
+    value = round(sum(times.values()), 3)
+    subset_total = round(sum(times[n] for n in BASELINE_SUBSET if n in times), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
-                "value": round(sum(times.values()), 3),
+                "value": value,
                 "unit": "sec",
                 "queries": times,
                 "spread": spreads,
                 "protocol": "warm run then median-of-5 timed runs per query; spread = max/min of the 5 runs",
                 "writes": writes,
-                "baseline_subset_total": round(
-                    sum(times[n] for n in BASELINE_SUBSET if n in times), 3
-                ),
+                "canary_sec": canary,
+                "canary_samples": [round(c, 3) for c in canary_runs],
+                "baseline_subset_total": subset_total,
+                "sf": sf,
+            }
+        )
+    )
+    # The driver captures only the last 2000 chars of stdout; the
+    # detailed line above overflows that (BENCH_r07 parsed:null), so the
+    # FINAL line is a compact summary that always fits the tail. The
+    # canary is a fixed JVM-only lineitem aggregate (host-speed unit);
+    # subset_over_canary is the host-normalized regression ratio.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "value": value,
+                "unit": "sec",
+                "n_queries": len(times),
+                "baseline_subset_total": subset_total,
+                "canary_sec": canary,
+                "subset_over_canary": round(subset_total / max(canary, 1e-6), 2),
                 "sf": sf,
             }
         )
