@@ -29,6 +29,14 @@ PI_PROBES = (10.0, 25.0, 45.0)  # quantity probe points
 LS_SEEDS_PER_CLASS = 5
 LS_KNN = 5
 LS_ITERS = 6
+# kNN candidate generation: sign-LSH with the md5-derived ±1 plane
+# matrix (the sim_rp_lsh construction — cross-engine deterministic),
+# regrouped as 8 tables × 8 bits so random (non-neighbor) pairs
+# collide ~3% of the time while cosine≈0.9 near-neighbors still land
+# in ≥1 table w.p. ~0.9. At 100 TB, LS_BITS grows with corpus size to
+# keep per-bucket GEMMs bounded (same knob as sim_rp_lsh).
+LS_TABLES = 8
+LS_BITS = 8
 MH_KS = (8, 16, 32, 64)
 
 
@@ -119,44 +127,155 @@ stat_prediction_interval.__doc__ = stat_prediction_interval.__doc__.format(
 )
 
 
+def _ls_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN edge frame (a, b) over sign-LSH candidates.
+
+    Signatures are one narrow Arrow pass (batch GEMM against the md5
+    ±1 plane matrix, regenerated per worker); candidates never leave
+    their (tbl, sig) bucket — each bucket GEMMs its members and emits
+    only per-member local top-LS_KNN, and a window over the ≤
+    LS_TABLES·LS_KNN survivors per node takes the exact global top-k
+    (a pair in the global top-k ranks ≤ k inside every bucket that
+    contains it). Ranking is on the floor-rounded cosine with a
+    vec_id tie-break — the grid-stable cut the oracle replays."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _signatures(batches):
+        planes = np.array(
+            [
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(f"{d}:{c}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    & 1
+                    else -1.0
+                    for c in range(LS_TABLES * LS_BITS)
+                ]
+                for d in range(64)
+            ]
+        )
+        weights = 1 << np.arange(LS_BITS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v) for v in pdf["v"]])
+            bits = (x @ planes) > 0
+            sigs = bits.reshape(len(pdf), LS_TABLES, LS_BITS) @ weights
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LS_TABLES),
+                    "tbl": np.tile(np.arange(LS_TABLES), len(pdf)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    sigs = emb.mapInPandas(_signatures, "vec_id long, tbl int, sig long")
+    bucketed = sigs.join(emb, "vec_id")
+
+    def _bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "s": []}).astype(
+                {"a": "int64", "b": "int64", "s": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        X = np.asarray([np.asarray(v) for v in pdf["v"]], dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        G = np.floor((Xn @ Xn.T) * 10000 + 0.5) / 10000
+        np.fill_diagonal(G, -np.inf)
+        k = min(LS_KNN, len(ids) - 1)
+        a_out, b_out, s_out = [], [], []
+        for i in range(len(ids)):
+            top = np.lexsort((ids, -G[i]))[:k]
+            a_out.extend([ids[i]] * k)
+            b_out.extend(ids[top])
+            s_out.extend(G[i][top])
+        return pd.DataFrame({"a": a_out, "b": b_out, "s": s_out})
+
+    local = bucketed.groupBy("tbl", "sig").applyInPandas(
+        _bucket_knn, "a long, b long, s double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("a").orderBy(F.desc("s"), "b")
+    return (
+        local.dropDuplicates(["a", "b"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LS_KNN)
+        .select("a", "b")
+    )
+
+
+_LS_PLANES_SQL = f"""
+    planes AS MATERIALIZED (
+      SELECT d.d, c.c,
+             CASE WHEN (CAST('0x' || substr(md5(
+                    CAST(d.d AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)),
+                    1, 15) AS BIGINT) & 1) = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(range(0, 64)) AS d) d,
+           (SELECT unnest(range(0, {LS_TABLES * LS_BITS})) AS c) c)"""
+
+
 @query(
     "ml_label_spreading",
-    # Real oracle: the mutual-cosine kNN graph (deterministic
-    # sim-desc/vec_id tie-break), the 5+5 lowest-vec_id seed pick and
-    # all {it} clamped propagation rounds replay as SQL — the
-    # propagation is a recursive CTE pulling each node's neighbor
-    # mean per round.
+    # Real oracle: the sign-LSH bucketing (md5 ±1 planes — integer
+    # signatures, cross-engine exact), the grid-stable per-node top-k
+    # cut, the 5+5 lowest-vec_id seed pick and all {it} clamped
+    # propagation rounds replay as SQL — the propagation is a
+    # recursive CTE pulling each node's neighbor mean per round.
     oracle=f"""
     WITH RECURSIVE
-    ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  CAST(label % 2 AS INT) AS y
-           FROM embeddings),
-    nrm AS (SELECT vec_id, y, list_transform(v, x -> x /
-              GREATEST(SQRT(list_aggregate(list_transform(v,
-                z -> z * z), 'sum')), 1e-12)) AS u
-            FROM ex),
-    knn AS (SELECT a, b FROM (
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_aggregate(list_transform(range(1, 65),
-                   i -> a.u[i] * b.u[i]), 'sum') DESC, b.vec_id) AS rn
-        FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id) q
+    {_LS_PLANES_SQL},
+    e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              CAST(label % 2 AS INT) AS y
+                       FROM embeddings),
+    dots AS (SELECT e.vec_id, p.c,
+                    SUM(e.v[CAST(p.d AS INT) + 1] * p.w) AS s
+             FROM e, planes p GROUP BY 1, 2),
+    sigs AS (SELECT vec_id, c // {LS_BITS} AS tbl,
+                    CAST(SUM(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << (c % {LS_BITS})
+                             ELSE 0 END) AS BIGINT) AS sig
+             FROM dots GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT sa.vec_id AS a, sb.vec_id AS b
+             FROM sigs sa JOIN sigs sb
+               ON sa.tbl = sb.tbl AND sa.sig = sb.sig
+              AND sa.vec_id <> sb.vec_id),
+    scored AS MATERIALIZED (
+      SELECT c.a, c.b,
+             FLOOR(list_cosine_similarity(x.v, y2.v) * 10000 + 0.5)
+               / 10000 AS s
+      FROM cand c JOIN e x ON x.vec_id = c.a
+                  JOIN e y2 ON y2.vec_id = c.b),
+    knn AS MATERIALIZED (SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+                       ORDER BY s DESC, b) AS rn
+        FROM scored) q
       WHERE rn <= {LS_KNN}),
     seeds AS (SELECT vec_id, y FROM (
         SELECT vec_id, y,
                ROW_NUMBER() OVER (PARTITION BY y ORDER BY vec_id) AS rc
         FROM (SELECT vec_id, y,
                      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-              FROM ex) q
+              FROM e) q
         WHERE rn <= {10 * LS_SEEDS_PER_CLASS}) z
       WHERE rc <= {LS_SEEDS_PER_CLASS}),
     prop AS (
-      SELECT 0 AS it, e.vec_id AS vec_id,
+      SELECT 0 AS it, e2.vec_id AS vec_id,
              CASE WHEN sd.vec_id IS NOT NULL AND sd.y = 0
                   THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS f0,
              CASE WHEN sd.vec_id IS NOT NULL AND sd.y = 1
                   THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS f1
-      FROM ex e LEFT JOIN seeds sd ON e.vec_id = sd.vec_id
+      FROM e e2 LEFT JOIN seeds sd ON e2.vec_id = sd.vec_id
       UNION ALL
       SELECT q.it, q.vec_id,
              CASE WHEN sd.vec_id IS NOT NULL
@@ -172,11 +291,14 @@ stat_prediction_interval.__doc__ = stat_prediction_interval.__doc__.format(
             GROUP BY p.it, k.a) q
       LEFT JOIN seeds sd ON q.vec_id = sd.vec_id
     ),
-    fin AS (SELECT p.vec_id, p.f0, p.f1, e.y,
+    fin AS (SELECT en.vec_id, COALESCE(p.f0, 0.0) AS f0,
+                   COALESCE(p.f1, 0.0) AS f1, en.y,
                    sd.vec_id IS NOT NULL AS is_seed
-            FROM prop p JOIN ex e ON p.vec_id = e.vec_id
-            LEFT JOIN seeds sd ON p.vec_id = sd.vec_id
-            WHERE p.it = {LS_ITERS}),
+            FROM e en
+            LEFT JOIN (SELECT * FROM prop
+                       WHERE it = {LS_ITERS}) p
+              ON en.vec_id = p.vec_id
+            LEFT JOIN seeds sd ON en.vec_id = sd.vec_id),
     m AS (SELECT
         (SELECT COUNT(*) FROM seeds) AS n_seeds,
         COUNT(*) FILTER (WHERE f0 + f1 > 0 AND NOT is_seed) AS spread,
@@ -197,72 +319,94 @@ stat_prediction_interval.__doc__ = stat_prediction_interval.__doc__.format(
 )
 def ml_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spreading: keep {s} labeled seeds per
-    class (lowest vec_ids of each parity label), build the mutual
-    kNN graph over embedding cosine (brute-force here; the IVF bucket
-    path at scale), and propagate class scores {it} rounds (seeds
-    clamped). Reports coverage and accuracy of the spread labels
-    against the held-back truth — what a labeling budget of 10 buys
-    on this corpus, honestly measured.
+    class (lowest vec_ids of each parity label), build the kNN graph
+    over embedding cosine from sign-LSH candidate buckets (no pair
+    ever leaves its bucket; no full-table driver collect anywhere),
+    and propagate class scores {it} rounds (seeds clamped). Reports
+    coverage and accuracy of the spread labels against the held-back
+    truth — what a labeling budget of 10 buys on this corpus.
 
-    Scale: the kNN edges come from the bucketed candidate machinery
-    at scale (brute here is the fixture path); each propagation round
-    is one edge join + one mean-aggregate with lineage cuts."""
-    import numpy as np
-
-    emb = cat(spark, sf_dir)["embeddings"].select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        (F.col("label") % 2).alias("y"),
-    ).localCheckpoint()
-    rows = emb.collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    y = np.array([r["y"] for r in rows])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    # NOTE: fixture-sized brute kNN (500×500) — the candidate
-    # generation at scale is the LSH/IVF bucket join, same downstream
-    S = Xn @ Xn.T
-    np.fill_diagonal(S, -np.inf)
-    # deterministic tie-break: (similarity desc, vec_id asc) — exact
-    # duplicate embeddings produce exact cosine ties, and an unstable
-    # argsort would make the neighbor set engine-dependent
-    nn = np.array(
-        [np.lexsort((ids, -S[i]))[:LS_KNN] for i in range(len(ids))]
+    Scale: signatures are one narrow Arrow pass; candidate kNN is a
+    per-bucket GEMM + one window over ≤ tables·k survivors per node;
+    each propagation round is one edge join + one mean-aggregate with
+    lineage cuts. Nodes with no LSH collisions simply stay unlabeled
+    (counted in the coverage denominator)."""
+    nodes = (
+        cat(spark, sf_dir)["embeddings"]
+        .select("vec_id", (F.col("label") % 2).cast("int").alias("y"))
+        .localCheckpoint()
     )
-    seeds = {}
-    for cls in (0, 1):
-        for i in np.argsort(ids)[: 10 * LS_SEEDS_PER_CLASS]:
-            if y[i] == cls and sum(
-                1 for s2 in seeds.values() if s2 == cls
-            ) < LS_SEEDS_PER_CLASS:
-                seeds[i] = cls
-    f = np.zeros((len(ids), 2))
-    for i, cls in seeds.items():
-        f[i, cls] = 1.0
+    e = _ls_knn_edges(spark, sf_dir).withColumnRenamed("b", "src")
+    edges = e.localCheckpoint()
+    low = nodes.orderBy("vec_id").limit(10 * LS_SEEDS_PER_CLASS)
+    from pyspark.sql import Window as W
+
+    wcls = W.partitionBy("y").orderBy("vec_id")
+    seeds = (
+        low.withColumn("rc", F.row_number().over(wcls))
+        .filter(F.col("rc") <= LS_SEEDS_PER_CLASS)
+        .select("vec_id", F.col("y").alias("sy"))
+        .localCheckpoint()
+    )
+    clamp0 = F.when(F.col("sy") == 0, 1.0).otherwise(0.0)
+    clamp1 = F.when(F.col("sy") == 1, 1.0).otherwise(0.0)
+    f = nodes.join(F.broadcast(seeds), "vec_id", "left").select(
+        "vec_id", clamp0.alias("f0"), clamp1.alias("f1")
+    )
     for _ in range(LS_ITERS):
-        nf = f[nn].mean(axis=1)
-        for i, cls in seeds.items():
-            nf[i] = 0.0
-            nf[i, cls] = 1.0
-        f = nf
-    assigned = f.sum(axis=1) > 0
-    pred = f.argmax(axis=1)
-    mask = assigned & ~np.isin(
-        np.arange(len(ids)), list(seeds.keys())
+        nf = (
+            edges.join(f, edges["src"] == f["vec_id"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.avg("f0").alias("m0"), F.avg("f1").alias("m1"))
+        )
+        f = (
+            nf.join(
+                F.broadcast(seeds),
+                nf["node"] == seeds["vec_id"],
+                "left",
+            )
+            .select(
+                F.col("node").alias("vec_id"),
+                F.when(F.col("sy").isNotNull(), clamp0)
+                .otherwise(F.col("m0"))
+                .alias("f0"),
+                F.when(F.col("sy").isNotNull(), clamp1)
+                .otherwise(F.col("m1"))
+                .alias("f1"),
+            )
+            .localCheckpoint()
+        )
+    fin = (
+        nodes.join(F.broadcast(seeds), "vec_id", "left")
+        .join(f, "vec_id", "left")
+        .select(
+            "y",
+            F.col("sy").isNotNull().alias("is_seed"),
+            F.coalesce("f0", F.lit(0.0)).alias("f0"),
+            F.coalesce("f1", F.lit(0.0)).alias("f1"),
+        )
     )
-    import math
-
-    acc = float((pred[mask] == y[mask]).mean()) if mask.any() else 0.0
-    # floor-grid rounding — identical double arithmetic to the oracle
-    row = (
-        len(seeds),
-        int(mask.sum()),
-        math.floor(float(mask.mean()) * 1e4 + 0.5) / 1e4,
-        math.floor(acc * 1e4 + 0.5) / 1e4,
+    spreadc = (F.col("f0") + F.col("f1") > 0) & ~F.col("is_seed")
+    pred = F.when(F.col("f1") > F.col("f0"), 1).otherwise(0)
+    m = fin.agg(
+        F.sum(F.col("is_seed").cast("int")).alias("n_seeds"),
+        F.sum(spreadc.cast("int")).alias("spread"),
+        (
+            F.sum(spreadc.cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+        (
+            F.sum((spreadc & (pred == F.col("y"))).cast("int")).cast(
+                "double"
+            )
+            / F.nullif(F.sum(spreadc.cast("int")), F.lit(0)).cast("double")
+        ).alias("acc"),
     )
-    return spark.createDataFrame(
-        [row],
-        "seeds long, spread_to long, coverage double, accuracy double",
+    return m.select(
+        F.col("n_seeds").cast("bigint").alias("seeds"),
+        F.col("spread").cast("bigint").alias("spread_to"),
+        ratio(F.col("coverage")).alias("coverage"),
+        ratio(F.coalesce(F.col("acc"), F.lit(0.0))).alias("accuracy"),
     )
 
 

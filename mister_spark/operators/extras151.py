@@ -13,6 +13,7 @@ document rankers — the k-ranker generalization of rank correlation.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 
@@ -20,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.ranks import global_rank
 from mister_spark.functions.text import DUCK_TOKENS, tokens
-from mister_spark.operators.common import cat, ratio
+from mister_spark.operators.common import cat, ratio, rnd
 from mister_spark.registry import query
 
 QZ_BITS = (8, 4, 2)
@@ -182,49 +183,115 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     format. 8-bit is usually free; THIS measures where 4- and 2-bit
     stop being.
 
-    Scale: quantization and scoring are one Arrow pass per bit
-    width; only the probe's top-{k} lists are collected."""
-    import numpy as np
+    Scale: ONE full-table pass computes the normalized vector, the
+    exact-probe similarity, and every bit-width's quantized
+    similarity as codegen expressions (no driver collect of the
+    corpus — only the probe vector and the global max-abs scalar,
+    both O(1), come to the driver); distortion means are one
+    aggregate and each top-{k} cut is a TakeOrdered of the rounded
+    similarity."""
+    from mister_spark.functions.vectors import dot as _dot
 
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    import math
+    # unit-normalize with the oracle's exact fold: left-fold sum of
+    # squares, sqrt, clamp at 1e-12 — bitwise identical per element
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    u = F.transform("v", lambda x: x / F.greatest(nrm, F.lit(1e-12)))
+    un = emb.select("vec_id", u.alias("u")).localCheckpoint()
+    # the two O(1) driver scalars: the probe's unit vector and the
+    # corpus max-|component| (order-independent, exact)
+    qrow = un.filter(F.col("vec_id") == 0).collect()[0]["u"]
+    mab = float(
+        un.agg(
+            F.max(
+                F.aggregate(
+                    F.transform("u", F.abs),
+                    F.lit(0.0),
+                    lambda a, x: F.greatest(a, x),
+                )
+            )
+        ).collect()[0][0]
+    )
 
-    rows = emb.collect()  # fixture-sized; bucketed candidates at scale
-    ids = np.array([r["vec_id"] for r in rows])
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    q = Xn[0]
-    exact_sims = Xn @ q
+    def _unit(vec: list[float]) -> list[float]:
+        s2 = 0.0
+        for x in vec:  # left fold — matches the SQL/JVM fold order
+            s2 += x * x
+        n = max(math.sqrt(s2), 1e-12)
+        return [x / n for x in vec]
 
-    def grid_top(sims_arr):
+    def _qz(vec: list[float], scale: float, lev: int) -> list[float]:
+        return [
+            min(max(math.floor(x / scale + 0.5), -lev - 1), lev) * scale
+            for x in vec
+        ]
+
+    # one pass: exact similarity + per-bit-width quantized similarity
+    cols = [F.col("vec_id"), _dot("u", F.lit(qrow)).alias("sx")]
+    for bits in QZ_BITS:
+        lev = 2 ** (bits - 1) - 1
+        scale = mab / lev
+        qv = F.transform(
+            "u",
+            lambda x: F.least(
+                F.greatest(F.floor(x / F.lit(scale) + 0.5), F.lit(-lev - 1)),
+                F.lit(lev),
+            ).cast("double")
+            * F.lit(scale),
+        )
+        qprobe = _unit(_qz(qrow, scale, lev))
+        qn = F.transform(
+            qv,
+            lambda x: x
+            / F.greatest(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(qv, lambda y: y * y),
+                        F.lit(0.0),
+                        lambda a, y: a + y,
+                    )
+                ),
+                F.lit(1e-12),
+            ),
+        )
+        cols.append(_dot(qn, F.lit(qprobe)).alias(f"s{bits}"))
+    sims = un.select(*cols).localCheckpoint()
+
+    def grid_top(col: str) -> set[int]:
         # top-K on the ROUNDED similarity with a vec_id tie-break —
         # the grid-stable cut every cross-engine boundary in this repo
-        # uses (raw-float argsort boundaries flip on ulp drift)
-        g = np.floor(sims_arr * 10000 + 0.5) / 10000
-        order = sorted(
-            (i for i in range(len(ids)) if ids[i] != 0),
-            key=lambda i: (-g[i], ids[i]),
+        # uses (raw-float sort boundaries flip on ulp drift)
+        rows = (
+            sims.filter(F.col("vec_id") != 0)
+            .select("vec_id", rnd(F.col(col), 4).alias("g"))
+            .orderBy(F.desc("g"), "vec_id")
+            .limit(QZ_TOPK)
+            .collect()
         )
-        return {int(ids[i]) for i in order[:QZ_TOPK]}
+        return {int(r["vec_id"]) for r in rows}
 
-    exact_top = grid_top(exact_sims)
+    exact_top = grid_top("sx")
+    dist = sims.agg(
+        *[
+            F.avg(F.abs(F.col(f"s{bits}") - F.col("sx"))).alias(f"d{bits}")
+            for bits in QZ_BITS
+        ]
+    ).collect()[0]
     out = []
     for bits in QZ_BITS:
-        levels = 2 ** (bits - 1) - 1
-        scale = np.abs(Xn).max() / levels
-        # half-up quantizer (floor(x + 0.5)) — deterministic on both
-        # engines, unlike banker's np.round
-        Q = np.clip(np.floor(Xn / scale + 0.5), -levels - 1, levels) * scale
-        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        sims = Qn @ (Q[0] / max(np.linalg.norm(Q[0]), 1e-12))
-        top = grid_top(sims)
-        distortion = float(np.mean(np.abs(sims - exact_sims)))
+        top = grid_top(f"s{bits}")
         out.append(
             (
                 bits,
-                math.floor(distortion * 1e6 + 0.5) / 1e6,
+                math.floor(float(dist[f"d{bits}"]) * 1e6 + 0.5) / 1e6,
                 math.floor(len(top & exact_top) / QZ_TOPK * 10000 + 0.5)
                 / 10000,
             )

@@ -632,7 +632,9 @@ def test_late_wave_plan_pins(spark):
         "stat_meta_analysis": (0, 0),
         # wave 129
         "dd_minhash_error_curve": (0, 0),
-        "ml_label_spreading": (0, 0),
+        # now returns a LAZY metrics frame (round-8 distributed
+        # rewrite): fin join + final agg = 2 shuffles
+        "ml_label_spreading": (2, 0),
         "stat_prediction_interval": (0, 0),
         # wave 130
         "ev_sequential_patterns": (3, 0),
@@ -827,11 +829,12 @@ def test_round4_wave_plan_pins(spark):
         # wave 185
         "stat_capture_recapture": (3, 0),
         "stat_zip_fit": (2, 0),
-        # wave 186 (stat_wasserstein_1d / stat_energy_distance return
-        # eagerly-computed one-row frames; their heavy lifting is
-        # bucketed windows / broadcast pair joins inside the op)
-        "stat_energy_distance": (0, 0),
-        "stat_wasserstein_1d": (0, 0),
+        # wave 186: stat_wasserstein_1d / stat_energy_distance are
+        # deliberately OMITTED — they return eagerly-computed one-row
+        # frames, so a (0, 0) pin would assert on the trivial result
+        # frame and never see the real distributed work (the bucketed
+        # windows / broadcast pair joins run inside internal collect()
+        # calls); a vacuous pin reads as coverage it isn't.
         "tx_ngram_novelty": (3, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
@@ -840,3 +843,31 @@ def test_round4_wave_plan_pins(spark):
         uw = count_unpartitioned_windows(df)
         assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
         assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
+
+
+def test_label_spreading_knn_is_distributed(spark):
+    """ml_label_spreading's kNN graph must stay distributed (round-7
+    verdict item 2): the edge frame is lazy LSH-bucketed work (3
+    shuffles: sig join, bucket applyInPandas, pair dedup+window — all
+    partitioned), and the op source contains NO .collect() at all —
+    the round-7 version collected the whole embeddings table to the
+    driver and built a dense n x n numpy kNN, which OOMs at 100 TB."""
+    import inspect
+
+    from mister_spark.operators import extras129, extras151
+    from mister_spark.plans import count_unpartitioned_windows
+
+    edges = extras129._ls_knn_edges(spark, SF)
+    assert count_shuffles(edges) <= 3, physical_plan(edges)
+    assert count_unpartitioned_windows(edges) == 0, physical_plan(edges)
+    final = registry.QUERIES["ml_label_spreading"](spark, SF)
+    assert count_shuffles(final) <= 2
+    for fn in (extras129._ls_knn_edges, extras129.ml_label_spreading):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src, fn.__name__
+    # ml_quantization_sweep keeps only O(1) collects (probe vector,
+    # max-abs scalar, per-bit top-10, one 1-row agg) — the full-table
+    # `rows = emb.collect()` pattern must not come back
+    src = inspect.getsource(extras151.ml_quantization_sweep)
+    assert "emb.collect" not in src
+    assert src.count(".collect()") <= 4, src.count(".collect()")
