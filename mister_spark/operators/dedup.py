@@ -131,7 +131,14 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # cold postings, read twice below
     )
     wp = W.partitionBy("doc_id")
-    o_min = F.greatest(F.ceil(F.col("n") * JACCARD_T_SLACK), F.lit(1))
+    # the -1e-9 makes the bound slack BY CONSTRUCTION: the double for
+    # JACCARD_T_SLACK (0.49995) sits slightly ABOVE the true value, so
+    # without the epsilon, completeness would rest on ceil(n * t')
+    # happening to round back down at every exact-integer product —
+    # IEEE luck, not a guarantee
+    o_min = F.greatest(
+        F.ceil(F.col("n") * JACCARD_T_SLACK - F.lit(1e-9)), F.lit(1)
+    )
     pref = (
         shc.withColumn("r", F.row_number().over(wp.orderBy("df", "sid")))
         .withColumn("coldn", F.count(F.lit(1)).over(wp))

@@ -39,13 +39,21 @@ PYDS_CUT = 50.0
                    CAST(SUM(CASE WHEN amount > {PYDS_CUT} THEN 1
                             ELSE 0 END) AS BIGINT) AS pushed,
                    CAST(SUM(CASE WHEN amount > {PYDS_CUT} AND shard = 1
-                            THEN 1 ELSE 0 END) AS BIGINT) AS mixed
+                            THEN 1 ELSE 0 END) AS BIGINT) AS mixed,
+                   -- independent derivation of the mixed count from
+                   -- raw id arithmetic (no shard column): mirrors the
+                   -- Spark side's observed-vs-pure-Python cross-check
+                   CAST(SUM(CASE WHEN amount > {PYDS_CUT}
+                            AND id >= {PYDS_ROWS // PYDS_PARTS}
+                            AND id < {2 * (PYDS_ROWS // PYDS_PARTS)}
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS mixed_by_range
             FROM led)
     SELECT total_rows, CAST({PYDS_PARTS} AS INT) AS parts_declared,
            parts_seen, pushed AS pushed_rows, pushed AS pushed_expected,
            CAST(1 AS INT) AS pushdown_applied,
            mixed AS mixed_rows, mixed AS mixed_expected,
-           CAST(CASE WHEN mixed = mixed THEN 1 ELSE 0 END AS INT)
+           CAST(CASE WHEN mixed = mixed_by_range THEN 1 ELSE 0 END AS INT)
              AS residual_correct
     FROM agg
     """,

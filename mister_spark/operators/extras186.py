@@ -273,7 +273,10 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        (F.col("label") < 5).cast("int").alias("grp"),
+        # mirror the oracle's CASE WHEN exactly: a NULL label buckets
+        # into group 0, whereas (label < 5).cast('int') would yield
+        # NULL and silently drop the row from both groups
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("grp"),
         F.md5(F.col("vec_id").cast("string")).alias("h"),
     )
 
