@@ -153,6 +153,15 @@ SCALING_QUERIES = [
     "stat_wasserstein_1d",
     "tx_ngram_novelty",
     "stat_energy_distance",
+    # round-8 additions (round-7 verdict item 6): the remaining
+    # dedup/similarity family members — the 100 TB-critical paths
+    "dd_tfidf_cosine",
+    "dd_containment",
+    "dd_simhash",
+    "sim_bm25",
+    "sim_pq",
+    # round-8: the distributed ml_label_spreading rewrite (LSH kNN)
+    "ml_label_spreading",
 ]
 
 

@@ -164,10 +164,18 @@ def _semdedup_nearest(X, C, chunk=8192):
 
 def _semdedup_lloyd(X, k, iters):
     """Deterministic driver-side Lloyd: init = the k lowest-id sample
-    rows (caller pre-sorts X by id), empty clusters re-seed to the
-    points farthest from their assigned centroid (stable order). X is
-    a BOUNDED sample (<= SEMDEDUP_SAMPLE_CAP rows), so this is
-    model-sized work regardless of corpus size."""
+    rows (caller pre-sorts X by id); an EMPTY cluster keeps its
+    previous centroid — the same replayable policy as ivf_train /
+    duck_ivf_topk (the earlier reseed-to-farthest needed a
+    cross-engine argsort over float distances, an avoidable exactness
+    risk now that the oracle replays this fit relationally). X is a
+    BOUNDED sample (<= SEMDEDUP_SAMPLE_CAP rows), so this is
+    model-sized work regardless of corpus size. With integer TF
+    features the centroid means stay BITWISE cross-engine exact:
+    member sums are exact integer arithmetic in doubles, so the only
+    float divergence anywhere in the fit is the distance ranking,
+    where ties are exact (integer) and near-ties are astronomically
+    unlikely."""
     import numpy as np
 
     k = min(k, len(X))
@@ -177,13 +185,8 @@ def _semdedup_lloyd(X, k, iters):
         cnt = np.bincount(a, minlength=k).astype(float)
         Cn = np.zeros_like(C)
         np.add.at(Cn, a, X)
-        empty = np.where(cnt == 0)[0]
-        if len(empty):
-            d = ((X - C[a]) ** 2).sum(axis=1)
-            far = np.argsort(-d, kind="stable")[: len(empty)]
-            Cn[empty] = X[far]
-            cnt[empty] = 1.0
-        C = Cn / cnt[:, None]
+        nz = cnt > 0
+        C[nz] = Cn[nz] / cnt[nz][:, None]
     return C
 
 
@@ -240,7 +243,10 @@ def _semdedup_pair_kernel(pdf, tau, cap):
         Xn = X / norms[idx][:, None]
         S = Xn @ Xn.T
         iu, ju = np.triu_indices(len(idx), 1)
-        hit = S[iu, ju] >= tau
+        # grid-stable tau cut: the >= boundary compares the ROUNDED
+        # cosine, so the oracle's sum-then-divide and this kernel's
+        # normalize-then-GEMM agree at the threshold
+        hit = np.floor(S[iu, ju] * 10000 + 0.5) / 10000 >= tau
         compared += len(iu)
         out_i.extend(ids[idx[iu[hit]]])
         out_j.extend(ids[idx[ju[hit]]])
@@ -313,7 +319,186 @@ def _semdedup_hv_iter(batches):
         )
 
 
-@query("ds_semdedup")  # sample-fit k-means upstream → rows-only
+def _sd_winners(cte: str, points: str, pid: str, iters: int) -> str:
+    """One Lloyd step's frontier assignment as a subquery: every point
+    in `points` (pid, pos, val — sparse ok) ranked against the
+    recursive CTE `cte`'s current centroids (it, j, pos, c) by the
+    numpy kernel's c2 - 2*x.c score with argmin-first (lowest-j)
+    tie-break."""
+    return f"""(
+        SELECT q.it, q.{pid}, q.j FROM (
+          SELECT d.it, d.{pid}, d.j,
+                 ROW_NUMBER() OVER (PARTITION BY d.it, d.{pid}
+                                    ORDER BY d.score, d.j) AS rk
+          FROM (
+            SELECT k2.it, x.{pid}, k2.j,
+                   cc2.c2 - 2 * SUM(x.val * k2.c) AS score
+            FROM {cte} k2
+            JOIN {points} x ON x.pos = k2.pos
+            JOIN (SELECT it, j, SUM(c * c) AS c2 FROM {cte}
+                  WHERE it < {iters} GROUP BY 1, 2) cc2
+              ON cc2.it = k2.it AND cc2.j = k2.j
+            WHERE k2.it < {iters}
+            GROUP BY k2.it, x.{pid}, k2.j, cc2.c2
+          ) d) q
+        WHERE q.rk = 1)"""
+
+
+def _sd_lloyd_cte(name: str, points: str, pid: str, init: str, iters: int) -> str:
+    """A full recursive Lloyd CTE body: `init` seeds (it=0, j, pos, c)
+    dense centroids; each step reassigns the frontier's points and
+    takes exact member means per (j, pos) — an EMPTY cluster keeps its
+    previous centroid (mc.cnt IS NULL), a member'd cluster with no
+    mass at pos gets 0 (COALESCE(sv, 0))."""
+    w = _sd_winners(name, points, pid, iters)
+    return f"""{name} AS (
+      {init}
+      UNION ALL
+      SELECT s.it + 1, s.j, s.pos,
+             CASE WHEN mc.cnt IS NULL THEN s.c
+                  ELSE COALESCE(ms.sv, 0.0) / mc.cnt END
+      FROM {name} s
+      LEFT JOIN (SELECT w1.it, w1.j, CAST(COUNT(*) AS DOUBLE) AS cnt
+                 FROM {w} w1 GROUP BY 1, 2) mc
+        ON mc.it = s.it AND mc.j = s.j
+      LEFT JOIN (SELECT w2.it, w2.j, x2.pos, SUM(x2.val) AS sv
+                 FROM {w} w2
+                 JOIN {points} x2 ON x2.{pid} = w2.{pid}
+                 GROUP BY 1, 2, 3) ms
+        ON ms.it = s.it AND ms.j = s.j AND ms.pos = s.pos
+      WHERE s.it < {iters}
+    )"""
+
+
+def _sd_oracle() -> str:
+    """Full relational replay of ds_semdedup: md5-60 token ids, hashed
+    {dim}-dim TF features, the bounded md5-ordered fit sample, BOTH
+    Lloyd fits (fine over the sample, coarse over the fine centroids)
+    as recursive CTEs, the two-level nearest assignment, and the
+    exact sparse-cosine pair stage on the grid-stable tau cut. Valid
+    at oracle SFs where no cluster exceeds the bisection caps (max
+    cluster ~75 rows vs cap {cap} at sf0.01); if bisection ever fired
+    the candidate-pair count would mismatch LOUDLY, not silently."""
+    fine_init = f"""SELECT 0 AS it, CAST(s.rn - 1 AS BIGINT) AS j, g.pos,
+             COALESCE(x.val, 0.0) AS c
+      FROM samp s CROSS JOIN kk CROSS JOIN grid g
+      LEFT JOIN shv x ON x.vid = s.vid AND x.pos = g.pos
+      WHERE s.rn <= kk.k"""
+    coarse_init = """SELECT 0 AS it, f.fid AS j, f.pos, f.val AS c
+      FROM fpts f CROSS JOIN ncc WHERE f.fid < ncc.m"""
+    return f"""
+    WITH RECURSIVE
+    tokc AS MATERIALIZED (
+      SELECT vid, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS tid,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT doc_id AS vid, unnest({DUCK_TOKENS}) AS w
+            FROM documents)
+      GROUP BY vid, w),
+    shv AS MATERIALIZED (
+      SELECT vid, CAST(tid % {SEMDEDUP_DIM} AS INT) AS pos,
+             SUM(c) AS val
+      FROM tokc GROUP BY 1, 2),
+    nn AS (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n FROM tokc),
+    kk AS (SELECT GREATEST({SEMDEDUP_K_MIN},
+                  LEAST(CAST(CEIL(SQRT(n)) AS BIGINT),
+                        {SEMDEDUP_K_MAX}, n)) AS k FROM nn),
+    ncc AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS m FROM kk),
+    grid AS (SELECT CAST(unnest(range(0, {SEMDEDUP_DIM})) AS INT) AS pos),
+    samp AS MATERIALIZED (
+      SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS rn
+      FROM (SELECT DISTINCT vid FROM shv
+            ORDER BY md5(CAST(vid AS VARCHAR)), vid
+            LIMIT {SEMDEDUP_SAMPLE_CAP})),
+    sampx AS MATERIALIZED (
+      SELECT x.vid, x.pos, x.val FROM samp s JOIN shv x ON x.vid = s.vid),
+    {_sd_lloyd_cte("kmf", "sampx", "vid", fine_init, SEMDEDUP_ITERS)},
+    fpts AS MATERIALIZED (
+      SELECT j AS fid, pos, c AS val FROM kmf WHERE it = {SEMDEDUP_ITERS}),
+    {_sd_lloyd_cte("kmc", "fpts", "fid", coarse_init, 4)},
+    coarse AS MATERIALIZED (SELECT j AS cell, pos, c FROM kmc WHERE it = 4),
+    coc2 AS (SELECT cell, SUM(c * c) AS c2 FROM coarse GROUP BY 1),
+    f2c AS MATERIALIZED (
+      SELECT q.fid, q.cell FROM (
+        SELECT d.fid, d.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.fid
+                                  ORDER BY d.score, d.cell) AS rk
+        FROM (SELECT f.fid, co.cell, c2.c2 - 2 * SUM(f.val * co.c) AS score
+              FROM fpts f JOIN coarse co ON co.pos = f.pos
+              JOIN coc2 c2 ON c2.cell = co.cell
+              GROUP BY f.fid, co.cell, c2.c2) d) q
+      WHERE q.rk = 1),
+    dcc AS (
+      SELECT q.vid, q.cell FROM (
+        SELECT d.vid, d.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.vid
+                                  ORDER BY d.score, d.cell) AS rk
+        FROM (SELECT x.vid, co.cell, c2.c2 - 2 * SUM(x.val * co.c) AS score
+              FROM shv x JOIN coarse co ON co.pos = x.pos
+              JOIN coc2 c2 ON c2.cell = co.cell
+              WHERE co.cell IN (SELECT DISTINCT cell FROM f2c)
+              GROUP BY x.vid, co.cell, c2.c2) d) q
+      WHERE q.rk = 1),
+    fc2 AS (SELECT fid, SUM(val * val) AS c2 FROM fpts GROUP BY 1),
+    asgn AS MATERIALIZED (
+      SELECT q.vid, q.fid AS cid FROM (
+        SELECT d.vid, d.fid,
+               ROW_NUMBER() OVER (PARTITION BY d.vid
+                                  ORDER BY d.score, d.fid) AS rk
+        FROM (SELECT x.vid, m.fid, c2.c2 - 2 * SUM(x.val * f.val) AS score
+              FROM dcc dc
+              JOIN f2c m ON m.cell = dc.cell
+              JOIN fpts f ON f.fid = m.fid
+              JOIN shv x ON x.vid = dc.vid AND x.pos = f.pos
+              JOIN fc2 c2 ON c2.fid = m.fid
+              GROUP BY x.vid, m.fid, c2.c2) d) q
+      WHERE q.rk = 1),
+    csz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM asgn GROUP BY 1),
+    nrm AS (SELECT vid, SQRT(GREATEST(SUM(c * c), 1e-24)) AS nv
+            FROM tokc GROUP BY 1),
+    inter AS (
+      SELECT a.vid AS i, b.vid AS j2, SUM(a.c * b.c) AS dot
+      FROM tokc a JOIN tokc b ON a.tid = b.tid AND a.vid < b.vid
+      JOIN asgn pa ON pa.vid = a.vid
+      JOIN asgn pb ON pb.vid = b.vid AND pb.cid = pa.cid
+      GROUP BY 1, 2),
+    hits AS MATERIALIZED (
+      SELECT i, j2 FROM inter
+      JOIN nrm x ON x.vid = i
+      JOIN nrm y ON y.vid = j2
+      WHERE FLOOR(dot / (x.nv * y.nv) * 10000 + 0.5) / 10000
+            >= {SEMDEDUP_TAU}),
+    agg AS (SELECT
+        (SELECT SUM((sz * (sz - 1)) // 2) FROM csz) AS pairs,
+        (SELECT COUNT(*) FROM csz) AS clusters,
+        (SELECT MAX(sz) FROM csz) AS max_sz,
+        (SELECT COUNT(*) FROM hits) AS dup_pairs,
+        (SELECT COUNT(DISTINCT j2) FROM hits) AS removed)
+    SELECT nn.n AS vectors,
+           CAST(agg.clusters AS INT) AS clusters,
+           CAST(agg.pairs AS BIGINT) AS candidate_pairs,
+           CAST(agg.dup_pairs AS BIGINT) AS dup_pairs,
+           CAST(agg.removed AS BIGINT) AS removed,
+           nn.n - agg.removed AS kept,
+           FLOOR((1.0 - agg.pairs / CAST((nn.n * (nn.n - 1)) // 2
+                                         AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS pair_space_pruned,
+           FLOOR(CAST(agg.max_sz AS DOUBLE) / nn.n * 1e4 + 0.5) / 1e4
+             AS max_cluster_share
+    FROM nn, agg
+    """
+
+
+@query(
+    "ds_semdedup",
+    # Real oracle (round-7 verdict item 4): the whole chain — md5-60
+    # token ids, hashed-TF features, BOTH sample-fit Lloyd k-means
+    # (fine + coarse) as recursive CTEs, two-level assignment, exact
+    # sparse cosine on the grid-stable tau cut — replays relationally.
+    # Centroid means are exact integer-sum/count arithmetic (TF
+    # features are integers), so the fit is cross-engine stable.
+    oracle=_sd_oracle(),
+)
 def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over DOCUMENT term-frequency vectors (the raw
     embeddings table is isotropic noise — max pairwise cosine 0.51 —
@@ -351,12 +536,17 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor (i, j) rows plus one summary row per cluster leave it."""
     import numpy as np
 
+    from mister_spark.functions.hashing import mh_hash60
+
     docs = cat(spark, sf_dir)["documents"]
+    # token ids are md5-family 60-bit (NON-NEGATIVE, so `% dim` agrees
+    # across engines) — the dd_minhash_lsh conversion that makes the
+    # whole chain, hash included, replayable as the SQL oracle
     sparse = (
         docs.select("doc_id", F.explode(tokens()).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .select("doc_id", F.xxhash64("w").alias("tid"), "c")
+        .select("doc_id", mh_hash60(F.col("w")).alias("tid"), "c")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("tid", "c"))).alias("sp"))
         .select(
@@ -379,7 +569,7 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse.mapInPandas(
             _semdedup_hv_iter, "vec_id long, hvec array<double>"
         )
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(SEMDEDUP_SAMPLE_CAP)
         .collect()
     )
@@ -439,6 +629,10 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_dup_pairs = dups.count()
     removed = dups.select(F.col("j").alias("vec_id")).distinct().count()
     quad = n * (n - 1) // 2
+    import math
+
+    # floor-grid rounding — identical double arithmetic to the oracle
+    # (Python's round() is banker's, which diverges on exact halves)
     return spark.createDataFrame(
         [
             (
@@ -448,8 +642,8 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_dup_pairs,
                 removed,
                 n - removed,
-                round(1.0 - summary["pairs"] / quad, 4),
-                round(summary["max_sz"] / n, 4),
+                math.floor((1.0 - summary["pairs"] / quad) * 1e4 + 0.5) / 1e4,
+                math.floor(summary["max_sz"] / n * 1e4 + 0.5) / 1e4,
             )
         ],
         _SEMDEDUP_AUDIT_SCHEMA,

@@ -60,5 +60,14 @@ def test_scaling_covers_the_verdict_paths():
         "ds_semdedup",
         "tx_topic_nmf",
         "ds_quality_classifier",
+        # round-7 verdict item 6: the remaining dedup/similarity
+        # family members — the 100 TB-critical paths
+        "dd_tfidf_cosine",
+        "dd_containment",
+        "dd_simhash",
+        "sim_bm25",
+        "sim_pq",
+        # round-8: the distributed label-spreading rewrite
+        "ml_label_spreading",
     ):
         assert name in doc["queries"], name
