@@ -836,6 +836,14 @@ def test_round4_wave_plan_pins(spark):
         # windows / broadcast pair joins run inside internal collect()
         # calls); a vacuous pin reads as coverage it isn't.
         "tx_ngram_novelty": (3, 0),
+        # wave 187 (the unpartitioned windows are bounded carries:
+        # global_rank's partition-count offsets cumulation and
+        # bucketed_cumsum's 64-row totals frame; stat_hoeffding_d's 7
+        # exchanges all live on the 550-cell value grid)
+        "ds_ngram_coverage_curve": (3, 1),
+        "stat_ansari_bradley": (2, 1),
+        "stat_hoeffding_d": (7, 0),
+        "stat_mood_median": (0, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
