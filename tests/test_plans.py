@@ -844,6 +844,13 @@ def test_round4_wave_plan_pins(spark):
         "stat_ansari_bradley": (2, 1),
         "stat_hoeffding_d": (7, 0),
         "stat_mood_median": (0, 0),
+        # wave 188 (ev_its_level_shift's day-grain aggregate lives
+        # behind the shared-subtree localCheckpoint that feeds three
+        # branches; isotonic's 4 exchanges all live on the 50-point
+        # quantity grid)
+        "ev_its_level_shift": (0, 0),
+        "graph_harmonic_centrality": (3, 0),
+        "ml_isotonic_regression": (4, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
