@@ -225,18 +225,14 @@ _LS_PLANES_SQL = f"""
            (SELECT unnest(range(0, {LS_TABLES * LS_BITS})) AS c) c)"""
 
 
-@query(
-    "ml_label_spreading",
-    # Real oracle: the sign-LSH bucketing (md5 ±1 planes — integer
-    # signatures, cross-engine exact), the grid-stable per-node top-k
-    # cut, the 5+5 lowest-vec_id seed pick and all {it} clamped
-    # propagation rounds replay as SQL — the propagation is a
-    # recursive CTE pulling each node's neighbor mean per round.
-    oracle=f"""
-    WITH RECURSIVE
-    {_LS_PLANES_SQL},
+def _ls_knn_cte(label_expr: str) -> str:
+    """The planes→knn CTE chain of the sign-LSH kNN graph — shared by
+    the ml_label_spreading and ml_knn_classifier_eval oracles (the
+    SQL twin of _ls_knn_edges). `e` carries y = label_expr so each
+    consumer picks its own label encoding."""
+    return f"""{_LS_PLANES_SQL},
     e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                              CAST(label % 2 AS INT) AS y
+                              {label_expr} AS y
                        FROM embeddings),
     dots AS (SELECT e.vec_id, p.c,
                     SUM(e.v[CAST(p.d AS INT) + 1] * p.w) AS s
@@ -260,7 +256,19 @@ _LS_PLANES_SQL = f"""
         SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
                        ORDER BY s DESC, b) AS rn
         FROM scored) q
-      WHERE rn <= {LS_KNN}),
+      WHERE rn <= {LS_KNN})"""
+
+
+@query(
+    "ml_label_spreading",
+    # Real oracle: the sign-LSH bucketing (md5 ±1 planes — integer
+    # signatures, cross-engine exact), the grid-stable per-node top-k
+    # cut, the 5+5 lowest-vec_id seed pick and all {it} clamped
+    # propagation rounds replay as SQL — the propagation is a
+    # recursive CTE pulling each node's neighbor mean per round.
+    oracle=f"""
+    WITH RECURSIVE
+    {_ls_knn_cte("CAST(label % 2 AS INT)")},
     seeds AS (SELECT vec_id, y FROM (
         SELECT vec_id, y,
                ROW_NUMBER() OVER (PARTITION BY y ORDER BY vec_id) AS rc

@@ -1,5 +1,5 @@
-"""Wave 187: non-monotonic dependence, robust k-group location, rank
-scale testing, and vocabulary concentration.
+"""Wave 187: non-monotonic dependence, robust k-group location, and
+rank scale testing.
 
 stat_hoeffding_d is Hoeffding's D (1948, public literature) between
 order quantity and discount — the rank statistic that detects
@@ -11,22 +11,17 @@ type → chi-square) — the outlier-immune alternative to ANOVA when
 only location matters. stat_ansari_bradley is the Ansari–Bradley
 two-sample SCALE test (click vs view values): mid-rank AB scores
 min(r, N+1-r) compare dispersions without assuming normality — the
-rank twin of Levene. ds_ngram_coverage_curve measures what share of
-all token occurrences the top-X% most frequent vocabulary covers
-(X ∈ 1/5/10/25) — the concentration curve that sizes tokenizer
-vocabularies and hot-token caches.
+rank twin of Levene.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from mister_spark.functions.ranks import bucketed_cumsum, global_rank
-from mister_spark.functions.text import DUCK_TOKENS, tokens
+from mister_spark.functions.ranks import bucketed_cumsum
 from mister_spark.operators.common import cat, ratio, rnd
 from mister_spark.registry import query
 
-COVERAGE_PCTS = (1, 5, 10, 25)
 AB_GROUPS = ("click", "view")  # Ansari-Bradley sample pair
 
 
@@ -416,71 +411,4 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(
             (F.col("ab") - F.col("expected")) / F.sqrt(F.col("variance")), 4
         ).alias("z"),
-    )
-
-
-@query(
-    "ds_ngram_coverage_curve",
-    # Real oracle: cumulative token-occurrence counts are integers on
-    # the (freq desc, token asc) total order; each coverage is one
-    # exact integer/total division.
-    oracle=f"""
-    WITH tok AS (SELECT unnest({DUCK_TOKENS}) AS w FROM documents),
-    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
-    tot AS (SELECT CAST(SUM(f) AS DOUBLE) AS s,
-                   CAST(COUNT(*) AS BIGINT) AS v FROM tf),
-    r AS (SELECT f, w, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rk
-          FROM tf),
-    c AS (SELECT rk, SUM(f) OVER (ORDER BY rk) AS cf FROM r)
-    SELECT CAST(p.pct AS BIGINT) AS pct,
-           CAST(CEIL(tot.v * p.pct / 100.0) AS BIGINT) AS vocab_kept,
-           FLOOR(c.cf / tot.s * 1e4 + 0.5) / 1e4 AS coverage
-    FROM (VALUES {", ".join(f"({p})" for p in COVERAGE_PCTS)}) p(pct), tot
-    JOIN c ON c.rk = CAST(CEIL(tot.v * p.pct / 100.0) AS BIGINT)
-    """,
-)
-def ds_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary concentration curve: what share of ALL token
-    occurrences do the top 1/5/10/25% most frequent tokens cover?
-    Steep curves (Zipfian corpora) justify small tokenizer
-    vocabularies and hot-token caches; flat curves mean vocabulary
-    truncation bleeds coverage. The measured form of the 'head covers
-    the corpus' folklore.
-
-    Scale: the term-frequency frame is vocabulary-sized; its total
-    order (freq desc, token asc) ranks via the two-phase global_rank
-    and cumulates via the bucketed prefix sum — no single-task sort
-    at any vocabulary size; the four probe ranks are a broadcast
-    join."""
-    tf = (
-        cat(spark, sf_dir)["documents"]
-        .select(F.explode(tokens()).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    )
-    tot = tf.agg(
-        F.sum("f").cast("double").alias("s"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
-    r = global_rank(tf, F.desc("f"), "w", rank_col="rk")
-    c = bucketed_cumsum(r.select("rk", "f"), "rk", {"cf": F.col("f")})
-    probes = spark.createDataFrame(
-        [(p,) for p in COVERAGE_PCTS], "pct long"
-    ).crossJoin(F.broadcast(tot))
-    probes = probes.select(
-        "pct",
-        "s",
-        F.ceil(F.col("v") * F.col("pct") / 100.0).cast("bigint").alias(
-            "vocab_kept"
-        ),
-    )
-    return (
-        c.join(
-            F.broadcast(probes), F.col("rk") == F.col("vocab_kept")
-        )
-        .select(
-            "pct",
-            "vocab_kept",
-            ratio(F.col("cf") / F.col("s")).alias("coverage"),
-        )
     )

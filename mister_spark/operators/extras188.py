@@ -1,5 +1,4 @@
-"""Wave 188: harmonic centrality, isotonic regression, and
-interrupted time series.
+"""Wave 188: harmonic centrality and isotonic regression.
 
 graph_harmonic_centrality ranks nodes by the sum of inverse shortest
 distances from sampled sources — the closeness variant that handles
@@ -7,9 +6,7 @@ disconnected graphs gracefully (1/inf = 0 instead of collapsing).
 ml_isotonic_regression fits the best MONOTONE price-vs-quantity curve
 by weighted least squares via the minimax (greatest-convex-minorant)
 form of pool-adjacent-violators, computed entirely on the quantity
-value grid. ev_its_level_shift is segmented regression around a
-pinned intervention day — level and slope changes that before/after
-means misread whenever a trend exists.
+value grid.
 """
 
 from __future__ import annotations
@@ -228,121 +225,6 @@ def ml_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ITS_EPOCH = "2024-01-01"  # day-index origin
-ITS_CUT = 15  # intervention day index (2024-01-16)
-
-
-@query(
-    "ev_its_level_shift",
-    # Real oracle: daily counts and day indices are exact integers, so
-    # each segment's OLS numerators/denominators are exact and the
-    # slope/intercept are single correctly-rounded divisions —
-    # bitwise-identical across engines before the 1e-4 output grid.
-    oracle=f"""
-    WITH d AS (SELECT date_diff('day', DATE '{ITS_EPOCH}',
-                                CAST(ts AS DATE)) AS t,
-                      CAST(COUNT(*) AS DOUBLE) AS y
-               FROM events GROUP BY 1),
-    seg AS (SELECT CASE WHEN t < {ITS_CUT} THEN 0 ELSE 1 END AS post,
-                   CAST(COUNT(*) AS DOUBLE) AS n,
-                   SUM(CAST(t AS DOUBLE)) AS st,
-                   SUM(y) AS sy,
-                   SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS stt,
-                   SUM(CAST(t AS DOUBLE) * y) AS sty
-            FROM d GROUP BY 1),
-    f AS (SELECT post,
-                 (n * sty - st * sy) / (n * stt - st * st) AS b,
-                 (sy - ((n * sty - st * sy) / (n * stt - st * st)) * st)
-                   / n AS a,
-                 n
-          FROM seg),
-    w AS (SELECT
-        (SELECT CAST(SUM(n) AS BIGINT) FROM f) AS n_days,
-        (SELECT b FROM f WHERE post = 0) AS b0,
-        (SELECT a FROM f WHERE post = 0) AS a0,
-        (SELECT b FROM f WHERE post = 1) AS b1,
-        (SELECT a FROM f WHERE post = 1) AS a1)
-    SELECT n_days,
-           FLOOR(b0 * 1e4 + 0.5) / 1e4 AS slope_pre,
-           FLOOR(b1 * 1e4 + 0.5) / 1e4 AS slope_post,
-           FLOOR((a0 + b0 * {ITS_CUT}) * 1e4 + 0.5) / 1e4
-             AS level_pre_at_cut,
-           FLOOR((a1 + b1 * {ITS_CUT}) * 1e4 + 0.5) / 1e4
-             AS level_post_at_cut,
-           FLOOR(((a1 + b1 * {ITS_CUT}) - (a0 + b0 * {ITS_CUT}))
-                 * 1e4 + 0.5) / 1e4 AS level_change,
-           FLOOR((b1 - b0) * 1e4 + 0.5) / 1e4 AS slope_change
-    FROM w
-    """,
-)
-def ev_its_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interrupted time series on daily event volume with the
-    intervention pinned at day {cut}: fit separate OLS trend lines to
-    the pre and post segments and report the LEVEL change (post line
-    vs pre line extrapolated to the cutpoint) and SLOPE change — the
-    segmented-regression readout for 'did the launch shift the
-    series, bend it, or neither' that a bare before/after mean
-    comparison gets wrong whenever a trend exists.
-
-    Scale: ONE day-grain aggregate collapses the events table to a
-    calendar-bounded frame; both segment fits are closed-form moment
-    sums on it (exact integer arithmetic — counts and day indices),
-    no iteration, no solver."""
-    d = (
-        cat(spark, sf_dir)["events"]
-        .select(
-            F.datediff(F.to_date("ts"), F.lit(ITS_EPOCH).cast("date")).alias(
-                "t"
-            )
-        )
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("double").alias("y"))
-    )
-    t = F.col("t").cast("double")
-    seg = (
-        d.withColumn(
-            "post", F.when(F.col("t") < ITS_CUT, 0).otherwise(1)
-        )
-        .groupBy("post")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(t).alias("st"),
-            F.sum("y").alias("sy"),
-            F.sum(t * t).alias("stt"),
-            F.sum(t * F.col("y")).alias("sty"),
-        )
-    )
-    b = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
-        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
-    )
-    f = seg.select(
-        "post",
-        "n",
-        b.alias("b"),
-        ((F.col("sy") - b * F.col("st")) / F.col("n")).alias("a"),
-    ).localCheckpoint()
-    pre = f.filter(F.col("post") == 0).select(
-        F.col("a").alias("a0"), F.col("b").alias("b0")
-    )
-    post = f.filter(F.col("post") == 1).select(
-        F.col("a").alias("a1"), F.col("b").alias("b1")
-    )
-    nd = f.agg(F.sum("n").cast("bigint").alias("n_days"))
-    w = nd.crossJoin(F.broadcast(pre)).crossJoin(F.broadcast(post))
-    lvl0 = F.col("a0") + F.col("b0") * ITS_CUT
-    lvl1 = F.col("a1") + F.col("b1") * ITS_CUT
-    return w.select(
-        "n_days",
-        ratio(F.col("b0")).alias("slope_pre"),
-        ratio(F.col("b1")).alias("slope_post"),
-        ratio(lvl0).alias("level_pre_at_cut"),
-        ratio(lvl1).alias("level_post_at_cut"),
-        ratio(lvl1 - lvl0).alias("level_change"),
-        ratio(F.col("b1") - F.col("b0")).alias("slope_change"),
-    )
-
-
 graph_harmonic_centrality.__doc__ = graph_harmonic_centrality.__doc__.format(
     s=HC_SOURCES
 )
-ev_its_level_shift.__doc__ = ev_its_level_shift.__doc__.format(cut=ITS_CUT)

@@ -840,17 +840,18 @@ def test_round4_wave_plan_pins(spark):
         # global_rank's partition-count offsets cumulation and
         # bucketed_cumsum's 64-row totals frame; stat_hoeffding_d's 7
         # exchanges all live on the 550-cell value grid)
-        "ds_ngram_coverage_curve": (3, 1),
         "stat_ansari_bradley": (2, 1),
         "stat_hoeffding_d": (7, 0),
         "stat_mood_median": (0, 0),
-        # wave 188 (ev_its_level_shift's day-grain aggregate lives
-        # behind the shared-subtree localCheckpoint that feeds three
-        # branches; isotonic's 4 exchanges all live on the 50-point
+        # wave 188 (isotonic's 4 exchanges all live on the 50-point
         # quantity grid)
-        "ev_its_level_shift": (0, 0),
         "graph_harmonic_centrality": (3, 0),
         "ml_isotonic_regression": (4, 0),
+        # wave 189 (cucconi's unpartitioned window is bucketed_cumsum's
+        # 64-row totals carry; the kNN eval's 4 exchanges are the LSH
+        # edge machinery + vote groupBy, all partitioned)
+        "ml_knn_lsh_eval": (4, 0),
+        "stat_cucconi": (3, 1),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)

@@ -3,9 +3,7 @@
 Hoeffding's D must SEE non-monotonic dependence (the whole reason it
 exists next to Spearman) and read ~0 on an independent grid; Mood's
 median test must fire on a location-shifted group; Ansari-Bradley must
-fire on a scale difference with matched medians; the coverage curve is
-checked against hand-computed Zipf shares and must be monotone in the
-kept percentage.
+fire on a scale difference with matched medians.
 """
 
 from __future__ import annotations
@@ -77,23 +75,3 @@ def test_ansari_bradley_fires_on_scale_difference(spark, tmp_path):
     assert r["n1"] == 100 and r["n2"] == 100
     assert r["ab_statistic"] > r["expected"], r
     assert r["z"] > 3, r
-
-
-def test_coverage_curve_matches_zipf_hand_calc(spark, tmp_path):
-    from mister_spark.operators.extras187 import ds_ngram_coverage_curve
-
-    # 10-token vocab: 'hot' appears 91 times, the other 9 once each
-    docs = [(0, " ".join(["hot"] * 91), "en", "src0", 91 * 4)] + [
-        (i, f"tok{i}", "en", "src0", 5) for i in range(1, 10)
-    ]
-    spark.createDataFrame(
-        docs, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.mode("overwrite").parquet(
-        os.path.join(str(tmp_path), "documents.parquet")
-    )
-    out = {r["pct"]: r for r in ds_ngram_coverage_curve(spark, str(tmp_path)).collect()}
-    # vocab 10: 1% -> ceil(0.1) = 1 token kept = 'hot' = 91/100
-    assert out[1]["vocab_kept"] == 1 and out[1]["coverage"] == 0.91
-    # 25% -> ceil(2.5) = 3 tokens = 91 + 1 + 1 = 0.93
-    assert out[25]["vocab_kept"] == 3 and out[25]["coverage"] == 0.93
-    assert out[1]["coverage"] <= out[5]["coverage"] <= out[25]["coverage"]

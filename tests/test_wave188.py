@@ -1,10 +1,9 @@
 """Wave 188 behavior gates beyond the registry oracle parity.
 
-Harmonic centrality must rank a planted hub above a planted leaf and
-give an isolated node zero; the isotonic fit must be monotone, must
-pool a planted violator pair to their weighted mean, and must pass
-through the raw means when they are already monotone; the ITS readout
-must recover a planted level shift with near-zero slope change.
+Harmonic centrality must rank a planted hub above every spoke on a
+synthetic star; the isotonic fit must be monotone, must pool a planted
+violator pair to their weighted mean, and must pass through the raw
+means when they are already monotone.
 """
 
 from __future__ import annotations
@@ -84,35 +83,3 @@ def test_isotonic_fit_is_monotone_and_pools_violators(spark, tmp_path):
     assert out[5.0]["iso_fit"] == out[5.0]["mean_y"] == 20.0
     # the violator pair pools to its weighted mean (10+6)/2 = 8
     assert out[3.0]["iso_fit"] == out[4.0]["iso_fit"] == 8.0
-
-
-def test_its_recovers_planted_level_shift(spark, tmp_path):
-    from mister_spark.operators.extras188 import ev_its_level_shift
-
-    # flat 10/day before the cut, flat 30/day after: level change ~20,
-    # slope change ~0
-    rows = []
-    eid = 0
-    for day in range(30):
-        per = 10 if day < 15 else 30
-        for _ in range(per):
-            rows.append((eid, f"2024-01-{day + 1:02d} 12:00:00"))
-            eid += 1
-    (
-        spark.createDataFrame(rows, "event_id long, ts_s string")
-        .select(
-            "event_id",
-            F.col("ts_s").cast("timestamp").alias("ts"),
-            F.lit(0).cast("long").alias("user_id"),
-            F.lit("click").alias("event_type"),
-            F.lit(1.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(str(tmp_path), "events.parquet"))
-    )
-    r = ev_its_level_shift(spark, str(tmp_path)).collect()[0]
-    assert r["n_days"] == 30
-    assert abs(r["slope_pre"]) < 1e-6 and abs(r["slope_post"]) < 1e-6
-    assert abs(r["level_change"] - 20.0) < 1e-6
-    assert abs(r["slope_change"]) < 1e-6
