@@ -1,0 +1,58 @@
+"""The driver-facing bench output contract, pinned.
+
+BENCH_r07.json came back parsed:null because the detailed JSON line
+grew past the driver's 2000-char stdout tail capture. The contract
+since round 8: the FINAL stdout line is a compact `bench_summary`
+object that always fits the tail, carrying the two gating numbers
+(value, baseline_subset_total) plus the host-speed canary. This test
+runs the real bench main() on a trimmed query set at sf0.001 and
+fails if the last line ever stops being small, parseable, and
+complete — the exact failure mode that blinded the round-7 gate.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+
+
+def test_bench_final_line_is_compact_summary(spark):
+    import bench
+
+    saved_headline, saved_subset = bench.HEADLINE, bench.BASELINE_SUBSET
+    saved_env = dict(__import__("os").environ)
+    try:
+        bench.HEADLINE = ["q1_pricing_summary", "mr_wordcount"]
+        bench.BASELINE_SUBSET = ["q1_pricing_summary", "mr_wordcount"]
+        __import__("os").environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench.main()
+    finally:
+        bench.HEADLINE, bench.BASELINE_SUBSET = saved_headline, saved_subset
+        __import__("os").environ.clear()
+        __import__("os").environ.update(saved_env)
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    last = lines[-1]
+    # must survive a 2000-char tail capture with plenty of margin even
+    # at the full 68-query set (the summary is O(1) in query count)
+    assert len(last) < 1000, len(last)
+    doc = json.loads(last)
+    assert doc["metric"] == "bench_summary"
+    for field in (
+        "value",
+        "baseline_subset_total",
+        "canary_sec",
+        "subset_over_canary",
+        "n_queries",
+        "sf",
+    ):
+        assert field in doc, field
+    assert doc["value"] > 0 and doc["baseline_subset_total"] > 0
+    assert doc["canary_sec"] > 0
+    # the detailed line still prints above it with the per-query map
+    detailed = json.loads(lines[-2])
+    assert detailed["metric"] == "headline_queries_total_time"
+    assert set(detailed["queries"]) == {"q1_pricing_summary", "mr_wordcount"}
+    assert detailed["value"] == doc["value"]
