@@ -852,6 +852,10 @@ def test_round4_wave_plan_pins(spark):
         # edge machinery + vote groupBy, all partitioned)
         "ml_knn_lsh_eval": (4, 0),
         "stat_cucconi": (3, 1),
+        # wave 190 (both end on checkpointed model-sized frames: the
+        # 1-row threshold frame / the calendar-bounded day frame)
+        "stat_arch_lm": (0, 0),
+        "stat_tail_dependence": (0, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
