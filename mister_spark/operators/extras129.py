@@ -207,7 +207,12 @@ def _ls_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.partitionBy("a").orderBy(F.desc("s"), "b")
     return (
-        local.dropDuplicates(["a", "b"])
+        # a pair colliding in several tables is scored once per bucket;
+        # MAX keeps a DETERMINISTIC representative (dropDuplicates kept
+        # an arbitrary shuffle row — if two buckets' GEMMs rounded to
+        # different 1e-4 cells, the top-k cut could flip run-to-run)
+        local.groupBy("a", "b")
+        .agg(F.max("s").alias("s"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= LS_KNN)
         .select("a", "b")

@@ -196,7 +196,11 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # unit-normalize with the oracle's exact fold: left-fold sum of
-    # squares, sqrt, clamp at 1e-12 — bitwise identical per element
+    # squares, sqrt, clamp at 1e-12 — bitwise identical per element.
+    # The norm is materialized as a COLUMN first: higher-order-function
+    # lambdas re-evaluate captured expressions per element (no CSE
+    # across the lambda boundary), so dividing by the aggregate inline
+    # would re-run the whole fold d times per row
     nrm = F.sqrt(
         F.aggregate(
             F.transform("v", lambda x: x * x),
@@ -204,11 +208,24 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         )
     )
-    u = F.transform("v", lambda x: x / F.greatest(nrm, F.lit(1e-12)))
-    un = emb.select("vec_id", u.alias("u")).localCheckpoint()
+    un = (
+        emb.withColumn("nrm", F.greatest(nrm, F.lit(1e-12)))
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+        )
+        .localCheckpoint()
+    )
     # the two O(1) driver scalars: the probe's unit vector and the
     # corpus max-|component| (order-independent, exact)
-    qrow = un.filter(F.col("vec_id") == 0).collect()[0]["u"]
+    probe_rows = un.filter(F.col("vec_id") == 0).limit(1).collect()
+    if not probe_rows:
+        raise ValueError(
+            "ml_quantization_sweep: probe vec_id=0 missing from the "
+            "embeddings table (the op and its oracle both key the "
+            "probe on vec_id 0)"
+        )
+    qrow = probe_rows[0]["u"]
     mab = float(
         un.agg(
             F.max(
@@ -234,27 +251,35 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in vec
         ]
 
-    # one pass: exact similarity + per-bit-width quantized similarity
-    cols = [F.col("vec_id"), _dot("u", F.lit(qrow)).alias("sx")]
+    # one pass: exact similarity + per-bit-width quantized similarity.
+    # Each bit width materializes its quantized vector and ITS norm as
+    # columns before the normalize-divide (same no-CSE-in-lambda rule
+    # as above — inlining the norm fold would cost O(d^2) per row)
+    step = un
+    qprobes = {}
     for bits in QZ_BITS:
         lev = 2 ** (bits - 1) - 1
         scale = mab / lev
-        qv = F.transform(
-            "u",
-            lambda x: F.least(
-                F.greatest(F.floor(x / F.lit(scale) + 0.5), F.lit(-lev - 1)),
-                F.lit(lev),
-            ).cast("double")
-            * F.lit(scale),
-        )
-        qprobe = _unit(_qz(qrow, scale, lev))
-        qn = F.transform(
-            qv,
-            lambda x: x
-            / F.greatest(
+
+        def _mk_qv(s=scale, l=lev):
+            return F.transform(
+                "u",
+                lambda x: F.least(
+                    F.greatest(F.floor(x / F.lit(s) + 0.5), F.lit(-l - 1)),
+                    F.lit(l),
+                ).cast("double")
+                * F.lit(s),
+            )
+
+        qprobes[bits] = _unit(_qz(qrow, scale, lev))
+        qcol, ncol_ = f"qv{bits}", f"qn{bits}"
+        step = step.withColumn(qcol, _mk_qv())
+        step = step.withColumn(
+            ncol_,
+            F.greatest(
                 F.sqrt(
                     F.aggregate(
-                        F.transform(qv, lambda y: y * y),
+                        F.transform(qcol, lambda y: y * y),
                         F.lit(0.0),
                         lambda a, y: a + y,
                     )
@@ -262,8 +287,16 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1e-12),
             ),
         )
-        cols.append(_dot(qn, F.lit(qprobe)).alias(f"s{bits}"))
-    sims = un.select(*cols).localCheckpoint()
+    def _div_by(norm_name: str):
+        # factory keeps the lambda single-arg (a 2-arg lambda would be
+        # interpreted as (element, index) by F.transform)
+        return lambda x: x / F.col(norm_name)
+
+    cols = [F.col("vec_id"), _dot("u", F.lit(qrow)).alias("sx")]
+    for bits in QZ_BITS:
+        qn = F.transform(f"qv{bits}", _div_by(f"qn{bits}"))
+        cols.append(_dot(qn, F.lit(qprobes[bits])).alias(f"s{bits}"))
+    sims = step.select(*cols).localCheckpoint()
 
     def grid_top(col: str) -> set[int]:
         # top-K on the ROUNDED similarity with a vec_id tie-break —

@@ -402,13 +402,19 @@ def _sd_oracle() -> str:
     kk AS (SELECT GREATEST({SEMDEDUP_K_MIN},
                   LEAST(CAST(CEIL(SQRT(n)) AS BIGINT),
                         {SEMDEDUP_K_MAX}, n)) AS k FROM nn),
-    ncc AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS m FROM kk),
     grid AS (SELECT CAST(unnest(range(0, {SEMDEDUP_DIM})) AS INT) AS pos),
     samp AS MATERIALIZED (
       SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS rn
       FROM (SELECT DISTINCT vid FROM shv
             ORDER BY md5(CAST(vid AS VARCHAR)), vid
             LIMIT {SEMDEDUP_SAMPLE_CAP})),
+    -- coarse cell count from the REALIZED fine-centroid count
+    -- LEAST(k, |sample|): at n < K_MIN the Lloyd fit can only seed
+    -- |sample| centroids, and the Python side sizes the coarse level
+    -- from len(fine) — ceil(sqrt(k)) alone would diverge there
+    ncc AS (SELECT CAST(CEIL(SQRT(LEAST(kk.k,
+                   (SELECT COUNT(*) FROM samp)))) AS BIGINT) AS m
+            FROM kk),
     sampx AS MATERIALIZED (
       SELECT x.vid, x.pos, x.val FROM samp s JOIN shv x ON x.vid = s.vid),
     {_sd_lloyd_cte("kmf", "sampx", "vid", fine_init, SEMDEDUP_ITERS)},

@@ -87,28 +87,27 @@ def stat_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = li.localCheckpoint()  # feeds two quantile branches + the count pass
     n = li.count()
+    import math
 
-    def thresh(colname: str, hi: bool):
-        frac = TAIL_Q if hi else 1 - TAIL_Q
+    k_hi, k_lo = math.ceil(TAIL_Q * n), math.ceil((1 - TAIL_Q) * n)
+
+    def col_thresholds(colname: str):
+        # ONE cumulative frame per column serves BOTH tail cutoffs
         dv = li.groupBy(colname).agg(F.count(F.lit(1)).alias("w"))
         cum = bucketed_cumsum(dv, colname, {"c": F.col("w")})
-        import math
-
-        k = math.ceil(frac * n)
-        return cum.filter(F.col("c") >= k).agg(
-            F.min(colname).alias(f"{colname}_{'hi' if hi else 'lo'}")
+        return cum.agg(
+            F.min(F.when(F.col("c") >= k_hi, F.col(colname))).alias(
+                f"{colname}_hi"
+            ),
+            F.min(F.when(F.col("c") >= k_lo, F.col(colname))).alias(
+                f"{colname}_lo"
+            ),
         )
 
     # ONE row of four exact order statistics; checkpointed because it
     # feeds both the counting pass and the output projection — without
-    # the cut each branch replays all four quantile subtrees
-    th = (
-        thresh("x", True)
-        .crossJoin(thresh("y", True))
-        .crossJoin(thresh("x", False))
-        .crossJoin(thresh("y", False))
-        .localCheckpoint()
-    )
+    # the cut each branch replays the quantile subtrees
+    th = col_thresholds("x").crossJoin(col_thresholds("y")).localCheckpoint()
     cnt = li.crossJoin(F.broadcast(th)).agg(
         F.sum((F.col("x") > F.col("x_hi")).cast("int"))
         .cast("bigint")

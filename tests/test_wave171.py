@@ -169,3 +169,42 @@ def test_semdedup_kernel_cell_cap_bounds_dense_memory(monkeypatch):
     # soundness: disjoint-vocab rows have cosine 0, so only the
     # planted duplicate pair may ever be emitted
     assert found == {(50, 51)}
+
+
+def test_semdedup_oracle_parity_on_tiny_corpus(spark, tmp_path):
+    """n < SEMDEDUP_K_MIN exercises the clamp corner the review found:
+    k clamps UP to K_MIN=8 while only n fine centroids can be seeded,
+    so the coarse cell count must derive from the REALIZED centroid
+    count in BOTH engines (the oracle once used ceil(sqrt(k)) and
+    diverged here). Full Spark-vs-DuckDB compare on a 4-doc corpus,
+    duplicates planted."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from mister_spark.operators.extras171 import ds_semdedup
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 35),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 35),  # dup of 0
+        (2, "one two three four five six seven", "en", "s1", 33),
+        (3, "completely different tokens here now", "en", "s1", 36),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = tuple(ds_semdedup(spark, str(tmp_path)).collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        "create table documents(doc_id bigint, text varchar, lang varchar,"
+        " source varchar, n_chars bigint)"
+    )
+    con.executemany("insert into documents values (?, ?, ?, ?, ?)", docs)
+    want = con.execute(e.oracle_sql()["ds_semdedup"]).fetchall()[0]
+    assert got == tuple(want), (got, want)
+    # the planted duplicate must be found and removed
+    assert got[4] == 1 and got[5] == 3  # removed=1, kept=3
