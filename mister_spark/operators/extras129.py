@@ -127,8 +127,12 @@ stat_prediction_interval.__doc__ = stat_prediction_interval.__doc__.format(
 )
 
 
-def _ls_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ls_knn_edges(
+    spark: SparkSession, sf_dir: str, with_score: bool = False
+) -> DataFrame:
     """Distributed kNN edge frame (a, b) over sign-LSH candidates.
+    ``with_score=True`` keeps the grid-rounded cosine as column ``s``
+    (ml_lof needs the distances, not just the adjacency).
 
     Signatures are one narrow Arrow pass (batch GEMM against the md5
     ±1 plane matrix, regenerated per worker); candidates never leave
@@ -215,7 +219,7 @@ def _ls_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("s").alias("s"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= LS_KNN)
-        .select("a", "b")
+        .select("a", "b", *(["s"] if with_score else []))
     )
 
 
