@@ -162,6 +162,14 @@ SCALING_QUERIES = [
     "sim_pq",
     # round-8: the distributed ml_label_spreading rewrite (LSH kNN)
     "ml_label_spreading",
+    # waves 197-204: the new ops with a non-trivial base-table stage
+    # (wedge self-join, LSH kNN LOF, broadcast-candidate scans,
+    # exploded-token NB, per-user survival collapse)
+    "graph_squares",
+    "ml_lof",
+    "stat_ransac",
+    "ml_multinomial_nb",
+    "ml_cox_ph",
 ]
 
 

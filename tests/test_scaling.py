@@ -69,5 +69,11 @@ def test_scaling_covers_the_verdict_paths():
         "sim_pq",
         # round-8: the distributed label-spreading rewrite
         "ml_label_spreading",
+        # waves 197-204: new ops with a non-trivial base-table stage
+        "graph_squares",
+        "ml_lof",
+        "stat_ransac",
+        "ml_multinomial_nb",
+        "ml_cox_ph",
     ):
         assert name in doc["queries"], name
