@@ -24,30 +24,38 @@ from mister_spark.registry import query
 
 @query(
     "stat_theil_index",
-    # Real oracle: per-customer spends aggregate to per-nation
-    # sufficient statistics (n_g, sum, sum x*ln x); the identity
-    # T_g = sl_g/s_g - ln(s_g/n_g) makes the group Theil a pure
-    # function of those sums, so both engines divide near-identical
-    # operands and the 1e-6 grid absorbs the summation-order ulps.
+    # Real oracle: per-customer and per-nation spends are summed in
+    # exact integer CENTS (the r08 full-suite run caught avg_spend
+    # landing exactly on a half-cent floor boundary, where float-sum
+    # order flipped the grid), so sums/means divide identical
+    # integers; only the x*ln x statistic is float, and the identity
+    # T_g = sl_g/s_g - ln(s_g/n_g) keeps its ulps inside the 1e-6
+    # grid.
     oracle="""
     WITH x AS (SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
-                      SUM(o.o_totalprice) AS x
+                      SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS xc
                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
                GROUP BY 1, 2),
-    g AS (SELECT nk, CAST(COUNT(*) AS DOUBLE) AS ng, SUM(x) AS sg,
-                 SUM(x * LN(x)) AS slg
+    g AS (SELECT nk, CAST(COUNT(*) AS DOUBLE) AS ng, SUM(xc) AS sgc,
+                 SUM((CAST(xc AS DOUBLE) / 100.0)
+                     * LN(CAST(xc AS DOUBLE) / 100.0)) AS slg
           FROM x GROUP BY nk),
-    tot AS (SELECT SUM(ng) AS n, SUM(sg) AS s FROM g)
-    SELECT g.nk AS nation_key,
-           CAST(g.ng AS BIGINT) AS n_customers,
-           FLOOR(g.sg / g.ng * 100 + 0.5) / 100 AS avg_spend,
-           FLOOR((g.slg / g.sg - LN(g.sg / g.ng)) * 1e6 + 0.5) / 1e6
+    tot AS (SELECT SUM(ng) AS n, SUM(sgc) AS sc FROM g),
+    gg AS (SELECT nk, ng, slg, CAST(sgc AS DOUBLE) / 100.0 AS sg,
+                  CAST(sgc AS DOUBLE) / ng AS avg_cents
+           FROM g),
+    tt AS (SELECT n, CAST(sc AS DOUBLE) / 100.0 AS s FROM tot)
+    SELECT gg.nk AS nation_key,
+           CAST(gg.ng AS BIGINT) AS n_customers,
+           FLOOR(gg.avg_cents + 0.5) / 100 AS avg_spend,
+           FLOOR((gg.slg / gg.sg - LN(gg.sg / gg.ng)) * 1e6 + 0.5) / 1e6
                AS theil_group,
-           FLOOR(g.sg / tot.s * (g.slg / g.sg - LN(g.sg / g.ng))
+           FLOOR(gg.sg / tt.s * (gg.slg / gg.sg - LN(gg.sg / gg.ng))
                  * 1e6 + 0.5) / 1e6 AS within_contrib,
-           FLOOR(g.sg / tot.s * LN((g.sg / g.ng) / (tot.s / tot.n))
+           FLOOR(gg.sg / tt.s * LN((gg.sg / gg.ng) / (tt.s / tt.n))
                  * 1e6 + 0.5) / 1e6 AS between_contrib
-    FROM g, tot
+    FROM gg, tt
     ORDER BY nation_key
     """,
 )
@@ -69,7 +77,11 @@ def stat_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("x"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("xc")
+        )
         .join(
             t["customer"].select(
                 F.col("c_custkey").alias("o_custkey"),
@@ -78,26 +90,36 @@ def stat_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
     )
+    xd = F.col("xc").cast("double") / 100.0
     g = x.groupBy("nk").agg(
         F.count(F.lit(1)).cast("double").alias("ng"),
-        F.sum("x").alias("sg"),
-        F.sum(F.col("x") * F.log(F.col("x"))).alias("slg"),
+        F.sum("xc").alias("sgc"),
+        F.sum(xd * F.log(xd)).alias("slg"),
     )
-    tot = g.agg(F.sum("ng").alias("n"), F.sum("sg").alias("s"))
-    mu_g = F.col("sg") / F.col("ng")
-    t_g = F.col("slg") / F.col("sg") - F.log(mu_g)
-    share = F.col("sg") / F.col("s")
+    tot = g.agg(F.sum("ng").alias("n"), F.sum("sgc").alias("sc"))
+    sg = F.col("sgc").cast("double") / 100.0
+    s = F.col("sc").cast("double") / 100.0
+    mu_g = sg / F.col("ng")
+    t_g = F.col("slg") / sg - F.log(mu_g)
+    share = sg / s
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
             F.col("nk").alias("nation_key"),
             F.col("ng").cast("bigint").alias("n_customers"),
-            money(mu_g).alias("avg_spend"),
+            # exact half-up on the integer-cent mean: no float-sum
+            # knife edge (avg_cents is the same rational both engines)
+            (
+                F.floor(
+                    F.col("sgc").cast("double") / F.col("ng") + 0.5
+                )
+                / 100
+            ).alias("avg_spend"),
             rnd(t_g, 6).alias("theil_group"),
             rnd(share * t_g, 6).alias("within_contrib"),
-            rnd(
-                share * F.log(mu_g / (F.col("s") / F.col("n"))), 6
-            ).alias("between_contrib"),
+            rnd(share * F.log(mu_g / (s / F.col("n"))), 6).alias(
+                "between_contrib"
+            ),
         )
         .orderBy("nation_key")
     )
