@@ -198,3 +198,30 @@ def stage_small_files_events(spark: SparkSession, sf_dir: str) -> tuple[str, str
         )
         _write_marker(marker, src)
     return small, compact
+
+
+def stage_xml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders staged as XML (Spark 4's built-in xml source, rowTag
+    'order') — the document-interchange ingest path: B2B feeds, config
+    exports, and legacy enterprise dumps still arrive as XML, and
+    Spark 4 reads them natively (no external package). Same
+    marker-invalidation contract as the CSV stager."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest = os.path.join(REPO_TMP, f"xml_orders_{_tag(sf_dir)}")
+    marker = dest + ".marker"
+    if not (_marker_current(marker, src) and os.path.isdir(dest)):
+        df = spark.read.parquet(src).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        (
+            df.write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "order")
+            .save(dest)
+        )
+        _write_marker(marker, src)
+    return dest
