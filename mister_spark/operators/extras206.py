@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
-from mister_spark.operators.common import cat, money, rnd
+from mister_spark.operators.common import cat, rnd
 from mister_spark.registry import query
 
 EPOCH = "1970-01-01"
