@@ -170,6 +170,11 @@ SCALING_QUERIES = [
     "stat_ransac",
     "ml_multinomial_nb",
     "ml_cox_ph",
+    # waves 205-207: the codebook OT signature pass, the iterative WL
+    # edge joins, and the parse-bound XML ingest lane
+    "ml_sinkhorn_ot",
+    "graph_wl_refinement",
+    "io_xml_query",
 ]
 
 

@@ -75,5 +75,9 @@ def test_scaling_covers_the_verdict_paths():
         "stat_ransac",
         "ml_multinomial_nb",
         "ml_cox_ph",
+        # waves 205-207
+        "ml_sinkhorn_ot",
+        "graph_wl_refinement",
+        "io_xml_query",
     ):
         assert name in doc["queries"], name
