@@ -891,3 +891,29 @@ def test_label_spreading_knn_is_distributed(spark):
     src = inspect.getsource(extras151.ml_quantization_sweep)
     assert "emb.collect" not in src
     assert src.count(".collect()") <= 4, src.count(".collect()")
+
+
+def test_wave_199_205_ops_stay_distributed(spark):
+    """Scale pins for the round-8 wave ops with a real base-table
+    stage: ml_lof must ride the LSH kNN edge frame with no collect
+    anywhere (its LOF algebra is three hash joins + two groupBys);
+    graph_squares' wedge enumeration must be a partitioned equi-join
+    on the customer key, never a nested-loop product; ml_sinkhorn_ot
+    may collect nothing — its per-round scaling state stays in
+    (localCheckpoint-ed) codebook frames."""
+    import inspect
+
+    from mister_spark.operators import extras199, extras201, extras205
+
+    for fn in (extras199.ml_lof, extras205.ml_sinkhorn_ot):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src, fn.__name__
+        assert ".toPandas()" not in src, fn.__name__
+    sq = registry.QUERIES["graph_squares"](spark, SF)
+    plan = physical_plan(sq)
+    # the c-keyed wedge self-join is the only big join: it must be a
+    # real equi-join; the 1-row stat frames may broadcast-nested-loop
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    lof = registry.QUERIES["ml_lof"](spark, SF)
+    # TakeOrdered cut, not a global Sort+Limit through one task
+    assert "TakeOrderedAndProject" in physical_plan(lof), physical_plan(lof)
