@@ -917,3 +917,48 @@ def test_wave_199_205_ops_stay_distributed(spark):
     lof = registry.QUERIES["ml_lof"](spark, SF)
     # TakeOrdered cut, not a global Sort+Limit through one task
     assert "TakeOrderedAndProject" in physical_plan(lof), physical_plan(lof)
+
+
+def test_wave_211_217_plan_pins(spark):
+    """Waves 211-217 pins, same contract as test_late_wave_plan_pins.
+    The unpartitioned windows are all documented model-sized carries:
+    ev_pettitt_test's running U_t and argmax on the calendar-bounded
+    day frame, stat_storey_qvalue's rank/cummin sweep on the 25-brand
+    frame, stat_brunner_munzel's cumulative-count windows on the $500
+    value grid. graph_scc_bowtie's 7 exchanges are the flow groupBy
+    plus the doubling-closure joins, all on the nation-bounded frame
+    after the one fact-scan shuffle. ml_lasso_cd and
+    ds_facility_location are OMITTED (wave-186 precedent): they
+    return eagerly-computed driver frames, so a (0, 0) pin would
+    assert on the trivial result and read as coverage it isn't —
+    their distributed stages (the sufficient-stats pass / the
+    pool x n sim join) run inside the op body."""
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        # wave 211
+        "stat_jonckheere_terpstra": (2, 0),
+        "ev_pettitt_test": (2, 2),
+        # wave 212
+        "stat_chow_test": (1, 0),
+        # wave 213 (both collapse to checkpointed bounded frames)
+        "ev_dfa": (0, 0),
+        "sketch_dgim": (0, 0),
+        # wave 214
+        "graph_scc_bowtie": (7, 0),
+        "graph_config_triangles": (5, 0),
+        # wave 215
+        "stat_storey_qvalue": (0, 2),
+        "stat_gwet_ac1": (0, 0),
+        # wave 216
+        "stat_brunner_munzel": (6, 2),
+        "ml_cluster_validity": (1, 0),
+        # wave 217
+        "ev_piecewise_trend": (2, 0),
+    }
+    for name, (sh_ceil, uw_ceil) in pins.items():
+        df = registry.QUERIES[name](spark, SF)
+        sh = count_shuffles(df)
+        uw = count_unpartitioned_windows(df)
+        assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
+        assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
