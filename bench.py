@@ -175,6 +175,16 @@ SCALING_QUERIES = [
     "ml_sinkhorn_ot",
     "graph_wl_refinement",
     "io_xml_query",
+    # waves 210-217: the new ops with a non-trivial base-table stage
+    # (token-bigram explode, orders grid collapses, lineitem brand
+    # tests, wedge/closure joins, the pool x n coverage join)
+    "tx_watermark_detect",
+    "stat_jonckheere_terpstra",
+    "stat_storey_qvalue",
+    "stat_brunner_munzel",
+    "graph_config_triangles",
+    "graph_scc_bowtie",
+    "ds_facility_location",
 ]
 
 

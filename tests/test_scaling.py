@@ -79,5 +79,13 @@ def test_scaling_covers_the_verdict_paths():
         "ml_sinkhorn_ot",
         "graph_wl_refinement",
         "io_xml_query",
+        # waves 210-217: new ops with a non-trivial base-table stage
+        "tx_watermark_detect",
+        "stat_jonckheere_terpstra",
+        "stat_storey_qvalue",
+        "stat_brunner_munzel",
+        "graph_config_triangles",
+        "graph_scc_bowtie",
+        "ds_facility_location",
     ):
         assert name in doc["queries"], name
