@@ -962,3 +962,49 @@ def test_wave_211_217_plan_pins(spark):
         uw = count_unpartitioned_windows(df)
         assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
         assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
+
+
+def test_wave_218_227_plan_pins(spark):
+    """Waves 218-227 pins, same contract as test_late_wave_plan_pins.
+    The unpartitioned windows are documented bounded carries:
+    ev_backlog_reflection's cumulative/running-min windows on the
+    gap-filled hour frame, fin_var_backtest's change/rank/breach
+    windows on the day frame, stat_almost_stochastic_order's ECDF
+    cumulatives on the $500 cell frame. The eagerly-computed ops
+    (ev_bocpd, ev_token_bucket, ml_kneedle_elbow, ml_lasso_cd,
+    graph_spectral_bisection, graph_sir_contagion,
+    ev_markov_first_passage, ml_partial_dependence,
+    io_merkle_manifest, emb_matryoshka_eval, stat_mmd_rbf,
+    ds_facility_location) are OMITTED per the wave-186 precedent —
+    their distributed stages run inside the op body and a (0, 0) pin
+    on the trivial result frame would be vacuous coverage."""
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        # wave 218
+        "ev_backlog_reflection": (0, 1),
+        # wave 219
+        "stat_newey_west": (4, 0),
+        # wave 220
+        "stat_kulldorff_scan": (0, 0),
+        "stat_cochrane_orcutt": (6, 0),
+        # wave 221
+        "fin_var_backtest": (0, 3),
+        # wave 223
+        "stat_spiegelhalter_z": (0, 0),
+        # wave 224 (closure loops checkpoint per round; the final
+        # frame reads the checkpointed results)
+        "graph_temporal_reachability": (0, 0),
+        # wave 225
+        "stat_van_der_waerden": (1, 0),
+        # wave 226
+        "ds_confident_learning": (1, 0),
+        # wave 227
+        "stat_almost_stochastic_order": (1, 1),
+    }
+    for name, (sh_ceil, uw_ceil) in pins.items():
+        df = registry.QUERIES[name](spark, SF)
+        sh = count_shuffles(df)
+        uw = count_unpartitioned_windows(df)
+        assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
+        assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
