@@ -154,6 +154,8 @@ def tx_homoglyph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp AS (SELECT agg.*, x1 + x2 AS n,
                   CAST(t1 AS DOUBLE) / (t1 + t2) AS p
            FROM agg),
+    -- support spine capped at 200k: covers every ORACLE scale
+    -- (sf<=0.01 has n ~ 60k); the Spark side ranges to the true n
     sup AS (SELECT pp.*, k FROM pp
             CROSS JOIN (SELECT unnest(generate_series(0, 200000)) AS k)
             WHERE k <= n),

@@ -1008,3 +1008,54 @@ def test_wave_218_227_plan_pins(spark):
         uw = count_unpartitioned_windows(df)
         assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
         assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
+
+
+def test_wave_228_239_plan_pins(spark):
+    """Waves 228-239 pins, same contract as test_late_wave_plan_pins.
+    Unpartitioned windows are documented bounded carries:
+    ev_mean_cumulative_function's running MCF on the day frame,
+    ml_qini_auuc's cumulative sweep on the 8-bucket frame,
+    ds_knn_shapley's global rank + suffix sum (two-phase global_rank
+    at extreme n, noted in its docstring). The eagerly-computed ops
+    (ml_friedman_h, sketch_hll_error_curve, tx_ppmi_svd_embedding,
+    stat_geometric_median, stat_zero_truncated_poisson,
+    graph_trophic_levels) are OMITTED per the wave-186 precedent."""
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        # wave 228
+        "ml_oof_stacking": (6, 0),
+        "tx_bleu_pairs": (6, 0),
+        # wave 229
+        "ev_mean_cumulative_function": (2, 1),
+        "stat_betting_martingale": (0, 0),
+        # wave 230
+        "stat_loo_influence": (7, 0),
+        "ml_pu_prior_elkan": (0, 0),
+        # wave 231
+        "fin_revenue_beta": (2, 0),
+        # wave 232
+        "ev_harmonic_regression": (0, 0),
+        # wave 233
+        "tx_homoglyph_audit": (2, 0),
+        "stat_poisson_rate_exact": (0, 0),
+        # wave 234
+        "fin_chain_ladder": (1, 0),
+        "ml_qini_auuc": (0, 1),
+        # wave 235
+        "graph_core_periphery": (2, 0),
+        "ds_memorization_risk": (1, 0),
+        # wave 236
+        "stat_fieller_ci": (1, 0),
+        # wave 237
+        "stat_breslow_day": (0, 0),
+        # wave 238
+        "ds_knn_shapley": (0, 2),
+        "ev_fano_factor_curve": (3, 0),
+    }
+    for name, (sh_ceil, uw_ceil) in pins.items():
+        df = registry.QUERIES[name](spark, SF)
+        sh = count_shuffles(df)
+        uw = count_unpartitioned_windows(df)
+        assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
+        assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
