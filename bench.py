@@ -185,6 +185,16 @@ SCALING_QUERIES = [
     "graph_config_triangles",
     "graph_scc_bowtie",
     "ds_facility_location",
+    # waves 228-239: new ops with a non-trivial base-table stage
+    # (BLEU pair joins, probe-similarity scans, per-char explode,
+    # fact joins, distinct passes, token co-occurrence)
+    "tx_bleu_pairs",
+    "ds_knn_shapley",
+    "tx_homoglyph_audit",
+    "fin_chain_ladder",
+    "ml_oof_stacking",
+    "sketch_hll_error_curve",
+    "tx_ppmi_svd_embedding",
 ]
 
 

@@ -87,5 +87,13 @@ def test_scaling_covers_the_verdict_paths():
         "graph_config_triangles",
         "graph_scc_bowtie",
         "ds_facility_location",
+        # waves 228-239: new ops with a non-trivial base-table stage
+        "tx_bleu_pairs",
+        "ds_knn_shapley",
+        "tx_homoglyph_audit",
+        "fin_chain_ladder",
+        "ml_oof_stacking",
+        "sketch_hll_error_curve",
+        "tx_ppmi_svd_embedding",
     ):
         assert name in doc["queries"], name
