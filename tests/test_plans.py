@@ -1059,3 +1059,23 @@ def test_wave_228_239_plan_pins(spark):
         uw = count_unpartitioned_windows(df)
         assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
         assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
+
+
+def test_wave_241_242_plan_pins(spark):
+    """Waves 241-242 pins, same contract as test_late_wave_plan_pins.
+    The unpartitioned windows are bounded carries: the 10-cell digit
+    argmax and the cumulative D_k windows on the calendar-bounded day
+    frame. ds_chinchilla_allocator and sketch_bloom_fpr_curve are
+    OMITTED (eagerly-computed driver frames, wave-186 precedent)."""
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        "stat_last_digit_uniformity": (0, 1),
+        "stat_cusum_squares": (0, 2),
+    }
+    for name, (sh_ceil, uw_ceil) in pins.items():
+        df = registry.QUERIES[name](spark, SF)
+        sh = count_shuffles(df)
+        uw = count_unpartitioned_windows(df)
+        assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
+        assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
