@@ -167,8 +167,12 @@ def _ppmi_oracle() -> str:
                   JOIN vocab vb ON vb.i = co.j, nd),
     pw AS (
       SELECT 0 AS it,
-             (SELECT list(CAST(CASE WHEN i % 2 = 0 THEN 1.0
-                           ELSE -1.0 END AS DOUBLE) ORDER BY i)
+             -- strictly POSITIVE non-uniform init: a signed-parity
+             -- start can be exactly orthogonal to a block's Perron
+             -- vector, leaving the limit to summation noise (flaky
+             -- on symmetric fixtures); positive init always overlaps
+             -- every nonnegative dominant eigenvector
+             (SELECT list(CAST(1.0 + i / 100.0 AS DOUBLE) ORDER BY i)
               FROM vocab) AS v
       UNION ALL
       SELECT it + 1, list(nv / nrm ORDER BY i)
@@ -253,10 +257,10 @@ def tx_ppmi_svd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = max(math.log(r["n"] * float(nd) / (dfs[r["ia"]] * dfs[r["ib"]])), 0.0)
         cells[(r["ia"], r["ib"])] = p
     k = len(vb)
-    v = [1.0 if (i + 1) % 2 == 0 else -1.0 for i in range(k)]
+    v = [1.0 + (i + 1) / 100.0 for i in range(k)]
     for _ in range(PV_ITERS):
         nv = [0.0] * k
-        for (i, j), p in cells.items():
+        for (i, j), p in sorted(cells.items()):
             if p:
                 nv[i - 1] += p * v[j - 1]
         nrm = math.sqrt(sum(x * x for x in nv))
