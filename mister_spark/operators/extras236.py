@@ -214,27 +214,28 @@ def tx_ppmi_svd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: doc-frequency and co-occurrence are two grouped passes
     with the vocab capped at {v} (the PPMI matrix is model-sized by
-    construction); the iteration is driver arithmetic replayed by
-    the oracle's list-carrying recursion."""
+    construction); the top-{v} cut is a distributed TakeOrdered
+    (orderBy().limit(), ranks assigned driver-side), never a
+    row_number window over the full vocabulary frame; the iteration
+    is driver arithmetic replayed by the oracle's list-carrying
+    recursion."""
     toks = (
         cat(spark, sf_dir)["documents"]
         .select("doc_id", F.explode(F.array_distinct(tokens())).alias("w"))
         .localCheckpoint()
     )
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    from pyspark.sql import Window as W
-
+    # top-K vocab cut as a distributed TakeOrdered (orderBy().limit()),
+    # never a row_number window over the full distinct-token frame —
+    # ranks are assigned driver-side to the <= PV_VOCAB collected rows.
     vocab_rows = (
-        dfreq.select(
-            "w", "df",
-            F.row_number().over(W.orderBy(F.col("df").desc(), "w")).alias("i"),
-        )
-        .filter(F.col("i") <= PV_VOCAB)
+        dfreq.orderBy(F.col("df").desc(), "w")
+        .limit(PV_VOCAB)
         .collect()  # vocab-capped (model-sized)
     )
-    vocab = {r["w"]: (r["i"], r["df"]) for r in vocab_rows}
+    vocab_rows.sort(key=lambda r: (-r["df"], r["w"]))
     nd = cat(spark, sf_dir)["documents"].select("doc_id").distinct().count()
-    vb = [(w, i, df) for w, (i, df) in vocab.items()]
+    vb = [(r["w"], i + 1, r["df"]) for i, r in enumerate(vocab_rows)]
     vmap = (
         toks.sparkSession.createDataFrame(vb, "w string, i int, df long")
     )

@@ -71,11 +71,14 @@ _DOT = (
                       * LEAST({KS_K}, j) * 1.0 / ({KS_K} * j)
                     ELSE CAST(m AS DOUBLE) / n END AS t
              FROM rk),
+    ti AS (SELECT vec_id, j, m,
+                  CAST(FLOOR(t * 1e12 + 0.5) AS BIGINT) AS ti
+           FROM term),
     shap AS (SELECT vec_id, j, m,
-                    SUM(t) OVER (ORDER BY j DESC
+                    SUM(ti) OVER (ORDER BY j DESC
                       ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND CURRENT ROW) AS s
-             FROM term),
+                      AND CURRENT ROW) / 1e12 AS s
+             FROM ti),
     lab AS (SELECT shap.*,
                    ROW_NUMBER() OVER (
                      ORDER BY FLOOR(s * 1e6 + 0.5) DESC, vec_id)
@@ -103,10 +106,17 @@ def ds_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     WRONG label — the canonical relabel/purge shortlist, priced
     example by example.
 
-    Scale: one broadcast-probe similarity pass, one global rank
-    (two-phase at extreme n), one suffix-sum window on the ranked
-    frame. The O(2^n) Shapley definition never appears — the KNN
-    utility makes it linear."""
+    Scale: one broadcast-probe similarity pass; the global similarity
+    rank is the two-phase range-partitioned `global_rank` (no
+    single-task sort), the lead(m) term a self-join on rank j+1, and
+    the suffix sum telescopes to total − prefix with the prefix from
+    `bucketed_cumsum` (bucket-partitioned windows only). Terms are
+    snapped to an exact 1e-12 integer grid before summing so the
+    distributed prefix sum is order-independent (integer addition is
+    associative; partial sums stay ≲ 1e13, far under 2^53, so the
+    final double conversion is exact in both engines). The top/bottom
+    cuts are two `orderBy().limit()` TakeOrdereds. The O(2^n) Shapley
+    definition never appears — the KNN utility makes it linear."""
     base = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
@@ -133,46 +143,59 @@ def ds_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    rk = sc.select(
-        "vec_id", "m",
-        F.row_number().over(W.orderBy(F.col("c").desc(), "vec_id")).alias("j"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
-    term = rk.select(
-        "vec_id", "j", "m",
-        F.when(
-            F.col("j") < F.col("n"),
-            (F.col("m") - F.lead("m").over(W.orderBy("j")))
-            * F.least(F.lit(KS_K), F.col("j"))
-            * 1.0
-            / (KS_K * F.col("j")),
+    from mister_spark.functions.ranks import bucketed_cumsum, global_rank
+
+    nf = sc.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(sc, F.col("c").desc(), F.col("vec_id"), rank_col="j")
+    # lead(m) over the rank order, without the unpartitioned window:
+    # rank j's successor flag is a distributed self-join on j+1 (ranks
+    # are contiguous 1..n, so m_next is NULL exactly at j = n).
+    nxt = ranked.select((F.col("j") - 1).alias("j"), F.col("m").alias("m_next"))
+    term = (
+        ranked.join(nxt, "j", "left")
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "vec_id", "j", "m",
+            F.when(
+                F.col("m_next").isNotNull(),
+                (F.col("m") - F.col("m_next"))
+                * F.least(F.lit(KS_K), F.col("j"))
+                * 1.0
+                / (KS_K * F.col("j")),
+            )
+            .otherwise(F.col("m").cast("double") / F.col("n"))
+            .alias("t"),
         )
-        .otherwise(F.col("m").cast("double") / F.col("n"))
-        .alias("t"),
+        .withColumn("ti", F.floor(F.col("t") * 1e12 + F.lit(0.5)).cast("long"))
+        .localCheckpoint()
     )
-    shap = term.select(
-        "vec_id", "j", "m",
-        F.sum("t")
-        .over(
-            W.orderBy(F.col("j").desc()).rowsBetween(W.unboundedPreceding, 0)
+    # suffix(j) = total − prefix(j) + ti(j): exact on the integer grid,
+    # so the bucketed two-phase prefix equals the oracle's sequential
+    # descending window bit-for-bit.
+    totf = term.agg(F.sum("ti").alias("tot"))
+    shap = (
+        bucketed_cumsum(term, "j", {"pre": F.col("ti")})
+        .crossJoin(F.broadcast(totf))
+        .select(
+            "vec_id", "j", "m",
+            ((F.col("tot") - F.col("pre") + F.col("ti")) / 1e12).alias("s"),
         )
-        .alias("s"),
-    ).localCheckpoint()
-    lab = shap.select(
-        "*",
-        F.row_number()
-        .over(W.orderBy(F.floor(F.col("s") * 1e6 + 0.5).desc(), "vec_id"))
-        .alias("rtop"),
-        F.row_number()
-        .over(W.orderBy(F.floor(F.col("s") * 1e6 + 0.5), "vec_id"))
-        .alias("rbot"),
+        .localCheckpoint()
     )
-    return lab.filter(
-        (F.col("rtop") <= KS_TOP) | (F.col("rbot") <= KS_TOP)
-    ).select(
-        F.when(F.col("rtop") <= KS_TOP, "valuable")
-        .otherwise("harmful")
-        .alias("role"),
+    skey = F.floor(F.col("s") * 1e6 + F.lit(0.5))
+    top = (
+        shap.orderBy(skey.desc(), "vec_id")
+        .limit(KS_TOP)
+        .withColumn("role", F.lit("valuable"))
+    )
+    bot = (
+        shap.orderBy(skey.asc(), "vec_id")
+        .limit(KS_TOP)
+        .join(F.broadcast(top.select("vec_id")), "vec_id", "left_anti")
+        .withColumn("role", F.lit("harmful"))
+    )
+    return top.unionByName(bot).select(
+        "role",
         "vec_id",
         F.col("j").cast("bigint").alias("sim_rank"),
         F.col("m").cast("bigint").alias("same_label"),

@@ -1015,8 +1015,9 @@ def test_wave_228_239_plan_pins(spark):
     Unpartitioned windows are documented bounded carries:
     ev_mean_cumulative_function's running MCF on the day frame,
     ml_qini_auuc's cumulative sweep on the 8-bucket frame,
-    ds_knn_shapley's global rank + suffix sum (two-phase global_rank
-    at extreme n, noted in its docstring). The eagerly-computed ops
+    ds_knn_shapley's rank + suffix sum run on the two-phase
+    global_rank/bucketed_cumsum machinery with TakeOrdered cuts
+    (round-9 rewrite, pinned window-free). The eagerly-computed ops
     (ml_friedman_h, sketch_hll_error_curve, tx_ppmi_svd_embedding,
     stat_geometric_median, stat_zero_truncated_poisson,
     graph_trophic_levels) are OMITTED per the wave-186 precedent."""
@@ -1050,7 +1051,9 @@ def test_wave_228_239_plan_pins(spark):
         # wave 237
         "stat_breslow_day": (0, 0),
         # wave 238
-        "ds_knn_shapley": (0, 2),
+        # round-9 rewrite: global_rank + bucketed_cumsum + TakeOrdered
+        # cuts — no unpartitioned window anywhere in the final stage
+        "ds_knn_shapley": (0, 0),
         "ev_fano_factor_curve": (3, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
@@ -1059,6 +1062,75 @@ def test_wave_228_239_plan_pins(spark):
         uw = count_unpartitioned_windows(df)
         assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil)
         assert uw <= uw_ceil, (name, "unpartitioned windows", uw, uw_ceil)
+
+
+def test_eager_op_materialized_frames_are_plan_pinned(spark):
+    """Round-9 closure of the eager-op pin gap: ops that return
+    eagerly-computed driver frames were OMITTED from the window-ceiling
+    pins (wave-186 precedent) because their final frame is trivial —
+    which is exactly how tx_ppmi_svd_embedding's full-vocab row_number
+    window escaped until the round-8 verdict. This test intercepts
+    EVERY materialization point (collect / count / localCheckpoint /
+    toPandas on the concrete classic DataFrame) while each eager op
+    runs end-to-end, and pins (max shuffles, max unpartitioned windows)
+    over all frames the op actually executes — the real distributed
+    work, not the result stub. stat_wasserstein_1d's 2 windows are its
+    documented O(buckets) carries (offs / nxt_bucket over the <= 32-row
+    bucket-totals frame); everything else must be window-free."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from mister_spark.plans import count_unpartitioned_windows
+
+    pins = {
+        "stat_wasserstein_1d": (3, 2),
+        "stat_energy_distance": (2, 0),
+        "ml_lasso_cd": (2, 0),
+        "ds_facility_location": (3, 0),
+        "ml_friedman_h": (2, 0),
+        "sketch_hll_error_curve": (2, 0),
+        "tx_ppmi_svd_embedding": (3, 0),
+        "stat_geometric_median": (2, 0),
+        "stat_zero_truncated_poisson": (1, 0),
+        "graph_trophic_levels": (2, 0),
+        "ds_chinchilla_allocator": (1, 0),
+        "sketch_bloom_fpr_curve": (4, 0),
+    }
+    records: list[tuple[str, int, int]] = []
+    orig = {
+        m: getattr(CDF, m)
+        for m in ("collect", "count", "localCheckpoint", "toPandas")
+    }
+
+    def wrap(name):
+        o = orig[name]
+
+        def f(self, *a, **k):
+            records.append(
+                (name, count_shuffles(self), count_unpartitioned_windows(self))
+            )
+            return o(self, *a, **k)
+
+        return f
+
+    try:
+        for m in orig:
+            setattr(CDF, m, wrap(m))
+        for name, (sh_ceil, uw_ceil) in pins.items():
+            records.clear()
+            df = registry.QUERIES[name](spark, SF)
+            records.append(
+                ("final", count_shuffles(df), count_unpartitioned_windows(df))
+            )
+            assert records, name  # the op materialized at least once
+            sh = max(r[1] for r in records)
+            uw = max(r[2] for r in records)
+            assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil, records)
+            assert uw <= uw_ceil, (
+                name, "unpartitioned windows", uw, uw_ceil, records,
+            )
+    finally:
+        for m, o in orig.items():
+            setattr(CDF, m, o)
 
 
 def test_wave_241_242_plan_pins(spark):
