@@ -287,12 +287,52 @@ def ev_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
 
 
-@query("ev_approx_distinct")  # approximate by design → rows-only check
+def _approx_distinct_oracle() -> str:
+    from mister_spark.functions.hll import (
+        HLL_R,
+        hll_oracle_estimate,
+        hll_oracle_registers,
+    )
+
+    reg = hll_oracle_registers("events", "event_type", "user_id")
+    est = hll_oracle_estimate()
+    return f"""
+    WITH reg AS ({reg}),
+    agg AS (SELECT event_type,
+                   SUM(CAST(POWER(2, {HLL_R} - rho) AS BIGINT)) AS sp,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM reg GROUP BY 1)
+    SELECT event_type,
+           CAST(FLOOR({est}) AS BIGINT) AS n_users_approx
+    FROM agg
+    """
+
+
+@query("ev_approx_distinct", oracle=_approx_distinct_oracle())
 def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct count — the 100 TB path where exact
-    COUNT(DISTINCT) would need a full shuffle of the key universe;
-    mergeable map-side, rsd 1%. pytest asserts ≤2% error vs exact."""
+    """HLL distinct count — the 100 TB path where exact COUNT(DISTINCT)
+    would need a full shuffle of the key universe; the register table is
+    mergeable map-side O(m) state per group. Built on the PORTABLE
+    md5-60 HLL (functions/hll.py) rather than the engine-local
+    Datasketches `hll_sketch_agg`, so the whole sketch — registers,
+    integer-grid harmonic sum, linear-counting branch — replays exactly
+    in the DuckDB oracle (round-8 rows-only conversion). pytest keeps
+    the ≤2% error gate vs ev_exact_distinct."""
+    from mister_spark.functions.hll import (
+        hll_estimate,
+        hll_register_term,
+        hll_registers,
+    )
+
     ev = cat(spark, sf_dir)["events"]
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    reg = hll_registers(ev, ["event_type"], "user_id")
+    agg = reg.groupBy("event_type").agg(
+        F.sum(hll_register_term()).alias("sp"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return agg.select(
+        "event_type",
+        F.floor(hll_estimate(F.col("sp"), F.col("np")))
+        .cast("bigint")
+        .alias("n_users_approx"),
     )

@@ -73,34 +73,91 @@ def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_rollup")  # sketch estimates → rows-only; pytest gates
+def _hll_rollup_oracle() -> str:
+    from mister_spark.functions.hll import (
+        HLL_R,
+        hll_oracle_estimate,
+        hll_oracle_registers,
+    )
+
+    # daily register tables merged per type: register-max is
+    # associative, so MAX over (day, bucket) partials == MAX over the
+    # whole stream — the oracle replays the merged level directly and
+    # counts the days separately, exactly what the Spark rollup yields.
+    reg = hll_oracle_registers(
+        "events",
+        "date_trunc('day', ts) AS day, event_type",
+        "user_id",
+        key_names="day, event_type",
+    )
+    est = hll_oracle_estimate()
+    return f"""
+    WITH daily AS ({reg}),
+    merged AS (SELECT event_type, bucket, MAX(rho) AS rho
+               FROM daily GROUP BY 1, 2),
+    days AS (SELECT event_type,
+                    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1),
+    agg AS (SELECT event_type,
+                   SUM(CAST(POWER(2, {HLL_R} - rho) AS BIGINT)) AS sp,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM merged GROUP BY 1)
+    SELECT agg.event_type, days.n_days,
+           CAST(FLOOR({est}) AS BIGINT) AS approx_users
+    FROM agg JOIN days ON days.event_type = agg.event_type
+    """
+
+
+@query("sketch_hll_rollup", oracle=_hll_rollup_oracle())
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count rollup: a Datasketches HLL sketch of
-    user_id per (day, event_type) partition, then hll_union_agg across
-    days per type — the pattern that makes "distinct users last N days"
-    a sketch-merge instead of a raw-stream rescan. The daily sketch
-    table is what a 100 TB deployment persists; every coarser rollup
-    (weekly, monthly, all-time) derives from it by union, exactly like
-    ev_rollup_reuse does for sums.
+    """Mergeable distinct-count rollup: an HLL register table of
+    user_id per (day, event_type) partition, then a register-max merge
+    across days per type — the pattern that makes "distinct users last
+    N days" a sketch-merge instead of a raw-stream rescan. The daily
+    register table is what a 100 TB deployment persists; every coarser
+    rollup (weekly, monthly, all-time) derives from it by max-merge,
+    exactly like ev_rollup_reuse does for sums.
 
-    Pytest pins (a) union-of-partials == one-shot sketch estimate
-    (merge consistency — HLL register-max is order/partition
-    invariant) and (b) ≤5% relative error vs exact distinct.
+    Built on the PORTABLE md5-60 HLL (functions/hll.py) instead of the
+    engine-local Datasketches `hll_sketch_agg`, which upgrades this key
+    from rows-only to a full SQL oracle: the daily registers, the
+    cross-day max-merge, the integer-grid harmonic sum and the
+    linear-counting branch all replay exactly in DuckDB. Pytest keeps
+    (a) union-of-partials == one-shot estimate (merge consistency —
+    register-max is order/partition invariant) and (b) ≤5% relative
+    error vs exact distinct.
 
-    Scale: both levels are partial-aggregable; sketch state is ~KB per
-    group regardless of cardinality, so the shuffle carries kilobytes
-    where ev_sliding_distinct's exact explode carries the dedup table."""
-    ev = cat(spark, sf_dir)["events"]
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        )
-        .select("event_type", "n_days", F.col("approx_users").cast("bigint").alias("approx_users"))
+    Scale: both levels are partial-aggregable grouped passes; sketch
+    state is O(m)=4096 registers per group regardless of cardinality,
+    so the shuffle carries kilobytes where ev_sliding_distinct's exact
+    explode carries the dedup table."""
+    from mister_spark.functions.hll import (
+        hll_estimate,
+        hll_register_term,
+        hll_registers,
+    )
+
+    ev = cat(spark, sf_dir)["events"].withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = hll_registers(ev, ["day", "event_type"], "user_id")
+    daily = daily.localCheckpoint()  # feeds the merge AND the day count
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    agg = merged.groupBy("event_type").agg(
+        F.sum(hll_register_term()).alias("sp"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return agg.join(days, "event_type").select(
+        "event_type",
+        "n_days",
+        F.floor(hll_estimate(F.col("sp"), F.col("np")))
+        .cast("bigint")
+        .alias("approx_users"),
     )
 
 

@@ -64,6 +64,32 @@ def test_oracle_keys_recorded_as_oracle_passes():
     )
 
 
+def test_readme_counts_match_live_registry():
+    """README's '{oracles} of the {keys} registry keys' sentence and its
+    '~N% of the {keys}-key registry' echo must track the live registry —
+    the round-8 advice found them two waves stale. The counts are pinned
+    here instead of generated so a drifting README is a test failure in
+    the same diff that widens the registry."""
+    import re
+
+    with open(os.path.join(ROOT, "README.md")) as f:
+        readme = f.read()
+    m = re.search(r"(\d+) of\nthe (\d+) registry keys carry exact oracles", readme)
+    assert m, "README oracle-count sentence not found"
+    assert int(m.group(1)) == len(registry.ORACLES), (
+        m.group(1), len(registry.ORACLES)
+    )
+    assert int(m.group(2)) == len(registry.QUERIES), (
+        m.group(2), len(registry.QUERIES)
+    )
+    m2 = re.search(r"of the (\d+)-key registry", readme)
+    assert m2 and int(m2.group(1)) == len(registry.QUERIES), m2
+    m3 = re.search(r"The (\d+) rows-only\nkeys", readme)
+    assert m3 and int(m3.group(1)) == len(registry.QUERIES) - len(
+        registry.ORACLES
+    ), m3
+
+
 def _git(*args: str) -> "subprocess.CompletedProcess":
     import subprocess
 

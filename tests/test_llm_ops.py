@@ -272,9 +272,11 @@ def test_bpe_matches_python_reference(spark, sf_dir):
 
 
 def test_hll_rollup_merge_consistent_and_close(spark):
-    """Union-of-daily-sketches must equal the one-shot sketch exactly
-    (HLL register-max is partition-invariant) and sit within 5% of the
-    exact distinct count."""
+    """Union-of-daily-register-tables must equal the one-shot sketch
+    exactly (HLL register-max is partition/order-invariant — and the
+    one-shot portable HLL IS ev_approx_distinct, so the two keys must
+    agree estimate-for-estimate) and sit within 5% of the exact
+    distinct count."""
     from pyspark.sql import functions as F
 
     from mister_spark.catalog import Catalog
@@ -283,13 +285,11 @@ def test_hll_rollup_merge_consistent_and_close(spark):
         r["event_type"]: r["approx_users"]
         for r in registry.QUERIES["sketch_hll_rollup"](spark, SF).collect()
     }
-    ev = Catalog(spark, SF)["events"]
     oneshot = {
-        r["event_type"]: r["est"]
-        for r in ev.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
-        .collect()
+        r["event_type"]: r["n_users_approx"]
+        for r in registry.QUERIES["ev_approx_distinct"](spark, SF).collect()
     }
+    ev = Catalog(spark, SF)["events"]
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
