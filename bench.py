@@ -232,6 +232,35 @@ def _canary_time(spark, sf_dir: str) -> float:
     return sorted(runs)[2]
 
 
+CANARY_BIG_ROWS = 8_000_000_000
+
+
+def _canary_big_time(spark) -> float:
+    """~10x larger host-speed canary (round-8 verdict item 4).
+
+    The small lineitem canary runs ~0.3 s, and within-window spread at
+    that size is ~2x — too noisy to arbitrate host-vs-code drift. This
+    one is a pure-JVM whole-stage-codegen pass (xxhash64 over an 8e9
+    range, sum bounded by a modulo so ANSI mode can't overflow): ~2.3 s
+    on the reference host, data- and sf-INDEPENDENT (no IO, no page
+    cache), deterministic result, median-of-5. The workload is pinned:
+    changing CANARY_BIG_ROWS breaks cross-round ratios."""
+    from pyspark.sql import functions as F
+
+    def q():
+        return spark.range(CANARY_BIG_ROWS).select(
+            F.sum(F.xxhash64("id") % 1000003).alias("h")
+        )
+
+    q().collect()  # warm (codegen compile)
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q().collect()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[2]
+
+
 def _run_times(fn, spark, sf_dir: str, n: int) -> list[float]:
     """Warm run (plan + IO + page cache), then n timed runs."""
     fn(spark, sf_dir).count()
@@ -318,10 +347,12 @@ def main() -> None:
     # reference workload at the start, middle, and end of the window;
     # the median of the three medians is the window's host-speed unit.
     canary_runs: list[float] = [_canary_time(spark, sf_dir)]
+    canary_big_runs: list[float] = [_canary_big_time(spark)]
     midpoint = len(names) // 2
     for i, name in enumerate(names):
         if i == midpoint:
             canary_runs.append(_canary_time(spark, sf_dir))
+            canary_big_runs.append(_canary_big_time(spark))
         fn = registry.QUERIES[name]
         # Noise-robust protocol (round-6 verdict item 2): one warm run
         # (plan + file listing + page cache), then median of 5 timed
@@ -376,31 +407,47 @@ def main() -> None:
     )
     shutil.rmtree(out_root, ignore_errors=True)
     canary_runs.append(_canary_time(spark, sf_dir))
+    canary_big_runs.append(_canary_big_time(spark))
     canary = round(sorted(canary_runs)[len(canary_runs) // 2], 3)
+    canary_big = round(
+        sorted(canary_big_runs)[len(canary_big_runs) // 2], 3
+    )
     value = round(sum(times.values()), 3)
     subset_total = round(sum(times[n] for n in BASELINE_SUBSET if n in times), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": value,
-                "unit": "sec",
-                "queries": times,
-                "spread": spreads,
-                "protocol": "warm run then median-of-5 timed runs per query; spread = max/min of the 5 runs",
-                "writes": writes,
-                "canary_sec": canary,
-                "canary_samples": [round(c, 3) for c in canary_runs],
-                "baseline_subset_total": subset_total,
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": value,
+        "unit": "sec",
+        "protocol": "warm run then median-of-5 timed runs per query; spread = max/min of the 5 runs",
+        "writes": writes,
+        "canary_sec": canary,
+        "canary_samples": [round(c, 3) for c in canary_runs],
+        "canary_big_sec": canary_big,
+        "canary_big_samples": [round(c, 3) for c in canary_big_runs],
+        "baseline_subset_total": subset_total,
+        "sf": sf,
+        # per-query spreads before medians: the driver keeps only the
+        # LAST 2000 stdout chars, so whatever sits at the END of this
+        # line survives into BENCH_r{N} — and the medians are the half
+        # a regression audit needs (round-8 verdict item 3)
+        "spread": spreads,
+        "queries": times,
+    }
+    print(json.dumps(detail))
+    # The full detail also lands in a committed sibling artifact, so
+    # per-query medians survive regardless of the stdout tail window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
     # The driver captures only the last 2000 chars of stdout; the
     # detailed line above overflows that (BENCH_r07 parsed:null), so the
     # FINAL line is a compact summary that always fits the tail. The
-    # canary is a fixed JVM-only lineitem aggregate (host-speed unit);
-    # subset_over_canary is the host-normalized regression ratio.
+    # small canary is the r08-pinned lineitem aggregate (kept for
+    # cross-round ratio continuity); the big canary is the ~2.3 s pure
+    # whole-stage-codegen workload whose median-of-5 is quiet enough to
+    # arbitrate host-vs-code drift (subset_over_canary_big).
     print(
         json.dumps(
             {
@@ -411,6 +458,11 @@ def main() -> None:
                 "baseline_subset_total": subset_total,
                 "canary_sec": canary,
                 "subset_over_canary": round(subset_total / max(canary, 1e-6), 2),
+                "canary_big_sec": canary_big,
+                "subset_over_canary_big": round(
+                    subset_total / max(canary_big, 1e-6), 2
+                ),
+                "detail": "BENCH_detail.json",
                 "sf": sf,
             }
         )
