@@ -2,7 +2,8 @@
 
 ev_dfa is detrended fluctuation analysis on daily event volume: build
 the cumulative-deviation profile, detrend it per non-overlapping
-window at scales 4/8/16/32 days, and regress log F(s) on log s. The
+window at scales 3/5/10/15 days (DFA_SCALES, chosen to fit the 30-day
+shipped calendar), and regress log F(s) on log s. The
 slope alpha is the scaling exponent that stays readable under the
 nonstationarity that breaks ev_hurst's rescaled-range estimate
 (alpha ~ 0.5 = uncorrelated, > 0.5 = persistent long memory, ~1.5 =

@@ -248,15 +248,20 @@ def _kneedle_oracle() -> str:
     gr AS (SELECT v, c, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM g),
     nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM gr),
     ks AS (SELECT unnest(generate_series(1, {KN_KMAX})) AS k),
-    -- seeds: the cells at ranks floor((2j-1) m / (2k)) + 1
+    -- seeds: POSITIONALLY, one list element per j = 1..k at rank
+    -- ((2j-1) m) // (2k) + 1 (integer division, matching the Python
+    -- side exactly). An IN-filter over the ranks would DEDUPE
+    -- colliding seeds and hand back fewer than k centroids whenever
+    -- the value grid has m < ~2k cells; the positional build keeps
+    -- duplicates like the Spark side does.
     km AS (
       SELECT ks.k, 0 AS it,
-             (SELECT list(gr.v ORDER BY gr.rk) FROM gr, nc
-              WHERE gr.rk IN (
-                SELECT CAST(FLOOR((2 * j.j - 1) * nc2.m
-                            / (2.0 * ks.k)) AS BIGINT) + 1
-                FROM (SELECT unnest(generate_series(1, {KN_KMAX})) AS j)
-                     j, nc nc2 WHERE j.j <= ks.k)) AS cents
+             (SELECT list(
+                (SELECT gr.v FROM gr, nc
+                 WHERE gr.rk = ((2 * jj.j - 1) * nc.m) // (2 * ks.k) + 1)
+                ORDER BY jj.j)
+              FROM (SELECT unnest(generate_series(1, {KN_KMAX})) AS j)
+                   jj WHERE jj.j <= ks.k) AS cents
       FROM ks
       UNION ALL
       -- spine over centroid indices + LEFT lateral per index: a

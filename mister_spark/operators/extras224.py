@@ -147,15 +147,21 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     tempo = ea.filter(F.col("u") != F.col("v")).select("u", "v")
+    # static closure by DOUBLING composition (r ∘ r per round, the
+    # graph_scc_bowtie pattern): TR_ROUNDS rounds cover paths of up to
+    # 2^TR_ROUNDS = 64 edges — a guaranteed fixpoint on the ≤25-node
+    # nation graph, matching the oracle's recurse-to-fixpoint st CTE.
+    # (Single-edge extension covered only TR_ROUNDS+1 = 7 hops and
+    # would diverge from the oracle on a graph with diameter > 7.)
     r = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).distinct()
     for _ in range(TR_ROUNDS):
         ext = (
             r.alias("a")
             .join(
-                e.select(F.col("src").alias("v2"), "dst").distinct(),
+                r.select(F.col("u").alias("v2"), F.col("v").alias("w")),
                 F.col("a.v") == F.col("v2"),
             )
-            .select(F.col("a.u").alias("u"), F.col("dst").alias("v"))
+            .select(F.col("a.u").alias("u"), F.col("w").alias("v"))
         )
         r = r.unionByName(ext).distinct().localCheckpoint()
     stp = r.filter(F.col("u") != F.col("v"))
