@@ -1144,6 +1144,12 @@ def test_wave_241_242_plan_pins(spark):
     pins = {
         "stat_last_digit_uniformity": (0, 1),
         "stat_cusum_squares": (0, 2),
+        # wave 244: the Kalman recursion executes through Spark's
+        # recursive-CTE union loop (the daily rollup shuffle runs at
+        # view registration); granger ends on the checkpointed 1-row
+        # moment frame — both window-free
+        "ev_kalman_level": (0, 0),
+        "stat_granger_causality": (0, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
