@@ -1150,6 +1150,10 @@ def test_wave_241_242_plan_pins(spark):
         # moment frame — both window-free
         "ev_kalman_level": (0, 0),
         "stat_granger_causality": (0, 0),
+        # wave 245: circular stats are one grouped pass; DTW is an
+        # eager driver DP on the calendar-bounded day frame
+        "stat_circular_hours": (1, 0),
+        "stat_dtw_daily": (0, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
