@@ -1154,6 +1154,12 @@ def test_wave_241_242_plan_pins(spark):
         # eager driver DP on the calendar-bounded day frame
         "stat_circular_hours": (1, 0),
         "stat_dtw_daily": (0, 0),
+        # wave 246: katz ends on the checkpointed final-round frame
+        # (2 exchanges: in-sum groupBy + indeg groupBy); the sharpe
+        # windows are the trading-day rank on the checkpointed
+        # calendar-bounded frame, duplicated across the lag self-join
+        "graph_katz": (2, 0),
+        "fin_sharpe_sortino": (0, 2),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
