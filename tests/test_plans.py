@@ -1160,6 +1160,11 @@ def test_wave_241_242_plan_pins(spark):
         # calendar-bounded frame, duplicated across the lag self-join
         "graph_katz": (2, 0),
         "fin_sharpe_sortino": (0, 2),
+        # wave 247: ctfidf is grouped token passes + a source-
+        # partitioned top-k window; friedman is day-partitioned ranks
+        # on the checkpointed block frame
+        "tx_ctfidf": (5, 0),
+        "stat_friedman_test": (5, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
