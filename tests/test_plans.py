@@ -1094,6 +1094,8 @@ def test_eager_op_materialized_frames_are_plan_pinned(spark):
         "graph_trophic_levels": (2, 0),
         "ds_chinchilla_allocator": (1, 0),
         "sketch_bloom_fpr_curve": (4, 0),
+        # wave 245: the day-spine join the driver DP collects
+        "stat_dtw_daily": (1, 0),
     }
     records: list[tuple[str, int, int]] = []
     orig = {
@@ -1150,10 +1152,9 @@ def test_wave_241_242_plan_pins(spark):
         # moment frame — both window-free
         "ev_kalman_level": (0, 0),
         "stat_granger_causality": (0, 0),
-        # wave 245: circular stats are one grouped pass; DTW is an
-        # eager driver DP on the calendar-bounded day frame
+        # wave 245: circular stats are one grouped pass (DTW is eager
+        # and pinned in the materialization-interception test instead)
         "stat_circular_hours": (1, 0),
-        "stat_dtw_daily": (0, 0),
         # wave 246: katz ends on the checkpointed final-round frame
         # (2 exchanges: in-sum groupBy + indeg groupBy); the sharpe
         # windows are the trading-day rank on the checkpointed
