@@ -1166,6 +1166,12 @@ def test_wave_241_242_plan_pins(spark):
         # on the checkpointed block frame
         "tx_ctfidf": (5, 0),
         "stat_friedman_test": (5, 0),
+        # wave 248: dunn rides the kruskal midrank collapse (bucketed
+        # cumsum); its 2 windows are the pair-rank + BH sweep on the
+        # k^2-bounded pair frame. kelly's 2 windows are the trading-
+        # day rank duplicated across the lag self-join
+        "stat_dunn_test": (2, 2),
+        "fin_kelly": (0, 2),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
