@@ -195,6 +195,12 @@ SCALING_QUERIES = [
     "ml_oof_stacking",
     "sketch_hll_error_curve",
     "tx_ppmi_svd_embedding",
+    # round-9 additions: the new ops with a non-trivial base-table
+    # stage (token explode x3 grouped passes; full-order midrank
+    # collapse; the portable-HLL register rollup)
+    "tx_ctfidf",
+    "stat_dunn_test",
+    "sketch_hll_rollup",
 ]
 
 
