@@ -20,8 +20,6 @@ exact half-integers, so every Friedman moment matches bit-for-bit.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.text import DUCK_TOKENS, tokens
