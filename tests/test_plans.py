@@ -690,7 +690,10 @@ def test_late_wave_plan_pins(spark):
         "mr_partition_strategies": (0, 0),
         "sql_datetime_suite": (1, 0),
         # wave 145
-        "io_column_type_advisor": (0, 0),
+        # round-9 portable-HLL conversion made the advisor LAZY: the
+        # melt registers + non-null counts + role fold are 3 grouped
+        # exchanges, window-free
+        "io_column_type_advisor": (3, 0),
         "stat_records_test": (0, 1),
         # wave 146
         "ds_backfill_manifest": (1, 0),
