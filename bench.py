@@ -442,7 +442,10 @@ def main() -> None:
     print(json.dumps(detail))
     # The full detail also lands in a committed sibling artifact, so
     # per-query medians survive regardless of the stdout tail window.
-    detail_path = os.path.join(
+    # SPARK_GRAFT_DETAIL_PATH overrides the destination so trimmed
+    # harness runs (tests/test_bench_contract.py) can't clobber the
+    # committed full-run artifact.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
     )
     with open(detail_path, "w") as f:

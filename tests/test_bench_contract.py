@@ -17,7 +17,7 @@ import io
 import json
 
 
-def test_bench_final_line_is_compact_summary(spark):
+def test_bench_final_line_is_compact_summary(spark, tmp_path):
     import bench
 
     saved_headline, saved_subset = bench.HEADLINE, bench.BASELINE_SUBSET
@@ -26,6 +26,11 @@ def test_bench_final_line_is_compact_summary(spark):
         bench.HEADLINE = ["q1_pricing_summary", "mr_wordcount"]
         bench.BASELINE_SUBSET = ["q1_pricing_summary", "mr_wordcount"]
         __import__("os").environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+        # keep the trimmed run's detail file OUT of the committed
+        # full-run artifact (this test used to clobber it)
+        __import__("os").environ["SPARK_GRAFT_DETAIL_PATH"] = str(
+            tmp_path / "BENCH_detail.json"
+        )
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             bench.main()
@@ -56,3 +61,10 @@ def test_bench_final_line_is_compact_summary(spark):
     assert detailed["metric"] == "headline_queries_total_time"
     assert set(detailed["queries"]) == {"q1_pricing_summary", "mr_wordcount"}
     assert detailed["value"] == doc["value"]
+    # per-query medians must sit LAST in the detail line (so the
+    # driver's tail keeps them) and land whole in the detail artifact
+    assert list(detailed)[-1] == "queries"
+    on_disk = json.loads((tmp_path / "BENCH_detail.json").read_text())
+    assert on_disk["queries"] == detailed["queries"]
+    # the big canary ships alongside the r08-pinned small one
+    assert doc["canary_big_sec"] > doc["canary_sec"]
