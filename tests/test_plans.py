@@ -1175,6 +1175,9 @@ def test_wave_241_242_plan_pins(spark):
         # day rank duplicated across the lag self-join
         "stat_dunn_test": (2, 2),
         "fin_kelly": (0, 2),
+        # wave 249: distinct-value collapse + bucketed_cumsum (its one
+        # window is the 64-row cross-bucket carry)
+        "stat_lilliefors": (2, 1),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
