@@ -1178,6 +1178,9 @@ def test_wave_241_242_plan_pins(spark):
         # wave 249: distinct-value collapse + bucketed_cumsum (its one
         # window is the 64-row cross-bucket carry)
         "stat_lilliefors": (2, 1),
+        # wave 250: final stage = ecc groupBy + extent agg on the
+        # checkpointed doubled distance frame
+        "graph_diameter": (2, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
