@@ -146,8 +146,12 @@ def ml_power_iteration_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-join matvec IS how spectral anything scales on Spark.
 
     Scale: the triple store is the only data-sized frame (one shuffle
-    to build); per iteration the collected state is O(|vocab|) — the
-    model, never the corpus."""
+    to build); the v-vector STAYS a DataFrame end to end — each matvec
+    is a join (v broadcast: it's the model-sized state), each
+    normalization pulls ONE scalar (the L2 norm) to the driver, and
+    each round localCheckpoints to truncate lineage. The driver never
+    holds anything O(|vocab|); the final top-{t} is an orderBy-limit
+    TakeOrdered."""
     import math
 
     docs = cat(spark, sf_dir)["documents"]
@@ -171,40 +175,52 @@ def ml_power_iteration_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    terms = [r["term"] for r in dfreq.collect()]
-    v = {t: 1.0 / math.sqrt(len(terms)) for t in terms}
-    sigma_hist = []
-    spark_v = None
+    terms_df = dfreq.select("term").localCheckpoint()
+    m = terms_df.count()
+    v = terms_df.select(
+        "term", F.lit(1.0 / math.sqrt(m)).alias("vx")
+    ).localCheckpoint()
+    sigma = 0.0
     for _ in range(PI_ITERS):
-        vdf = F.broadcast(
-            spark.createDataFrame(
-                [(t, x) for t, x in sorted(v.items())], "term string, vx double"
-            )
-        )
         u = (
-            a.join(vdf, "term")
+            a.join(F.broadcast(v), "term")
             .groupBy("doc_id")
             .agg(F.sum(F.col("w") * F.col("vx")).alias("ux"))
         )
-        vnew_rows = (
+        raw = (
             a.join(u, "doc_id")
             .groupBy("term")
-            .agg(F.sum(F.col("w") * F.col("ux")).alias("vx"))
-            .collect()
+            .agg(F.sum(F.col("w") * F.col("ux")).alias("vxr"))
+            .localCheckpoint()
         )
-        raw = {r["term"]: float(r["vx"]) for r in vnew_rows}
-        norm = math.sqrt(sum(x * x for x in raw.values())) or 1.0
-        sigma_hist.append(math.sqrt(norm))
-        v = {t: raw.get(t, 0.0) / norm for t in terms}
-    top = sorted(v.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:PI_TOP]
+        norm = float(
+            raw.agg(
+                F.sqrt(F.sum(F.col("vxr") * F.col("vxr"))).alias("nm")
+            ).collect()[0]["nm"]
+            or 0.0
+        ) or 1.0
+        sigma = math.sqrt(norm)
+        # dropped-out terms re-enter at 0 via the terms left join,
+        # exactly like the oracle's COALESCE
+        v = (
+            terms_df.join(raw, "term", "left")
+            .select(
+                "term",
+                (F.coalesce(F.col("vxr"), F.lit(0.0)) / norm).alias("vx"),
+            )
+            .localCheckpoint()
+        )
     # cross-engine floor rounding (common.rnd's rule) for oracle parity
-    sig = math.floor(sigma_hist[-1] * 10000 + 0.5) / 10000
-    rows = [
-        (t, math.floor(x * 1e6 + 0.5) / 1e6, sig, len(terms))
-        for t, x in top
-    ]
-    return spark.createDataFrame(
-        rows, "term string, loading double, sigma double, vocab long"
+    sig = math.floor(sigma * 10000 + 0.5) / 10000
+    return (
+        v.orderBy(F.abs(F.col("vx")).desc(), "term")
+        .limit(PI_TOP)
+        .select(
+            "term",
+            (F.floor(F.col("vx") * 1e6 + F.lit(0.5)) / 1e6).alias("loading"),
+            F.lit(sig).alias("sigma"),
+            F.lit(int(m)).cast("long").alias("vocab"),
+        )
     )
 
 

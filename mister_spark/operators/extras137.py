@@ -14,7 +14,7 @@ property, not a vibe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio
 from mister_spark.operators.extras47 import DUCK_COPURCHASE_SYM
@@ -161,24 +161,66 @@ def graph_clique_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     together' signal; maximal cliques live inside the dense cores,
     which is where the greedy order looks first.
 
-    Scale: the greedy loop runs on the k-core-reduced subgraph
-    (collected — core-bounded, not data-sized); verification is one
-    distributed edge-count join."""
+    Scale: nothing data-sized reaches the driver — the greedy only
+    ever inspects the top-10 seeds (a distributed degree top-k) and
+    each seed's top-{r} candidates by degree (a 10-partition window),
+    so the three collects are constant-bounded: 10 seed rows,
+    ≤ 10×{r} candidate rows, and the edges induced on those
+    ≤ 10×({r}+1) nodes (broadcast semi-joins against the edge frame).
+    Verification is one distributed edge-count join."""
     from mister_spark.operators.extras47 import _copurchase_edges
 
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2").localCheckpoint()
-    edges = {(r["p1"], r["p2"]) for r in e.collect()}
-    adj: dict[int, set] = {}
-    for a, b in edges:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    order = sorted(adj, key=lambda n: (-len(adj[n]), n))
+    csym = e.union(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = csym.groupBy("p1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).withColumnRenamed("p1", "n")
+    # top-10 seeds by (degree DESC, node) — a 10-row TakeOrdered.
+    seed_rows = deg.orderBy(F.desc("d"), "n").limit(10).collect()
+    seeds = [r["n"] for r in seed_rows]
+    seeds_df = spark.createDataFrame(
+        [(s,) for s in seeds], "seed long"
+    )
+    # per-seed top-CLIQUE_ROUNDS candidates by full-graph degree — a
+    # 10-partition window; the collect is ≤ 10×CLIQUE_ROUNDS rows.
+    w_c = W.partitionBy("seed").orderBy(F.desc("d"), "node")
+    cand_rows = (
+        csym.join(
+            F.broadcast(seeds_df), csym["p1"] == F.col("seed")
+        )
+        .select("seed", F.col("p2").alias("node"))
+        .join(deg.withColumnRenamed("n", "node"), "node")
+        .withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") <= CLIQUE_ROUNDS)
+        .select("seed", "node", "rk")
+        .collect()
+    )
+    cands_by_seed: dict[int, list[int]] = {s: [] for s in seeds}
+    sub_nodes = set(seeds)
+    for r in sorted(cand_rows, key=lambda r: (r["seed"], r["rk"])):
+        cands_by_seed[r["seed"]].append(r["node"])
+        sub_nodes.add(r["node"])
+    # edges induced on the ≤ 10×(CLIQUE_ROUNDS+1) retained nodes —
+    # two broadcast semi-joins, then a constant-bounded collect.
+    nodes_df = spark.createDataFrame(
+        [(n,) for n in sorted(sub_nodes)], "n long"
+    )
+    sub_edges = (
+        csym.join(F.broadcast(nodes_df.withColumnRenamed("n", "p1")), "p1")
+        .join(F.broadcast(nodes_df.withColumnRenamed("n", "p2")), "p2")
+        .select("p1", "p2")
+        .collect()
+    )
+    adj: dict[int, set] = {n: set() for n in sub_nodes}
+    for r in sub_edges:
+        adj[r["p1"]].add(r["p2"])
     clique: list[int] = []
     # multi-seed greedy: grow inside each seed's neighborhood, keep best
-    for seed in order[:10]:
+    for seed in seeds:
         cur = [seed]
-        cands = sorted(adj[seed], key=lambda n: (-len(adj[n]), n))
-        for node in cands[:CLIQUE_ROUNDS]:
+        for node in cands_by_seed[seed]:
             if all(node in adj[m] for m in cur):
                 cur.append(node)
         if len(cur) > len(clique):
@@ -205,6 +247,11 @@ def graph_clique_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clique_size long, internal_edges long, expected_edges long, "
         "verified long, min_member long",
     )
+
+
+graph_clique_heuristic.__doc__ = graph_clique_heuristic.__doc__.format(
+    r=CLIQUE_ROUNDS
+)
 
 
 @query("io_determinism_audit")  # meta-QA → rows-only

@@ -11,7 +11,7 @@ post-processing remediation for the gaps ml_fairness_audit measures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.operators.common import cat, ratio
 from mister_spark.registry import query
@@ -194,9 +194,14 @@ def ml_fair_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the resulting FPR (the quantity that MOVES when you equalize
     TPR — no free lunch, and this row shows the price).
 
-    Scale: per-group score quantiles come from grouped exact
-    percentiles on bounded groups; the audit joins are broadcast."""
-    import numpy as np
+    Scale: the per-group threshold is an exact order statistic pulled
+    distributed — ``global_rank`` range-partitions the positives on
+    (grp, p) (no single-task sort), a broadcast per-group offset turns
+    the global rank into a within-group ROW_NUMBER, and one filter
+    picks each group's target-quantile score (|groups| rows). TPR/FPR
+    are a single conditional aggregation against the broadcast
+    threshold frame — nothing data-sized ever reaches the driver."""
+    from mister_spark.functions.ranks import global_rank
 
     emb = cat(spark, sf_dir)["embeddings"].select(
         (1.0 / (1.0 + F.exp(-F.col("embedding")[0].cast("double")))).alias(
@@ -205,35 +210,78 @@ def ml_fair_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).alias("grp"),
         (F.floor(F.col("label") / 2) % 2).alias("y"),
     ).localCheckpoint()
-    out = []
-    for g in (0, 1):
-        sub = emb.filter(F.col("grp") == g)
-        pos = [r["p"] for r in sub.filter(F.col("y") == 1).collect()]
-        neg = [r["p"] for r in sub.filter(F.col("y") == 0).collect()]
-        pos.sort()
-        # threshold at the (1 - target) quantile of positive scores
-        idx = max(0, min(len(pos) - 1, int((1 - FAIR_TPR_TARGET) * len(pos))))
-        thr = pos[idx]
-        tpr = sum(1 for p in pos if p >= thr) / len(pos)
-        fpr = sum(1 for p in neg if p >= thr) / len(neg) if neg else 0.0
-        import math
-
-        r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
-        out.append(
-            (
-                int(g),
-                r4(float(thr)),
-                r4(tpr),
-                r4(fpr),
-                len(pos),
-                len(neg),
-            )
-        )
-    return spark.createDataFrame(
-        out,
-        "grp long, threshold double, achieved_tpr double, fpr double, "
-        "positives long, negatives long",
+    # Per-group positive counts (|groups| rows) and the target rank:
+    # rn = clamp(floor((1 - target) * pos) + 1, 1, pos) — identical to
+    # the oracle's ROW_NUMBER pick.
+    np_counts = (
+        emb.filter(F.col("y") == 1)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("pos"))
     )
+    w_off = W.orderBy("grp").rowsBetween(W.unboundedPreceding, -1)
+    np_counts = np_counts.withColumn(
+        "grp_off", F.coalesce(F.sum("pos").over(w_off), F.lit(0))
+    ).withColumn(
+        "rn_target",
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.col("pos"),
+                F.floor(F.lit(1 - FAIR_TPR_TARGET) * F.col("pos"))
+                .cast("long")
+                + 1,
+            ),
+        ),
+    )
+    # Exact within-group ROW_NUMBER over p without a single-task sort:
+    # global rank on the total order (grp, p, tiebreak), minus the
+    # broadcast count of earlier groups. Ties on p are rank-arbitrary
+    # but VALUE-stable — the picked score is the same either way.
+    pos_ranked = global_rank(
+        emb.filter(F.col("y") == 1).withColumn(
+            "_tb", F.monotonically_increasing_id()
+        ),
+        "grp",
+        "p",
+        "_tb",
+    )
+    thr = (
+        pos_ranked.join(F.broadcast(np_counts), "grp")
+        .filter(F.col("rk") - F.col("grp_off") == F.col("rn_target"))
+        .select("grp", F.col("p").alias("thr"))
+    )
+    # One conditional aggregation over the scored frame vs the
+    # broadcast |groups|-row threshold table.
+    agg = (
+        emb.join(F.broadcast(thr), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when((F.col("y") == 1) & (F.col("p") >= F.col("thr")), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("pos"),
+            F.sum(
+                F.when((F.col("y") == 0) & (F.col("p") >= F.col("thr")), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("neg"),
+            F.max("thr").alias("thr"),
+        )
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return agg.select(
+        F.col("grp").cast("long").alias("grp"),
+        r4(F.col("thr")).alias("threshold"),
+        r4(F.col("tp").cast("double") / F.col("pos")).alias("achieved_tpr"),
+        F.when(
+            F.col("neg") > 0, r4(F.col("fp").cast("double") / F.col("neg"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fpr"),
+        F.col("pos").cast("long").alias("positives"),
+        F.col("neg").cast("long").alias("negatives"),
+    ).orderBy("grp")
 
 
 ml_fair_thresholds.__doc__ = ml_fair_thresholds.__doc__.format(

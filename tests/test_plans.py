@@ -719,7 +719,11 @@ def test_late_wave_plan_pins(spark):
         "graph_neighbor_degree_curve": (4, 0),
         # wave 153
         "ev_forecastability": (0, 0),
-        "ml_fair_thresholds": (0, 0),
+        # round-10 distributed rewrite: LAZY now — global_rank
+        # (repartitionByRange + sizes agg) + counts/final aggs = 6
+        # exchanges; both unpartitioned windows ride model-sized
+        # frames (|groups|-row offsets, |partitions|-row rank sizes)
+        "ml_fair_thresholds": (6, 2),
         # wave 154
         "ev_revenue_hhi": (2, 0),
         "sql_range_surface": (1, 0),
