@@ -39,11 +39,17 @@ WITH RECURSIVE daily AS (
          CAST(COUNT(*) AS DOUBLE) AS y
   FROM events GROUP BY 1, 2
 ),
-bounds AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+           FROM daily GROUP BY 1),
+spine AS (SELECT b.event_type, unnest(generate_series(b.d0, b.d1)) AS day
+          FROM bounds b),
+gd AS (SELECT s.event_type, s.day, COALESCE(d.y, 0.0) AS y
+       FROM spine s LEFT JOIN daily d
+         ON d.event_type = s.event_type AND d.day = s.day),
 kf(event_type, day, y, lvl, p, gain) AS (
   SELECT d.event_type, d.day, d.y, d.y, CAST({KL_R!r} AS DOUBLE),
          CAST(0.0 AS DOUBLE)
-  FROM daily d JOIN bounds b
+  FROM gd d JOIN bounds b
     ON d.event_type = b.event_type AND d.day = b.d0
   UNION ALL
   SELECT k.event_type, d.day, d.y,
@@ -53,7 +59,7 @@ kf(event_type, day, y, lvl, p, gain) AS (
                 * (k.p + {KL_Q!r})) * 1000000 + 0.5) / 1000000,
          FLOOR((k.p + {KL_Q!r}) / (k.p + {KL_Q!r} + {KL_R!r})
                * 1000000 + 0.5) / 1000000
-  FROM kf k JOIN daily d
+  FROM kf k JOIN gd d
     ON d.event_type = k.event_type AND d.day = k.day + 1
 )
 SELECT event_type, day, CAST(y AS BIGINT) AS n_events,
@@ -63,7 +69,11 @@ SELECT event_type, day, CAST(y AS BIGINT) AS n_events,
 FROM kf
 """
 
-_KALMAN_SQL_SPARK = _KALMAN_SQL.replace("epoch_us(ts) //", "unix_micros(ts) div")
+_KALMAN_SQL_SPARK = _KALMAN_SQL.replace(
+    "epoch_us(ts) //", "unix_micros(ts) div"
+).replace(
+    "unnest(generate_series(b.d0, b.d1))", "explode(sequence(b.d0, b.d1))"
+)
 
 
 @query("ev_kalman_level", oracle=_KALMAN_SQL)
@@ -78,9 +88,11 @@ def ev_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the anchor is the daily rollup (one map-side-combinable
     data-sized shuffle); the recursion advances ≤ |types| rows per
-    step with calendar-bounded depth, the ev_holt_smoothing pattern,
-    and the identical SQL string runs on both engines (iterates
-    rounded to 1e-6; Q and R are exact binary fractions)."""
+    step along a gap-filled generate_series day spine (a missing day
+    reads as y=0 instead of silently truncating all later days, the
+    stat_granger_causality pattern) with calendar-bounded depth, and
+    the identical SQL string runs on both engines (iterates rounded
+    to 1e-6; Q and R are exact binary fractions)."""
     cat(spark, sf_dir)["events"].createOrReplaceTempView("events")
     return spark.sql(_KALMAN_SQL_SPARK)
 

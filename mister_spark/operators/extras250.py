@@ -61,15 +61,17 @@ _DIAM_EDGES = """
         FROM dd x JOIN dd y ON y.it = x.it AND x.v = y.u
         WHERE x.it < {DIAM_ROUNDS}) q
       GROUP BY it + 1, u, v),
-    ecc AS (SELECT u AS node, MAX(d) AS ecc FROM dd
-            WHERE it = {DIAM_ROUNDS} GROUP BY 1),
+    ecc AS (SELECT u AS node, MAX(d) AS ecc,
+                   CAST(COUNT(*) AS BIGINT) AS reached
+            FROM dd WHERE it = {DIAM_ROUNDS} GROUP BY 1),
     g AS (SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius FROM ecc)
     SELECT ecc.node, ecc.ecc AS eccentricity,
            g.diameter, g.radius,
            CAST(CASE WHEN ecc.ecc = g.radius THEN 1 ELSE 0 END
                 AS BIGINT) AS is_center,
            CAST(CASE WHEN ecc.ecc = g.diameter THEN 1 ELSE 0 END
-                AS BIGINT) AS is_periphery
+                AS BIGINT) AS is_periphery,
+           ecc.reached
     FROM ecc, g
     """,
 )
@@ -87,7 +89,11 @@ def graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is one self-join + min-aggregate on the model-sized
     distance frame — log(diameter) rounds, the graph_scc_bowtie
     pattern. Hop counts are integers; both engines run the identical
-    round count."""
+    round count. Disconnection safety: the op ASSERTS all |nodes|^2
+    pairs are reachable at the final round (and emits each node's
+    `reached` count), so a disconnected graph or an undersized
+    DIAM_ROUNDS raises instead of silently reporting per-component
+    extents."""
     c = cat(spark, sf_dir)
     sup = c["supplier"].select("s_suppkey", F.col("s_nationkey").alias("a"))
     cus = c["customer"].select("c_custkey", F.col("c_nationkey").alias("b"))
@@ -153,8 +159,22 @@ def graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     ecc = dist.groupBy(F.col("u").alias("node")).agg(
-        F.max("d").alias("eccentricity")
+        F.max("d").alias("eccentricity"),
+        F.count(F.lit(1)).cast("bigint").alias("reached"),
     )
+    # fail LOUDLY on disconnection or round-count truncation: every
+    # node must reach every node within 2^DIAM_ROUNDS hops, else
+    # eccentricity silently describes each reachable set instead of
+    # being infinite — two scalar counts on model-sized frames.
+    n_nodes = nodes.count()
+    n_pairs = dist.count()
+    if n_pairs != n_nodes * n_nodes:
+        raise ValueError(
+            f"graph_diameter: only {n_pairs} of {n_nodes}^2 node pairs "
+            f"reachable within 2^{DIAM_ROUNDS} hops — graph disconnected "
+            "or DIAM_ROUNDS too small; eccentricities would be silently "
+            "per-component"
+        )
     g = ecc.agg(
         F.max("eccentricity").alias("diameter"),
         F.min("eccentricity").alias("radius"),
@@ -172,6 +192,7 @@ def graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
         .alias("is_periphery"),
+        "reached",
     )
 
 

@@ -74,7 +74,9 @@ def test_readme_counts_match_live_registry():
 
     with open(os.path.join(ROOT, "README.md")) as f:
         readme = f.read()
-    m = re.search(r"(\d+) of\nthe (\d+) registry keys carry exact oracles", readme)
+    m = re.search(
+        r"(\d+) of\s+the (\d+) registry keys carry exact oracles", readme
+    )
     assert m, "README oracle-count sentence not found"
     assert int(m.group(1)) == len(registry.ORACLES), (
         m.group(1), len(registry.ORACLES)
@@ -84,7 +86,7 @@ def test_readme_counts_match_live_registry():
     )
     m2 = re.search(r"of the (\d+)-key registry", readme)
     assert m2 and int(m2.group(1)) == len(registry.QUERIES), m2
-    m3 = re.search(r"The (\d+) rows-only\nkeys", readme)
+    m3 = re.search(r"The (\d+) rows-only\s+keys", readme)
     assert m3 and int(m3.group(1)) == len(registry.QUERIES) - len(
         registry.ORACLES
     ), m3
