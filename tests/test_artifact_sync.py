@@ -38,6 +38,38 @@ def test_registry_keys_all_in_committed_artifact():
     )
 
 
+def test_collected_rows_stay_model_sized():
+    """Round-10 closure of the last structural blind spot: the plan
+    pins count shuffles and unpartitioned windows, so an eager op that
+    collects a DATA-SIZED row set to the driver reads (0,0) — exactly
+    how ml_fair_thresholds' raw-score collect and
+    graph_clique_heuristic's edge-list collect escaped until the
+    round-9 verdict. tools/correctness_local.py now intercepts every
+    collect()/toPandas() during each op's sf0.01 construction and
+    records max_collect_rows; this test pins each against the sf0.001
+    ceiling measured by tools/gen_collect_ceilings.py with 6x headroom
+    (calendar-bounded frames — day/hour spines — legitimately grow
+    ~3-4x from sf0.001 to sf0.01; data-sized frames grow 10x and keep
+    growing). Keys with no measured ceiling (new waves) get a flat
+    8192-row allowance until the ceilings file is regenerated."""
+    doc = _load()
+    with open(os.path.join(ROOT, "tools", "collect_ceilings.json")) as f:
+        ceil = json.load(f)
+    over = []
+    for name, rec in doc.items():
+        rows = rec.get("max_collect_rows")
+        if rows is None or name not in registry.QUERIES:
+            continue
+        base = ceil.get(name, {}).get("max_rows")
+        limit = max(6 * base, 256) if base is not None else 8192
+        if rows > limit:
+            over.append((name, rows, limit))
+    assert not over, (
+        "ops pulled more driver rows at sf0.01 than their model-size "
+        f"ceiling allows (data-sized collect?): {over[:10]}"
+    )
+
+
 def test_committed_artifact_is_green():
     doc = _load()
     bad = sorted(

@@ -137,7 +137,9 @@ def test_approx_distinct_close_to_exact(spark):
         for r in registry.QUERIES["ev_approx_distinct"](spark, SF).collect()
     }
     for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(2, 0.02 * v), (k, v, approx[k])
+        # m=4096 → RSE ~1.6%; gate at 5% (~3σ, sketch_hll_rollup's
+        # margin) so a data-generator change can't flip a ~1.2σ gate
+        assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
 
 
 def test_mr_class_api_matches_declarative(spark):

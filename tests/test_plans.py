@@ -1072,39 +1072,75 @@ def test_wave_228_239_plan_pins(spark):
 
 
 def test_eager_op_materialized_frames_are_plan_pinned(spark):
-    """Round-9 closure of the eager-op pin gap: ops that return
-    eagerly-computed driver frames were OMITTED from the window-ceiling
-    pins (wave-186 precedent) because their final frame is trivial —
-    which is exactly how tx_ppmi_svd_embedding's full-vocab row_number
-    window escaped until the round-8 verdict. This test intercepts
-    EVERY materialization point (collect / count / localCheckpoint /
-    toPandas on the concrete classic DataFrame) while each eager op
-    runs end-to-end, and pins (max shuffles, max unpartitioned windows)
-    over all frames the op actually executes — the real distributed
-    work, not the result stub. stat_wasserstein_1d's 2 windows are its
-    documented O(buckets) carries (offs / nxt_bucket over the <= 32-row
-    bucket-totals frame); everything else must be window-free."""
+    """Round-9 closure of the eager-op pin gap, extended in round 10
+    with the COLLECTED-ROWS axis: ops that return eagerly-computed
+    driver frames were OMITTED from the window-ceiling pins (wave-186
+    precedent) because their final frame is trivial — which is exactly
+    how tx_ppmi_svd_embedding's full-vocab row_number window escaped
+    until the round-8 verdict, and how ml_fair_thresholds' raw-score
+    collect and graph_clique_heuristic's edge-list collect escaped
+    until round 9 (a collect is neither a shuffle nor a window, so
+    their pins read (0,0)). This test intercepts EVERY materialization
+    point (collect / count / localCheckpoint / toPandas on the
+    concrete classic DataFrame) while each eager op runs end-to-end,
+    and pins (max shuffles, max unpartitioned windows, MAX ROWS PULLED
+    to the driver per collect/toPandas) over all frames the op
+    actually executes. Row ceilings are the sf0.001 measurements from
+    tools/gen_collect_ceilings.py — each is model-sized by
+    construction (vocab caps, k, seed neighborhoods, calendar spines,
+    query samples), so re-adding a data-sized collect fails here
+    before the full-sweep artifact gate even runs. The per-round
+    sf0.01 sweep gates ALL 848 keys on the same axis
+    (tests/test_artifact_sync.py::test_collected_rows_stay_model_sized).
+    stat_wasserstein_1d's 2 windows are its documented O(buckets)
+    carries; everything else must be window-free."""
     from pyspark.sql.classic.dataframe import DataFrame as CDF
 
     from mister_spark.plans import count_unpartitioned_windows
 
     pins = {
-        "stat_wasserstein_1d": (3, 2),
-        "stat_energy_distance": (2, 0),
-        "ml_lasso_cd": (2, 0),
-        "ds_facility_location": (3, 0),
-        "ml_friedman_h": (2, 0),
-        "sketch_hll_error_curve": (2, 0),
-        "tx_ppmi_svd_embedding": (3, 0),
-        "stat_geometric_median": (2, 0),
-        "stat_zero_truncated_poisson": (1, 0),
-        "graph_trophic_levels": (2, 0),
-        "ds_chinchilla_allocator": (1, 0),
-        "sketch_bloom_fpr_curve": (4, 0),
+        # (shuffle ceil, unpartitioned-window ceil, collected-rows ceil)
+        "stat_wasserstein_1d": (3, 2, 1),
+        "stat_energy_distance": (0, 0, 1),
+        "ml_lasso_cd": (0, 0, 1),
+        "ds_facility_location": (1, 0, 1),
+        "ml_friedman_h": (2, 0, 19),
+        "sketch_hll_error_curve": (1, 0, 1),
+        "tx_ppmi_svd_embedding": (3, 0, 930),  # PPMI_VOCAB_CAP-bounded
+        "stat_geometric_median": (1, 0, 30),
+        "stat_zero_truncated_poisson": (1, 0, 1),
+        "graph_trophic_levels": (1, 0, 240),  # nation-graph-bounded
+        "ds_chinchilla_allocator": (0, 0, 1),
+        "sketch_bloom_fpr_curve": (4, 0, 1),
         # wave 245: the day-spine join the driver DP collects
-        "stat_dtw_daily": (1, 0),
+        "stat_dtw_daily": (1, 0, 30),
+        # round-10 additions: the registry's heaviest collectors by the
+        # full discovery sweep, each ceiling model-sized by construction
+        "ml_ridge": (1, 0, 4290),  # fixed design grid
+        "ml_kneedle_elbow": (2, 0, 780),  # grid-collapse-bounded
+        "ev_token_bucket": (2, 0, 531),  # hour-spine (calendar-bounded)
+        "sim_ivf": (0, 0, 500),  # fixed query sample
+        "sim_ann_recall_curve": (0, 0, 500),  # fixed query sample
+        "ds_semdedup": (2, 0, 500),  # cluster sample
+        # 10 seeds x 64 candidates + induced edges (round-10 rewrite:
+        # constant-bounded, never catalog-pair-sized)
+        "graph_clique_heuristic": (5, 0, 340),
+        "graph_von_neumann_entropy": (1, 0, 195),  # nation-graph
+        "graph_sir_contagion": (1, 0, 195),  # nation-graph
+        "ev_synthetic_control": (1, 0, 159),  # (segment, day) matrix
+        "ev_forecastability": (1, 0, 150),  # day spine per type
+        "sim_pq": (2, 0, 70),  # codebook + query sample
+        "ml_embedding_whitening": (1, 0, 64),  # dim x dim covariance
+        "ev_dtw_distance": (1, 0, 60),  # day spine
+        "sim_mmr": (0, 0, 50),
+        "ml_rbo_topk": (4, 1, 50),
+        "ml_bradley_terry": (1, 0, 40),
+        # round-10 rewrite: only the scalar L2 norm reaches the driver
+        "ml_power_iteration_svd": (3, 0, 1),
+        "tx_topic_nmf": (2, 0, 31),  # NMF_VOCAB_CAP TakeOrdered
+        "ds_quality_classifier": (3, 0, 31),
     }
-    records: list[tuple[str, int, int]] = []
+    records: list[tuple[str, int, int, int]] = []
     orig = {
         m: getattr(CDF, m)
         for m in ("collect", "count", "localCheckpoint", "toPandas")
@@ -1114,28 +1150,43 @@ def test_eager_op_materialized_frames_are_plan_pinned(spark):
         o = orig[name]
 
         def f(self, *a, **k):
-            records.append(
-                (name, count_shuffles(self), count_unpartitioned_windows(self))
-            )
-            return o(self, *a, **k)
+            sh = count_shuffles(self)
+            uw = count_unpartitioned_windows(self)
+            res = o(self, *a, **k)
+            rows = 0
+            if name == "collect":
+                rows = len(res)
+            elif name == "toPandas":
+                rows = len(res.index)
+            records.append((name, sh, uw, rows))
+            return res
 
         return f
 
     try:
         for m in orig:
             setattr(CDF, m, wrap(m))
-        for name, (sh_ceil, uw_ceil) in pins.items():
+        for name, (sh_ceil, uw_ceil, rows_ceil) in pins.items():
             records.clear()
             df = registry.QUERIES[name](spark, SF)
             records.append(
-                ("final", count_shuffles(df), count_unpartitioned_windows(df))
+                (
+                    "final",
+                    count_shuffles(df),
+                    count_unpartitioned_windows(df),
+                    0,
+                )
             )
             assert records, name  # the op materialized at least once
             sh = max(r[1] for r in records)
             uw = max(r[2] for r in records)
+            rows = max(r[3] for r in records)
             assert sh <= sh_ceil, (name, "shuffles", sh, sh_ceil, records)
             assert uw <= uw_ceil, (
                 name, "unpartitioned windows", uw, uw_ceil, records,
+            )
+            assert rows <= rows_ceil, (
+                name, "collected rows", rows, rows_ceil, records,
             )
     finally:
         for m, o in orig.items():

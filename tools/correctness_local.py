@@ -65,6 +65,29 @@ def main() -> None:
     dirty = bool(_git("status", "--porcelain", "--untracked-files=no"))
     swept_at = int(t0)
     todo = sorted(registry.QUERIES) if only is None else sorted(only)
+    # Round-10 collected-rows gate: intercept every driver pull
+    # (collect / toPandas) DURING each op's construction and record the
+    # max row count pulled — the axis the (shuffles, windows) plan pins
+    # are structurally blind to (the round-9 verdict's two findings both
+    # escaped on it). tests/test_artifact_sync.py pins these against
+    # tools/collect_ceilings.json.
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    pulled: list[int] = []
+    _orig = {m: getattr(CDF, m) for m in ("collect", "toPandas")}
+
+    def _wrap(mname):
+        o = _orig[mname]
+
+        def f(self, *a, **k):
+            res = o(self, *a, **k)
+            pulled.append(
+                len(res) if mname == "collect" else len(res.index)
+            )
+            return res
+
+        return f
+
     for name in todo:
         fn = registry.QUERIES[name]
         rec = {
@@ -78,7 +101,16 @@ def main() -> None:
             "swept_at": swept_at,
         }
         try:
-            df = fn(spark, sf_dir)
+            pulled.clear()
+            for m in _orig:
+                setattr(CDF, m, _wrap(m))
+            try:
+                df = fn(spark, sf_dir)
+            finally:
+                for m, o in _orig.items():
+                    setattr(CDF, m, o)
+            if pulled:
+                rec["max_collect_rows"] = max(pulled)
             if name in registry.ORACLES:
                 ok, detail = compare(df, registry.ORACLES[name], sf_dir)
                 rec["spark_rows"] = df.count()
