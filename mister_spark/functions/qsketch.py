@@ -83,10 +83,13 @@ def qs_quantiles(
     keys: list[str],
     value_col: str,
     quantiles: dict[str, float],
+    extras: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Exact type-1 quantiles of a qs_sample frame: one window rank
     over the ~k-row-per-group sample, one grouped pick per requested
-    quantile. Returns keys + one column per ``quantiles`` name."""
+    quantile. Returns keys + one column per ``quantiles`` name (+ any
+    ``extras`` aggregate columns, e.g. the group's true count
+    F.max('_qn'))."""
     part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
     w = part.orderBy(value_col, "_qh")
     r = sample.withColumn("_qrn", F.row_number().over(w)).withColumn(
@@ -105,6 +108,8 @@ def qs_quantiles(
         ).alias(name)
         for name, q in quantiles.items()
     ]
+    for name, col in (extras or {}).items():
+        picks.append(col.alias(name))
     if keys:
         return r.groupBy(*keys).agg(*picks)
     return r.groupBy().agg(*picks)

@@ -83,15 +83,53 @@ def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_approx_percentiles")  # sketch-based → rows-only; pytest bounds err
+def _approx_percentiles_oracle() -> str:
+    from mister_spark.functions.qsketch import (
+        qs_oracle_pick,
+        qs_oracle_rank,
+        qs_oracle_sample,
+    )
+
+    p50 = qs_oracle_pick(0.5, "o_totalprice")
+    p90 = qs_oracle_pick(0.9, "o_totalprice")
+    src = (
+        "(SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders)"
+    )
+    return f"""
+    WITH {qs_oracle_sample(src, "o_orderpriority", "o_orderkey")},
+    {qs_oracle_rank("o_orderpriority", "o_totalprice")}
+    SELECT o_orderpriority,
+           FLOOR(({p50}) * 100 + 0.5) / 100 AS p50a,
+           FLOOR(({p90}) * 100 + 0.5) / 100 AS p90a
+    FROM qs_r GROUP BY o_orderpriority
+    """
+
+
+@query("stat_approx_percentiles", oracle=_approx_percentiles_oracle())
 def stat_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate percentiles — the 100 TB path where the
-    exact `percentile` would shuffle every value. Accuracy vs the exact
-    stat_percentiles is bounded in tests (≤2% relative error)."""
-    orders = cat(spark, sf_dir)["orders"]
-    return orders.groupBy("o_orderpriority").agg(
-        money(F.percentile_approx("o_totalprice", 0.5, 10000)).alias("p50a"),
-        money(F.percentile_approx("o_totalprice", 0.9, 10000)).alias("p90a"),
+    exact `percentile` would shuffle every value. Round-10 conversion
+    from the engine-local t-digest to the PORTABLE md5-60
+    hash-threshold sample (functions/qsketch.py): a deterministic ~1k
+    uniform sample per group (map-side filter after one grouped-count
+    broadcast, the KMV mergeable-sketch shape), exact type-1 quantiles
+    of the sample — so the whole estimator replays bit-for-bit in the
+    DuckDB oracle. Accuracy vs the exact stat_percentiles is bounded
+    in tests (rank SE ~1.6% at K=1024)."""
+    from mister_spark.functions.qsketch import qs_quantiles, qs_sample
+
+    orders = cat(spark, sf_dir)["orders"].select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    sample = qs_sample(orders, ["o_orderpriority"], F.col("o_orderkey"))
+    q = qs_quantiles(
+        sample, ["o_orderpriority"], "o_totalprice",
+        {"p50a": 0.5, "p90a": 0.9},
+    )
+    return q.select(
+        "o_orderpriority",
+        money(F.col("p50a")).alias("p50a"),
+        money(F.col("p90a")).alias("p90a"),
     )
 
 

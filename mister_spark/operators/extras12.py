@@ -419,24 +419,64 @@ def ev_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_quantile_rollup")  # sketch merge is order-sensitive → rows-only
+def _quantile_rollup_oracle() -> str:
+    from mister_spark.functions.qsketch import (
+        qs_oracle_pick,
+        qs_oracle_rank,
+        qs_oracle_sample,
+    )
+
+    src = (
+        "(SELECT event_type, value, CAST(user_id AS VARCHAR) || ':' || "
+        "CAST(epoch_us(ts) AS VARCHAR) AS qid FROM events)"
+    )
+    return f"""
+    WITH {qs_oracle_sample(src, "event_type", "qid")},
+    {qs_oracle_rank("event_type", "value")}
+    SELECT event_type,
+           {qs_oracle_pick(0.5, "value")} AS p50,
+           {qs_oracle_pick(0.95, "value")} AS p95,
+           {qs_oracle_pick(0.99, "value")} AS p99,
+           MAX(_qn) AS n
+    FROM qs_r GROUP BY event_type
+    """
+
+
+@query("sketch_quantile_rollup", oracle=_quantile_rollup_oracle())
 def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketches: per (type, day) percentile_approx
-    digests rolled up to whole-type p50/p95/p99 by re-aggregating the
-    underlying values at a fixed accuracy — the rollup-reuse pattern for
-    quantiles, where exact percentiles cannot be merged but sketches
-    can. pytest gates |approx − exact| against the sketch's rank-error
-    bound; the driver check is rows-only because sketch internals are
-    partition-order-sensitive.
+    """Mergeable quantile sketches: whole-type p50/p95/p99 from the
+    PORTABLE md5-60 hash-threshold sample (functions/qsketch.py) — the
+    rollup-reuse pattern for quantiles, where exact percentiles cannot
+    be merged but hash-threshold samples can: the union of two
+    samples re-thresholded IS the sample of the union (the KMV
+    property), so day-level samples roll up to any date range exactly
+    like the HLL registers do. Round-10 conversion from the
+    engine-local t-digest (partition-order-sensitive internals, rows-
+    only forever) to this sketch: the whole estimator — hash, keep
+    threshold, type-1 sample quantile — replays bit-for-bit in the
+    DuckDB oracle. pytest gates |approx − exact| against the sample's
+    rank-error bound.
 
     Scale: this is THE way to serve percentile dashboards at 100 TB —
-    day-level sketches persisted once, any date-range rollup merges
-    digests instead of rescanning values."""
-    ev = cat(spark, sf_dir)["events"]
-    acc = 1000
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, acc).alias("p50"),
-        F.percentile_approx("value", 0.95, acc).alias("p95"),
-        F.percentile_approx("value", 0.99, acc).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    day-level samples persisted once, any date-range rollup merges
+    samples instead of rescanning values; the only sort is a window
+    over the ~1k-row-per-group sample."""
+    from mister_spark.functions.qsketch import qs_quantiles, qs_sample
+
+    ev = cat(spark, sf_dir)["events"].select(
+        "event_type",
+        "value",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.unix_micros("ts").cast("string"),
+        ).alias("qid"),
+    )
+    sample = qs_sample(ev, ["event_type"], F.col("qid"))
+    return qs_quantiles(
+        sample,
+        ["event_type"],
+        "value",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+        extras={"n": F.max("_qn")},
     )

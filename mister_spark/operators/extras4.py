@@ -278,31 +278,66 @@ def ev_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w_ntile_approx")  # approximate boundaries → rows-only; pytest vs exact
+def _ntile_approx_oracle() -> str:
+    from mister_spark.functions.qsketch import (
+        qs_oracle_pick,
+        qs_oracle_rank,
+        qs_oracle_sample,
+    )
+
+    picks = ", ".join(
+        f"{qs_oracle_pick(i / 10.0, 'spend')} AS b{i}" for i in range(1, 10)
+    )
+    below = " + ".join(
+        f"(CASE WHEN s.spend > bounds.b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    )
+    return f"""
+    WITH spend AS (SELECT o_custkey AS custkey,
+                          FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100
+                            AS spend
+                   FROM orders GROUP BY 1),
+    {qs_oracle_sample("spend", "", "custkey")},
+    {qs_oracle_rank("", "spend")},
+    bounds AS (SELECT {picks} FROM qs_r)
+    SELECT s.custkey, s.spend,
+           CAST(10 - ({below}) AS BIGINT) AS decile
+    FROM spend s CROSS JOIN bounds
+    """
+
+
+@query("w_ntile_approx", oracle=_ntile_approx_oracle())
 def w_ntile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer spend deciles via approx_percentile boundaries — the
-    documented scale path for w_ntile_deciles. Instead of one global
-    sorted window (single-partition at 100 TB), compute the 9 decile
-    boundaries with a mergeable t-digest, broadcast them, and bucket
-    each row map-side: full parallelism, no global sort, at the cost
-    of approximate tile edges (pytest pins ≤1 decile drift and ≥80%
+    """Customer spend deciles via sampled boundaries — the documented
+    scale path for w_ntile_deciles. Instead of one global sorted
+    window (single-partition at 100 TB), compute the 9 decile
+    boundaries exactly on a deterministic ~1k md5-60 hash sample
+    (functions/qsketch.py — round-10 conversion from the engine-local
+    t-digest, so the boundary derivation now replays bit-for-bit in
+    the DuckDB oracle), broadcast the 9 numbers, and bucket each row
+    map-side: full parallelism, no global sort, at the cost of
+    approximate tile edges (pytest pins ≤1 decile drift and ≥80%
     exact agreement vs the exact window).
 
-    Scale: one partial-agg shuffle for spend, one 1-row sketch
-    aggregate, zero shuffles for the bucketing itself."""
+    Scale: one partial-agg shuffle for spend, one grouped-count
+    broadcast + a window over the ~1k-row sample for the boundaries,
+    zero shuffles for the bucketing itself."""
+    from mister_spark.functions.qsketch import qs_quantiles, qs_sample
+
     orders = cat(spark, sf_dir)["orders"]
     s = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         rnd(F.sum("o_totalprice"), 2).alias("spend")
+    ).localCheckpoint()  # feeds both the sample and the final bucketing
+    sample = qs_sample(s, [], F.col("custkey"))
+    bounds = qs_quantiles(
+        sample, [], "spend", {f"b{i}": i / 10.0 for i in range(1, 10)}
     )
-    bounds = s.agg(
-        F.percentile_approx(
-            "spend", [i / 10.0 for i in range(1, 10)], 10000
-        ).alias("bs")
-    )
-    below = F.aggregate(
-        F.col("bs"),
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col("spend") > b, 1).otherwise(0),
+    below = sum(
+        (
+            F.when(F.col("spend") > F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(1, 10)
+        ),
+        start=F.lit(0),
     )
     return s.crossJoin(F.broadcast(bounds)).select(
         "custkey",
@@ -574,42 +609,117 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_rfm_approx")  # approximate quintile edges → rows-only; pytest vs exact
-def ev_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation, the w_ntile_approx-style scale path: instead of
-    three exact global ranks, compute the 4 quintile boundaries of each
-    axis with a mergeable t-digest in ONE aggregate, broadcast the 12
-    numbers, and score every customer map-side by counting boundaries
-    below its value. Tile edges are approximate (pytest pins ≤1-quintile
-    drift per axis and ≥80% all-three-axes agreement vs exact ev_rfm);
-    everything after the base rollup is sort-free and shuffle-free.
-
-    Scale: one orders shuffle for the rollup, one 1-row sketch
-    aggregate, zero shuffles for the scoring."""
-    base = _rfm_base(spark, sf_dir).localCheckpoint()
-    fr = [i / 5.0 for i in range(1, 5)]
-    bounds = base.agg(
-        F.percentile_approx("recency_days", fr, 10000).alias("_br"),
-        F.percentile_approx("frequency", fr, 10000).alias("_bf"),
-        F.percentile_approx("monetary", fr, 10000).alias("_bm"),
+def _rfm_approx_oracle() -> str:
+    from mister_spark.functions.qsketch import (
+        qs_oracle_pick,
+        qs_oracle_sample,
     )
 
-    def below(col: str, bs: str):
-        return F.aggregate(
-            F.col(bs),
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+    def axis_rank(n: int, col: str) -> str:
+        return f"""
+    qs_r{n} AS (SELECT *, ROW_NUMBER() OVER (ORDER BY {col}, _qh) AS _qrn,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS _qm
+                FROM qs_s)"""
+
+    def axis_bounds(n: int, col: str, prefix: str) -> str:
+        picks = ", ".join(
+            f"{qs_oracle_pick(i / 5.0, col)} AS {prefix}{i}"
+            for i in range(1, 5)
+        )
+        return f"b{n} AS (SELECT {picks} FROM qs_r{n})"
+
+    def below(col: str, prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN base.{col} > {prefix}{i} THEN 1 ELSE 0 END)"
+            for i in range(1, 5)
         )
 
-    sc = base.crossJoin(F.broadcast(bounds)).select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        # recency ranks ascending (1 = most recent); freq/monetary descending
-        (1 + below("recency_days", "_br")).cast("bigint").alias("r_score"),
-        (5 - below("frequency", "_bf")).cast("bigint").alias("f_score"),
-        (5 - below("monetary", "_bm")).cast("bigint").alias("m_score"),
+    return f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    base AS (SELECT o_custkey AS custkey,
+                    CAST(date_diff('day', MAX(o_orderdate), ANY_VALUE(mx.mxd))
+                         AS BIGINT) AS recency_days,
+                    CAST(COUNT(*) AS BIGINT) AS frequency,
+                    FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS monetary
+             FROM orders, mx GROUP BY 1),
+    {qs_oracle_sample("base", "", "custkey")},
+    {axis_rank(1, "recency_days")},
+    {axis_rank(2, "frequency")},
+    {axis_rank(3, "monetary")},
+    {axis_bounds(1, "recency_days", "br")},
+    {axis_bounds(2, "frequency", "bf")},
+    {axis_bounds(3, "monetary", "bm")},
+    sc AS (SELECT base.custkey, base.recency_days, base.frequency,
+                  base.monetary,
+                  CAST(1 + {below("recency_days", "br")} AS BIGINT)
+                    AS r_score,
+                  CAST(5 - ({below("frequency", "bf")}) AS BIGINT)
+                    AS f_score,
+                  CAST(5 - ({below("monetary", "bm")}) AS BIGINT)
+                    AS m_score
+           FROM base CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3)
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM sc
+    """
+
+
+@query("ev_rfm_approx", oracle=_rfm_approx_oracle())
+def ev_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, the w_ntile_approx-style scale path: instead
+    of three exact global ranks, derive the 4 quintile boundaries of
+    each axis exactly on ONE deterministic ~1k md5-60 hash sample
+    (functions/qsketch.py — round-10 conversion from the engine-local
+    t-digest, so boundary derivation replays bit-for-bit in the DuckDB
+    oracle), broadcast the 12 numbers, and score every customer
+    map-side by counting boundaries below its value. Tile edges are
+    approximate (pytest pins ≤1-quintile drift per axis and ≥80%
+    all-three-axes agreement vs exact ev_rfm); everything after the
+    base rollup is sort-free beyond the ~1k-row sample windows.
+
+    Scale: one orders shuffle for the rollup, one grouped-count
+    broadcast + three sample windows for the bounds, zero shuffles for
+    the scoring."""
+    from mister_spark.functions.qsketch import qs_quantiles, qs_sample
+
+    base = _rfm_base(spark, sf_dir).localCheckpoint()
+    sample = qs_sample(base, [], F.col("custkey")).localCheckpoint()
+    fr = {i: i / 5.0 for i in range(1, 5)}
+    b_r = qs_quantiles(
+        sample, [], "recency_days", {f"br{i}": q for i, q in fr.items()}
+    )
+    b_f = qs_quantiles(
+        sample, [], "frequency", {f"bf{i}": q for i, q in fr.items()}
+    )
+    b_m = qs_quantiles(
+        sample, [], "monetary", {f"bm{i}": q for i, q in fr.items()}
+    )
+
+    def below(col: str, prefix: str):
+        return sum(
+            (
+                F.when(F.col(col) > F.col(f"{prefix}{i}"), 1).otherwise(0)
+                for i in range(1, 5)
+            ),
+            start=F.lit(0),
+        )
+
+    sc = (
+        base.crossJoin(F.broadcast(b_r))
+        .crossJoin(F.broadcast(b_f))
+        .crossJoin(F.broadcast(b_m))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            # recency ascending (1 = most recent); freq/monetary descending
+            (1 + below("recency_days", "br")).cast("bigint").alias("r_score"),
+            (5 - below("frequency", "bf")).cast("bigint").alias("f_score"),
+            (5 - below("monetary", "bm")).cast("bigint").alias("m_score"),
+        )
     )
     return sc.withColumn(
         "segment",

@@ -1062,6 +1062,24 @@ def test_wave_228_239_plan_pins(spark):
         # cuts — no unpartitioned window anywhere in the final stage
         "ds_knn_shapley": (0, 0),
         "ev_fano_factor_curve": (3, 0),
+        # wave 251: log-rank's single unpartitioned at-risk window
+        # rides the <= 366-row event-day table (bounded by the
+        # censoring horizon); nelson-aalen's windows are PARTITIONED
+        # by segment over the same bounded day tables
+        "stat_log_rank": (2, 1),
+        "stat_nelson_aalen": (4, 0),
+        "fin_black_scholes": (3, 0),
+        # wave 252
+        "ev_rebuy_interval": (7, 0),
+        "stat_mutual_info": (3, 0),
+        "stat_tukey_hsd": (1, 0),
+        # wave 253: moods' one unpartitioned window is
+        # bucketed_cumsum's O(buckets) carry on the 64-row totals
+        # frame; hurst's windows are partitioned per (type, size,
+        # block) on the calendar-bounded spine
+        "tx_flesch": (1, 0),
+        "ev_hurst": (6, 0),
+        "stat_moods_median": (4, 1),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
