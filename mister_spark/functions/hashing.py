@@ -61,9 +61,15 @@ def minhash_signatures(exploded_hashes: DataFrame, k: int) -> DataFrame:
 
     Explode + k plain min() aggregates is the vectorized form — k
     array_min(transform(...)) expressions allocate k arrays per row and
-    measured ~10x slower (PERF.md)."""
-    hm = F.col("h") % MH_P
-    return exploded_hashes.groupBy("doc_id").agg(
+    measured ~10x slower (PERF.md). The base-hash mod is HOISTED into a
+    projection: aggregate expressions are not CSE'd across each other,
+    so leaving `h % P` inline evaluates it k times per row (round-10
+    profile: the signature aggregate is the op's hottest stage)."""
+    pre = exploded_hashes.select(
+        "doc_id", (F.col("h") % MH_P).alias("_hm")
+    )
+    hm = F.col("_hm")
+    return pre.groupBy("doc_id").agg(
         *[
             F.min((F.lit(mh_a(i)) * hm + F.lit(mh_b(i))) % MH_P).alias(
                 f"m{i}"

@@ -239,8 +239,13 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than corpus bytes.
 
     vs. dd_ngram_jaccard (exact): same >=0.5 pairs modulo LSH recall;
-    tests/test_llm_ops.py measures recall against the exact query."""
-    ds = _doc_shingles(spark, sf_dir)
+    tests/test_llm_ops.py measures recall against the exact query.
+
+    The shingle frame is localCheckpoint-ed: it feeds the signature
+    pipeline AND both sides of the exact-Jaccard verify join, so
+    without the checkpoint the tokenize+shingle scan runs three times
+    (measured 4.1 s -> 2.6 s at sf0.1, the round-10 bench finding)."""
+    ds = _doc_shingles(spark, sf_dir).localCheckpoint()
     sigs = _minhash_sigs(ds)
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(

@@ -1080,6 +1080,18 @@ def test_wave_228_239_plan_pins(spark):
         "tx_flesch": (1, 0),
         "ev_hurst": (6, 0),
         "stat_moods_median": (4, 1),
+        # waves 254-257: the unpartitioned windows ride model-sized
+        # frames (bucketed_cumsum carries, global_rank's sizes frame,
+        # the 1-row-per-month market LAG)
+        "stat_cliff_delta": (2, 1),
+        "stat_hosmer_lemeshow": (3, 1),
+        "ev_event_study": (5, 0),
+        "fin_omega_ratio": (3, 0),
+        "fin_information_ratio": (4, 1),
+        "sql_null_semantics": (2, 0),
+        "sql_struct_ops": (2, 0),
+        "w_range_interval_frame": (2, 0),
+        "graph_triad_census": (5, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
@@ -1155,6 +1167,9 @@ def test_eager_op_materialized_frames_are_plan_pinned(spark):
         "ml_bradley_terry": (1, 0, 40),
         # round-10 rewrite: only the scalar L2 norm reaches the driver
         "ml_power_iteration_svd": (3, 0, 1),
+        # wave 254/257 Newton/IRLS fits: one scalar row per step
+        "ml_temperature_scaling": (0, 0, 1),
+        "stat_gamma_glm": (1, 0, 1),
         "tx_topic_nmf": (2, 0, 31),  # NMF_VOCAB_CAP TakeOrdered
         "ds_quality_classifier": (3, 0, 31),
     }
