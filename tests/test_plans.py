@@ -1092,6 +1092,10 @@ def test_wave_228_239_plan_pins(spark):
         "sql_struct_ops": (2, 0),
         "w_range_interval_frame": (2, 0),
         "graph_triad_census": (5, 0),
+        # wave 258: cuzick's unpartitioned window is bucketed_cumsum's
+        # O(buckets) carry
+        "ev_lead_lag_matrix": (5, 0),
+        "stat_cuzick_trend": (3, 1),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
