@@ -1096,6 +1096,8 @@ def test_wave_228_239_plan_pins(spark):
         # O(buckets) carry
         "ev_lead_lag_matrix": (5, 0),
         "stat_cuzick_trend": (3, 1),
+        # wave 259
+        "emb_binary_quantize": (6, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
