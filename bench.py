@@ -195,6 +195,17 @@ SCALING_QUERIES = [
     "ml_oof_stacking",
     "sketch_hll_error_curve",
     "tx_ppmi_svd_embedding",
+    # round-10 additions: the scale-rewritten ops (order-statistic
+    # fair thresholds, executor-resident SVD v-vector, bounded clique
+    # collects) plus the new base-table paths (sign-bit packing +
+    # broadcast Hamming scan, the lag-grid spine join, collapsed-count
+    # Cliff prefix sums)
+    "ml_fair_thresholds",
+    "ml_power_iteration_svd",
+    "graph_clique_heuristic",
+    "emb_binary_quantize",
+    "ev_lead_lag_matrix",
+    "stat_cliff_delta",
     # round-9 additions: the new ops with a non-trivial base-table
     # stage (token explode x3 grouped passes; full-order midrank
     # collapse; the portable-HLL register rollup)

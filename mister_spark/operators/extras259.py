@@ -27,7 +27,10 @@ from mister_spark.registry import query
 
 BQ_DIM = 64
 BQ_TOPK = 10
-BQ_QMOD = 50  # query panel: vec_id % BQ_QMOD == 0
+BQ_QMOD = 50  # query spacing inside the fixed panel
+BQ_PANEL = 10  # FIXED panel size — |queries| must NOT grow with the
+# corpus, or the broadcast scan is O(N^2) (the round-10 scaling gate
+# caught exactly this: slope 1.80, 337 s at sf1, with a %-only panel)
 
 _BIT_LITS = [
     str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
@@ -62,7 +65,8 @@ def _spark_pack(v) -> F.Column:
                FROM embeddings),
     packed AS (SELECT vec_id, v, {_duck_pack("v")} AS code FROM e),
     q AS (SELECT vec_id AS qid, v AS qv, code AS qcode
-          FROM packed WHERE vec_id % {BQ_QMOD} = 0),
+          FROM packed WHERE vec_id % {BQ_QMOD} = 0
+            AND vec_id < {BQ_QMOD} * {BQ_PANEL}),
     pairs AS (SELECT q.qid, p.vec_id,
                      bit_count(xor(q.qcode, p.code)) AS ham,
                      FLOOR(list_cosine_similarity(q.qv, p.v)
@@ -89,7 +93,8 @@ def _spark_pack(v) -> F.Column:
 def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit embedding quantization audit: pack each 64-dim vector's
     SIGN BITS into one BIGINT (32× smaller than float32), then for
-    the vec_id % {m} == 0 query panel compare Hamming top-{k}
+    the FIXED {p}-query panel (vec_id % {m} == 0, first {p}) compare
+    Hamming top-{k}
     (bit_count of xor over packed words — the billion-scale
     candidate-generation arithmetic) against exact cosine top-{k} and
     report recall@{k} per query. The number that decides how much
@@ -97,15 +102,20 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     this and full precision on the same ladder.
 
     Scale: packing is one narrow JVM map (no UDF); the query panel is
-    broadcast against the packed store, so the scoring pass is
-    |queries|×corpus map-side work with NO all-pairs shuffle; the
-    per-query top-k windows ride |queries|-keyed partitions."""
+    FIXED-SIZE and broadcast against the packed store, so the scoring
+    pass is O(panel × corpus) map-side work with NO all-pairs shuffle
+    (a corpus-proportional panel would be O(N²) — measured slope 1.80
+    before the panel was pinned); the per-query top-k windows ride
+    |panel|-keyed partitions."""
     e = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     packed = e.select("vec_id", "v", _spark_pack(F.col("v")).alias("code"))
     q = (
-        packed.filter(F.col("vec_id") % BQ_QMOD == 0)
+        packed.filter(
+            (F.col("vec_id") % BQ_QMOD == 0)
+            & (F.col("vec_id") < BQ_QMOD * BQ_PANEL)
+        )
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
@@ -165,5 +175,5 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_binary_quantize.__doc__ = emb_binary_quantize.__doc__.format(
-    m=BQ_QMOD, k=BQ_TOPK
+    m=BQ_QMOD, k=BQ_TOPK, p=BQ_PANEL
 )
