@@ -1176,6 +1176,8 @@ def test_eager_op_materialized_frames_are_plan_pinned(spark):
         # wave 254/257 Newton/IRLS fits: one scalar row per step
         "ml_temperature_scaling": (0, 0, 1),
         "stat_gamma_glm": (1, 0, 1),
+        # wave 260: the <= 25x24 weighted nation-pair frame
+        "graph_effective_resistance": (3, 0, 600),
         "tx_topic_nmf": (2, 0, 31),  # NMF_VOCAB_CAP TakeOrdered
         "ds_quality_classifier": (3, 0, 31),
     }
