@@ -1178,6 +1178,8 @@ def test_eager_op_materialized_frames_are_plan_pinned(spark):
         "stat_gamma_glm": (1, 0, 1),
         # wave 260: the <= 25x24 weighted nation-pair frame
         "graph_effective_resistance": (3, 0, 600),
+        # wave 261: the nation-bounded distinct edge list
+        "graph_spanning_trees": (1, 0, 320),
         "tx_topic_nmf": (2, 0, 31),  # NMF_VOCAB_CAP TakeOrdered
         "ds_quality_classifier": (3, 0, 31),
     }
