@@ -1173,9 +1173,10 @@ def test_eager_op_materialized_frames_are_plan_pinned(spark):
         "ml_bradley_terry": (1, 0, 40),
         # round-10 rewrite: only the scalar L2 norm reaches the driver
         "ml_power_iteration_svd": (3, 0, 1),
-        # wave 254/257 Newton/IRLS fits: one scalar row per step
+        # wave 254/257/262 Newton/IRLS fits: one scalar row per step
         "ml_temperature_scaling": (0, 0, 1),
         "stat_gamma_glm": (1, 0, 1),
+        "ml_cox_calibration": (0, 0, 1),
         # wave 260: the <= 25x24 weighted nation-pair frame
         "graph_effective_resistance": (3, 0, 600),
         # wave 261: the nation-bounded distinct edge list
