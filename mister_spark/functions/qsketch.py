@@ -13,9 +13,12 @@ Construction, identical in both engines:
 - h = first 60 bits of md5('q:' || key) — uniform on [0, 2^60), the
   'q:' domain tag decorrelates from the HLL's hash of the same keys;
 - per group, keep rows with h < T_g where
-  T_g = (2^60 // n_g) * K (pure BIGINT arithmetic; when n_g <= K the
-  whole group is kept, and when n_g > K the product is < 2^60, so
-  nothing overflows). E[sample size] ~ K, spread ~ sqrt(K);
+  T_g = (2^60 // n_g) * K (pure BIGINT arithmetic; when n_g > K the
+  product is < 2^60 so it cannot overflow, and the n_g <= K keep-all
+  branch is guarded with CASE/WHEN in BOTH engines — plain `OR` has no
+  evaluation-order guarantee, and for n_g <= 128 the unguarded product
+  (2^60 // n_g) * K would exceed BIGINT). E[sample size] ~ K,
+  spread ~ sqrt(K);
 - quantile q of a group's m sampled rows = the value at
   ROW_NUMBER = GREATEST(1, CEIL(q * m)) under ORDER BY (value, h) —
   the type-1 inverse-CDF pick, a total order, so both engines pick the
@@ -71,8 +74,11 @@ def qs_sample(
         cnt = df2.agg(F.count(F.lit(1)).alias("_qn"))
         df2 = df2.crossJoin(F.broadcast(cnt))
     # INTEGER division — a double-precision / would round 2^60 and
-    # could disagree with DuckDB's // by whole units of k
-    keep = (F.col("_qn") <= k) | (
+    # could disagree with DuckDB's // by whole units of k.  The
+    # small-group branch must be a CASE (F.when), not an OR: with
+    # _qn <= 128, (2^60 div _qn) * k overflows BIGINT, and OR operands
+    # carry no evaluation-order guarantee.
+    keep = F.when(F.col("_qn") <= k, F.lit(True)).otherwise(
         F.col("_qh") < F.expr(f"({QS_SCALE}L div _qn) * {k}")
     )
     return df2.filter(keep)
@@ -131,8 +137,9 @@ def qs_oracle_sample(
     qs_n AS (SELECT {keysel}CAST(COUNT(*) AS BIGINT) AS _qn
              FROM qs_h {grp}),
     qs_s AS (SELECT qs_h.*, qs_n._qn FROM qs_h JOIN qs_n {using}
-             WHERE qs_n._qn <= {k}
-                OR qs_h._qh < (({QS_SCALE} // qs_n._qn) * {k}))
+             WHERE CASE WHEN qs_n._qn <= {k} THEN TRUE
+                        ELSE qs_h._qh < (({QS_SCALE} // qs_n._qn) * {k})
+                   END)
     """
 
 

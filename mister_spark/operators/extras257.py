@@ -53,8 +53,8 @@ _CANON_NAME = {
     15: "201",
     21: "030T",  # transitive triangle
     25: "030C",  # cyclic triangle
-    23: "120D",  # mutual dyad, both members point at the third
-    30: "120U",  # mutual dyad, third points at both members
+    23: "120U",  # mutual dyad, both members point at the third (021U + M)
+    30: "120D",  # mutual dyad, third points at both members (021D + M)
     27: "120C",  # mutual dyad + directed path through the third
     31: "210",
     63: "300",

@@ -33,6 +33,36 @@ def test_triad_lookup_is_complete_and_canonical():
     assert TRIAD_LABELS[25] == "030C"
 
 
+def test_triad_updown_labels_from_explicit_edge_sets():
+    """Pin U/D orientation to explicit edge sets (Holland-Leinhardt).
+
+    021D is the out-star (one source -> two sinks); adding a mutual
+    dyad between the two sinks yields 120D (the third node points at
+    both dyad members).  021U is the in-star; 120U is the in-star plus
+    a mutual dyad between the two sources.
+    """
+    from mister_spark.operators.extras257 import _PAIRS, TRIAD_LABELS
+
+    bit = {pair: i for i, pair in enumerate(_PAIRS)}
+
+    def code(edges):
+        c = 0
+        for e in edges:
+            c |= 1 << bit[e]
+        return c
+
+    # out-star: node 1 -> {0, 2}
+    assert TRIAD_LABELS[code([(1, 0), (1, 2)])] == "021D"
+    # in-star: {0, 2} -> node 1
+    assert TRIAD_LABELS[code([(0, 1), (2, 1)])] == "021U"
+    # mutual 0<->1, both members -> 2  (in-star at 2 + M)
+    assert TRIAD_LABELS[code([(0, 1), (1, 0), (0, 2), (1, 2)])] == "120U"
+    # mutual 0<->1, third 2 -> both members  (out-star at 2 + M)
+    assert TRIAD_LABELS[code([(0, 1), (1, 0), (2, 0), (2, 1)])] == "120D"
+    # mutual 0<->1 + directed path through the third
+    assert TRIAD_LABELS[code([(0, 1), (1, 0), (0, 2), (2, 1)])] == "120C"
+
+
 def test_triad_census_totals(spark):
     import math
 
