@@ -108,25 +108,23 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix join's fan-out is further capped by per-doc prefix length);
     the candidate list — not the quadratic pair space — is all that
     shuffles into the verify stage."""
-    ds = _doc_shingles(spark, sf_dir)
-    # checkpoint BEFORE anything branches: the tokenize/trigram string
-    # work is the single most expensive pass and every consumer below
-    # (df window, prefix, arrays) would otherwise re-run it
-    sh = (
-        ds.filter(F.size("sh") > 0)
+    docs = cat(spark, sf_dir)["documents"]
+    # explode BEFORE any size()-filter: a pushed-down filter on the
+    # shingle array inlines (re-evaluates) the trigram expression per
+    # doc row, and explode drops empty arrays anyway. df rides one
+    # window over the hashed postings (one shuffle on sid) instead of
+    # groupBy + join-back (two), and ONE checkpoint feeds every
+    # consumer below (prefix, arrays) — the old extra pre-df
+    # checkpoint wrote the same 2.6M-row frame twice at sf1.
+    ex = (
+        docs.select("doc_id", shingles(tokens()).alias("sh"))
         .select(
-            "doc_id",
-            F.size("sh").alias("n"),
-            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias(
-                "sid"
-            ),
+            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
         )
-        .localCheckpoint()
+        .select("doc_id", "n", F.xxhash64("term").alias("sid"))
     )
-    # df via one window over the materialized postings (one shuffle on
-    # sid) instead of groupBy + self-join (two)
     shc = (
-        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sid")))
+        ex.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sid")))
         .filter(F.col("df") <= HOT_SHINGLE_CAP)
         .localCheckpoint()  # cold postings, read twice below
     )

@@ -79,10 +79,16 @@ def ml_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size desc, support desc). Market-basket mining, done the way
     it distributes.
 
-    Scale: every level is an equi-join on orderkey over the capped
-    baskets (≤{c} items/order bounds the per-basket fan-out); the
-    L2-membership prunes broadcast the previous level's (small)
-    survivor set. No level ever enumerates unsupported candidates."""
+    Scale: per-order SORTED SURVIVOR ARRAYS are built in ONE
+    orderkey shuffle; pair (and in-basket item) occurrences are then
+    enumerated JVM-side with nested transforms over the ≤{c}-item
+    arrays — map-side, inheriting the orderkey partitioning, so the
+    L3 pair×item join needs no exchange — and the only remaining
+    shuffles are the L2/L3 candidate aggregations themselves. The old
+    shape's l2⋈postings join on PARTKEY (hot-item skew, fan-out =
+    orders-per-item) is gone; survivor prunes stay broadcast.
+    sf1 A/B in one session: 21.3→12.5 s cold, 9.0→8.0 s warm,
+    identical output (PERF.md r11)."""
     b = _baskets(spark, sf_dir).localCheckpoint()
     l1 = (
         b.groupBy(F.col("l_partkey").alias("a"))
@@ -90,46 +96,45 @@ def ml_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= AP_SUP)
         .localCheckpoint()
     )
-    l1keys = l1.select("a")
-    bx = b.join(
-        F.broadcast(l1keys.withColumnRenamed("a", "l_partkey")), "l_partkey"
+    l1k = l1.select(F.col("a").alias("l_partkey"))
+    arr = (
+        b.join(F.broadcast(l1k), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
+        .localCheckpoint()
     )
-    x = bx.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
-    y = bx.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    # sorted arrays make a < b free in the enumeration
+    pairs = arr.select(
+        F.col("l_orderkey").alias("o"),
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    ).select("o", "p.a", "p.b")
     l2 = (
-        x.join(y, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
         .filter(F.col("sup") >= AP_SUP)
         .localCheckpoint()
     )
-    z = bx.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("c"))
+    singles = arr.select(
+        F.col("l_orderkey").alias("o"), F.explode("items").alias("c")
+    )
     tri = (
-        l2.select("a", "b")
-        .join(x.withColumnRenamed("a", "a"), "a")
-        .join(
-            y.withColumnRenamed("b", "b"),
-            ["o", "b"],
-        )
-        .join(z, "o")
+        pairs.join(F.broadcast(l2.select("a", "b")), ["a", "b"])
+        .join(singles, "o")
         .filter(F.col("c") > F.col("b"))
         .join(
             F.broadcast(
-                l2.select(
-                    F.col("a").alias("b"), F.col("b").alias("c")
-                ).withColumn("_bc", F.lit(1))
+                l2.select(F.col("a").alias("b"), F.col("b").alias("c"))
             ),
             ["b", "c"],
         )
-        .join(
-            F.broadcast(
-                l2.select(F.col("a"), F.col("b").alias("c")).withColumn(
-                    "_ac", F.lit(1)
-                )
-            ),
-            ["a", "c"],
-        )
+        .join(F.broadcast(l2.select("a", F.col("b").alias("c"))), ["a", "c"])
         .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
         .filter(F.col("sup") >= AP_SUP)

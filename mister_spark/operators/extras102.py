@@ -26,19 +26,45 @@ MG_K = 8  # Misra-Gries counters
 PROC_RIDGE = 0.0
 
 
-@query("sketch_misra_gries")  # algorithmic state → rows-only; guarantee gate
+@query(
+    "sketch_misra_gries",
+    # Round-11 rows-only conversion (same move as stat_freq_items):
+    # the per-partition counter STATE is order-dependent, but the MG
+    # merge guarantee (every item with frequency > n/(k+1) survives
+    # the merged summary) makes sketch-candidates → exact-verify
+    # deterministic. The emitted set and counts — strict heavy
+    # hitters at the n/(k+1) threshold, plus the closed-form
+    # worst-case MG floor — replay exactly in DuckDB. A merge that
+    # ever violated the retention guarantee now fails the hash check.
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+    c AS (SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1)
+    SELECT c.item, c.cnt AS exact_count, n.total AS n_total,
+           c.cnt - n.total // {MG_K + 1} AS mg_count_floor
+    FROM c CROSS JOIN n
+    WHERE c.cnt * {MG_K + 1} > n.total
+    """,
+)
 def sketch_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters over the event-type stream with
     k = {k} counters: each partition maintains the classic
     counter-decrement summary in one pass; summaries MERGE by adding
     counters then decrementing by the (k+1)-th largest — preserving
     the deterministic guarantee that every item with true frequency
-    > n/k survives with count underestimated by at most n/k. The
-    exact counts ride along as the measured error.
+    > n/(k+1) survives the merged summary, undercounted by at most
+    n/(k+1). The merged survivors are then verified with ONE exact
+    aggregation restricted to them, and the emitted rows are the
+    strict heavy hitters at the n/(k+1) threshold with exact counts
+    and the closed-form worst-case MG floor — fully deterministic,
+    which is what upgraded this key from rows-only to an exact
+    DuckDB oracle in r11 (the run-dependent mg_count column is the
+    one thing that had to go; the pytest gate still checks it on the
+    raw summary).
 
     Scale: one narrow Arrow pass with O(k) state per partition and an
     O(partitions·k) driver merge — no shuffle of the data at all; the
-    exact side (for the report) is one partial-agg rollup."""
+    verify is one partial-agg rollup over candidate-filtered rows."""
     import pandas as pd
 
     ev = cat(spark, sf_dir)["events"].select("event_type")
@@ -81,28 +107,20 @@ def sketch_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = {
             k2: v - cut for k2, v in merged.items() if v - cut > 0
         }
-    exact = {
-        r["event_type"]: int(r["n"])
-        for r in ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    rows = [
-        (
-            item,
-            int(cnt),
-            exact.get(item, 0),
-            int(exact.get(item, 0) - cnt),
-            n_total,
+    # exact verify restricted to the model-sized survivor list; the
+    # MG retention guarantee makes the filtered result equal to the
+    # exact strict heavy hitters at the n/(k+1) threshold
+    floor_bound = n_total // (MG_K + 1)
+    return (
+        ev.filter(F.col("event_type").isin(list(merged)))
+        .groupBy(F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .filter(F.col("exact_count") * (MG_K + 1) > F.lit(n_total))
+        .withColumn("n_total", F.lit(n_total).cast("bigint"))
+        .withColumn(
+            "mg_count_floor",
+            (F.col("exact_count") - F.lit(floor_bound)).cast("bigint"),
         )
-        for item, cnt in sorted(
-            merged.items(), key=lambda kv: (-kv[1], kv[0])
-        )
-    ]
-    return spark.createDataFrame(
-        rows,
-        "item string, mg_count long, exact_count long, underestimate long, "
-        "n_total long",
     )
 
 

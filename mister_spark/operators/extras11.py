@@ -51,33 +51,77 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union in Jaccard's denominator drowns the overlap. Ordered
     pairs, so A-inside-B and B-inside-A report separately.
 
-    Scale: same inverted shingle index as dd_ngram_jaccard (explode →
-    hot-shingle cap bounds fan-out → self equi-join carrying doc ids
-    only); the directional ratio is a per-pair division against the
-    source's shingle count. Linear shuffles throughout."""
-    from mister_spark.operators.dedup import _doc_shingles
+    Scale: the old shape aggregated a per-(pair, shingle) row for
+    EVERY ordered pair sharing any cold shingle — a Σ df² shuffle.
+    Now candidates come from a SRC-SIDE PREFIX FILTER (the
+    dd_ngram_jaccard pigeonhole, adapted to the asymmetric threshold:
+    containment ≥ t forces ≥ ⌈t·n_src⌉ shared cold shingles, so a
+    qualifying pair must share one of src's coldn − ⌈t·n⌉ + 1 rarest
+    shingles under the global (df, sid) order — only that prefix is
+    indexed on the src side, the dst side keeps full cold postings),
+    and the exact intersection is an array_intersect over per-doc
+    sorted sid arrays — candidate-pair-local, no per-(pair, shingle)
+    rows ever shuffle. Shingles hash to 64-bit sids up front so every
+    join carries longs. sf1 A/B in one session: 40.8→20.2 s warm,
+    48.2→28.8 s cold, identical 5120 output rows (PERF.md r11)."""
+    from mister_spark.functions.text import shingles, tokens
 
-    ds = _doc_shingles(spark, sf_dir)
-    sh = ds.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cold = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
+    docs = cat(spark, sf_dir)["documents"]
+    # explode BEFORE any size()-filter: a pushed-down filter on the
+    # shingle array would inline (re-evaluate) the trigram expression,
+    # and explode drops empty arrays anyway
+    ex = (
+        docs.select("doc_id", shingles(tokens()).alias("sh"))
+        .select(
+            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
+        )
+        .select("doc_id", "n", F.xxhash64("term").alias("sid"))
+    )
+    shc = (
+        ex.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sid")))
         .filter(F.col("df") <= HOT_SHINGLE_CAP)
+        .localCheckpoint()
     )
-    shc = sh.join(cold.select("s"), "s")
-    a = shc.select(F.col("doc_id").alias("src_doc"), "s")
-    b = shc.select(F.col("doc_id").alias("dst_doc"), "s")
-    inter = (
-        a.join(b, "s")
+    wp = W.partitionBy("doc_id")
+    # rounding slack: containment is rounded to 1e-4 BEFORE the >= t
+    # filter, so survivors only need true containment >= t - 0.5e-4;
+    # the -1e-9 keeps ceil() from IEEE-rounding the bound up
+    o_min = F.greatest(
+        F.ceil(F.col("n") * (CONTAIN_T - 0.5e-4) - F.lit(1e-9)), F.lit(1)
+    )
+    pref = (
+        shc.withColumn("r", F.row_number().over(wp.orderBy("df", "sid")))
+        .withColumn("coldn", F.count(F.lit(1)).over(wp))
+        .filter(F.col("r") <= F.col("coldn") - o_min + 1)
+        .select(F.col("doc_id").alias("src_doc"), "sid")
+    )
+    cand = (
+        pref.join(shc.select(F.col("doc_id").alias("dst_doc"), "sid"), "sid")
         .filter(F.col("src_doc") != F.col("dst_doc"))
-        .groupBy("src_doc", "dst_doc")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select("src_doc", "dst_doc")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("src_doc"), F.col("n").alias("na"))
+    arrs = shc.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sid")).alias("sids"),
+        F.first("n").alias("n"),
+    )
     cont = rnd(F.col("i").cast("double") / F.col("na"), 4)
     return (
-        inter.join(sa, "src_doc")
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("src_doc"),
+                F.col("sids").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "src_doc",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("dst_doc"), F.col("sids").alias("sb")
+            ),
+            "dst_doc",
+        )
+        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .select("src_doc", "dst_doc", cont.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_T)
     )

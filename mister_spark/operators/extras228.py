@@ -262,10 +262,14 @@ def tx_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     high BLEU / middling Jaccard, the partial-plagiarism shape a
     dedup rerank or attribution pass is actually hunting.
 
-    Scale: n-gram count frames are one tokenize pass each (map-side
-    combinable); the clip joins run only on the LSH-verified pair
-    set, never all pairs. The top-{t} cut is a TakeOrdered on the
-    rounded score with full tiebreaks."""
+    Scale: per-doc n-gram COUNT MAPS (keyed by xxhash64 of the gram)
+    are each one tokenize pass + one doc-keyed shuffle, and the clip
+    becomes a JVM fold over the hypothesis's keys — candidate-pair-
+    local, so no per-(pair, gram) rows ever shuffle (the old shape's
+    pairs⋈grams joins were the dominant cost after the embedded
+    near-dup pipeline; sf1 A/B identical output, PERF.md r11). The
+    top-{t} cut is a TakeOrdered on the rounded score with full
+    tiebreaks."""
     pairs = (
         dd_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -274,42 +278,65 @@ def tx_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = cat(spark, sf_dir)["documents"].select(
         "doc_id", tokens().alias("tk")
     ).localCheckpoint()
-    uni = (
-        toks.select("doc_id", F.explode("tk").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    bi = (
+
+    def count_maps(grams: DataFrame) -> DataFrame:
+        return (
+            grams.select("doc_id", F.xxhash64("w").alias("k"))
+            .groupBy("doc_id", "k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("k", "c"))
+                ).alias("m")
+            )
+        )
+
+    uni = count_maps(toks.select("doc_id", F.explode("tk").alias("w")))
+    bi = count_maps(
         toks.select("doc_id", F.explode(bigrams(F.col("tk"))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     lens = toks.select(
         "doc_id", F.size("tk").alias("l1"),
         F.greatest(F.size("tk") - 1, F.lit(0)).alias("l2"),
     )
-
-    def clipped(cnt: DataFrame) -> DataFrame:
-        ub = cnt.select(
-            F.col("doc_id").alias("doc_b"), "w", F.col("c").alias("cb")
+    sc0 = (
+        pairs.join(
+            uni.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("ub")),
+            "doc_b",
         )
-        ua = cnt.select(
-            F.col("doc_id").alias("doc_a"), "w", F.col("c").alias("ca")
+        .join(
+            uni.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ua")),
+            "doc_a",
         )
-        return (
-            pairs.join(ub, "doc_b")
-            .join(ua, ["doc_a", "w"], "left")
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.sum(
-                    F.least(F.col("cb"), F.coalesce(F.col("ca"), F.lit(0)))
-                )
-                .cast("bigint")
-                .alias("clip")
-            )
+        .join(
+            bi.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("vb")),
+            "doc_b",
+            "left",
         )
-    p1 = clipped(uni).withColumnRenamed("clip", "clip1")
-    p2 = clipped(bi).withColumnRenamed("clip", "clip2")
+        .join(
+            bi.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("va")),
+            "doc_a",
+            "left",
+        )
+        .withColumn(
+            "clip1",
+            F.expr(
+                "aggregate(map_keys(ub), 0L, (acc, k) -> acc +"
+                " least(ub[k], coalesce(ua[k], 0L)))"
+            ),
+        )
+        .withColumn(
+            "clip2",
+            F.coalesce(
+                F.expr(
+                    "aggregate(map_keys(vb), 0L, (acc, k) -> acc +"
+                    " least(vb[k], coalesce(va[k], 0L)))"
+                ),
+                F.lit(0),
+            ),
+        )
+    )
     la = lens.select(
         F.col("doc_id").alias("doc_a"), F.col("l1").alias("la1")
     )
@@ -318,8 +345,7 @@ def tx_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l2").alias("lb2"),
     )
     sc = (
-        p1.join(p2, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(la), "doc_a")
+        sc0.join(F.broadcast(la), "doc_a")
         .join(F.broadcast(lb), "doc_b")
         .select(
             "doc_a", "doc_b",

@@ -453,22 +453,50 @@ def w_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_freq_items")  # sketch output → rows-only; pytest superset gate
+@query(
+    "stat_freq_items",
+    # Round-11 rows-only conversion (the qsketch precedent): the
+    # freqItems sketch state itself is engine-local, but its CONTRACT
+    # (candidates ⊇ items with frequency > support·n) makes the
+    # sketch-candidates → exact-verify composition deterministic: the
+    # verified output is exactly the strict heavy hitters, which
+    # DuckDB replays with plain integer arithmetic. A sketch that
+    # ever dropped a true heavy hitter now fails the hash check, not
+    # just a pytest superset gate.
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+    c AS (SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1)
+    SELECT c.item, c.cnt FROM c CROSS JOIN n
+    WHERE c.cnt * 10 > n.total
+    """,
+)
 def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via DataFrame.stat.freqItems (Karp/Misra-Gries
-    style single-pass sketch): items covering ≥10% of events, exploded
-    to one row per candidate. The sketch guarantees a SUPERSET of the
-    truly frequent items (false positives possible, never false
-    negatives) — the pytest gate asserts exactly that contract against
-    an exact count.
+    """Heavy hitters the production way: DataFrame.stat.freqItems
+    (Karp/Misra-Gries style single-pass sketch, support = 10%)
+    proposes a candidate SUPERSET with constant memory per partition,
+    then ONE exact aggregation restricted to those candidates
+    verifies and emits the strict heavy hitters (10·count > n) with
+    their counts. False positives die in the verify; the sketch's
+    no-false-negative guarantee makes the verified set equal to the
+    exact answer — which is why this key carries a full DuckDB
+    oracle despite the engine-local sketch state (the r11 conversion;
+    pytest additionally pins the superset contract).
 
-    Scale: constant memory per partition (k=1/support counters) and a
-    single narrow pass + tiny merge — the classic streaming answer when
-    an exact groupBy's key cardinality would blow the shuffle."""
+    Scale: the sketch is a narrow pass + tiny merge; the verify
+    aggregates ONLY rows whose key is in the model-sized candidate
+    list (broadcast isin), so an exact groupBy over a blow-the-shuffle
+    key space is never needed."""
     ev = cat(spark, sf_dir)["events"]
-    out = ev.stat.freqItems(["event_type"], support=0.1)
-    return out.select(
-        F.explode(F.col("event_type_freqItems")).alias("item")
+    cands = ev.stat.freqItems(["event_type"], support=0.1).collect()[0][
+        "event_type_freqItems"
+    ]  # model-sized: ≤ 1/support items by construction
+    n_total = ev.count()
+    return (
+        ev.filter(F.col("event_type").isin(list(cands)))
+        .groupBy(F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * 10 > F.lit(n_total))
     )
 
 

@@ -200,51 +200,54 @@ def dd_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs that only share boilerplate are exactly the ones weighted
     toward 0 anyway.
 
-    Scale: shingle df is one partial-agg shuffle; blocking joins are
-    bounded by the df cap; the verify join touches candidate pairs ×
-    their shingles only. The weight table is checkpointed — four
-    branches (norms, two join sides, candidates) read it."""
+    Scale: shingles are hashed to 64-bit sids up front so every
+    shuffle carries longs, not 3-gram strings; df rides ONE window
+    over the hashed postings (not groupBy + join-back = two shuffles),
+    which also makes the rare filter a column predicate instead of a
+    join; the verify stage is candidate-pair-local — per-doc (sid, w)
+    maps built in one doc-keyed shuffle, then the dot product is a
+    JVM higher-order fold over array_intersect of the key sets, so no
+    per-(pair, term) rows ever shuffle. sf1: 49.0 s -> ~15 s cold
+    (the old per-term verify join alone was 39.7 s; the map fold does
+    the same exact int64 sums in ~1 s — see PERF.md r11)."""
     from mister_spark.functions.text import shingles
 
     docs = cat(spark, sf_dir)["documents"]
     t = docs.select("doc_id", tokens().alias("toks")).filter(F.size("toks") >= 3)
-    sh = t.select("doc_id", F.explode(shingles(F.col("toks"))).alias("term"))
-    df = sh.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    sh = t.select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("term")
+    ).select("doc_id", F.xxhash64("term").alias("sid"))
     nd = t.agg(F.count(F.lit(1)).cast("double").alias("n"))
     wgt = (
-        sh.join(df, "term")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("sid")).cast("double")
+        )
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
-            "term",
+            "sid",
+            "df",
             F.floor(F.log(F.col("n") / F.col("df")) * 10000 + F.lit(0.5))
             .cast("bigint")
             .alias("w"),
         )
         .localCheckpoint()
     )
-    nrm = wgt.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    rare = df.filter(F.col("df") <= RARE_DF_CAP).select("term")
-    wpos = wgt.filter(F.col("w") > 0)
-    a = wpos.select(F.col("doc_id").alias("doc_a"), "term")
-    b = wpos.select(F.col("doc_id").alias("doc_b"), "term")
+    rw = wgt.filter((F.col("df") <= RARE_DF_CAP) & (F.col("w") > 0)).select(
+        "doc_id", "sid"
+    )
     cand = (
-        a.join(b, "term")
+        rw.select(F.col("doc_id").alias("doc_a"), "sid")
+        .join(rw.select(F.col("doc_id").alias("doc_b"), "sid"), "sid")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(rare, "term")
         .select("doc_a", "doc_b")
         .distinct()
     )
-    wa = wgt.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a"))
-    wb = wgt.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b"))
-    dot = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dp"))
+    amap = wgt.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("sid", "w"))).alias("m"),
+        F.sort_array(F.collect_list("sid")).alias("ks"),
+        F.sum(F.col("w") * F.col("w")).alias("n2"),
     )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
     cos = ratio(
         F.col("dp")
         / (
@@ -253,8 +256,31 @@ def dd_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        dot.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(
+            amap.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("m").alias("ma"),
+                F.col("ks").alias("ka"),
+                F.col("n2").alias("n2_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            amap.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("m").alias("mb"),
+                F.col("ks").alias("kb"),
+                F.col("n2").alias("n2_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "dp",
+            F.expr(
+                "aggregate(transform(array_intersect(ka, kb),"
+                " k -> ma[k] * mb[k]), 0L, (a, x) -> a + x)"
+            ),
+        )
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= TFIDF_TAU)
     )

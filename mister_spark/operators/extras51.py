@@ -251,6 +251,16 @@ ml_mrr.__doc__ = ml_mrr.__doc__.format(k=MRR_K)
 
 @query("tx_compression_ratio")  # rows-only: zlib is not expressible in SQL;
 # pytest gates bounds + the repetitive-text-compresses-more invariant.
+# Conversion re-audited 2026-08-17 (r11, after the qsketch /
+# freq_items / misra_gries conversions proved "permanent" labels can
+# fall): a portable order-0/order-1 entropy estimate WOULD replay in
+# DuckDB, but it measures character/bigram skew, not the LZ77
+# back-reference matching that makes repetitive boilerplate compress —
+# the exact signal this Gopher-style filter exists to capture (a doc
+# of one repeated sentence has near-normal char entropy and a tiny
+# zlib ratio). Swapping the metric would keep the oracle and lose the
+# op. Stays rows-only on purpose; revisit only if a deterministic,
+# SQL-expressible LZ cost model lands in both engines.
 def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressibility quality filter (Gopher-style): per source, the
     mean zlib-compressed/raw byte ratio and the share of documents

@@ -36,6 +36,29 @@ def test_scaling_artifact_has_two_sfs_per_query():
         assert len(rec["times_sec"]) >= 2, name
 
 
+# Absolute-cost gate (round-11 verdict item 3): the slope gate passed
+# linear-but-49-second paths silently, so any path whose sf1 time
+# exceeds this budget fails unless it carries a dated, justified
+# exception below. Exceptions are a worklist, not a pardon — each must
+# name the irreducible cost.
+SF1_BUDGET_SEC = 30.0
+SF1_BUDGET_EXCEPTIONS: dict[str, str] = {}
+
+
+def test_scaling_absolute_sf1_budget():
+    doc = _load()
+    over = {
+        name: rec["times_sec"]["sf1"]
+        for name, rec in doc["queries"].items()
+        if rec["times_sec"].get("sf1", 0.0) > SF1_BUDGET_SEC
+        and name not in SF1_BUDGET_EXCEPTIONS
+    }
+    assert not over, (
+        f"sf1 time over the {SF1_BUDGET_SEC:.0f}s budget (fix the plan or "
+        f"add a justified exception): {over}"
+    )
+
+
 def test_scaling_slopes_near_linear():
     doc = _load()
     bad = {

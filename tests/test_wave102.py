@@ -11,15 +11,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_misra_gries_guarantee(spark):
+    """r11: the op output is now the verified exact heavy-hitter set
+    (oracle-checked); this gate pins the two things the oracle can't —
+    the output matches the exact computation done independently here,
+    and the mg_count_floor column is the valid MG undercount bound."""
     rows = registry.QUERIES["sketch_misra_gries"](spark, SF).collect()
     assert 0 < len(rows) <= MG_K
     n = rows[0]["n_total"]
-    items = {r["item"] for r in rows}
-    for r in rows:
-        # MG never overestimates, and underestimates by at most n/k
-        assert 0 <= r["underestimate"] <= n / MG_K + 1
-        assert r["mg_count"] <= r["exact_count"]
-    # guarantee: every item with freq > n/k must be present
     exact = {
         row["event_type"]: row["n"]
         for row in spark.read.parquet(f"{SF}/events.parquet")
@@ -28,9 +26,18 @@ def test_misra_gries_guarantee(spark):
         .withColumnRenamed("count", "n")
         .collect()
     }
-    for item, cnt in exact.items():
-        if cnt > n / MG_K:
-            assert item in items, item
+    assert n == sum(exact.values())
+    want = {
+        item: cnt
+        for item, cnt in exact.items()
+        if cnt * (MG_K + 1) > n
+    }
+    got = {r["item"]: r["exact_count"] for r in rows}
+    assert got == want, (got, want)
+    for r in rows:
+        # the floor is the worst-case merged-MG count: within (0, exact]
+        assert r["mg_count_floor"] == r["exact_count"] - n // (MG_K + 1)
+        assert 0 < r["mg_count_floor"] <= r["exact_count"]
 
 
 def test_schema_compat_classes(spark):
