@@ -212,6 +212,15 @@ SCALING_QUERIES = [
     "tx_ctfidf",
     "stat_dunn_test",
     "sketch_hll_rollup",
+    # round-11 additions: the global-order dedup pass, the two-phase
+    # sketch build, and the panel x corpus distance stages
+    "dd_prefix_dup",
+    "sketch_theta_setops",
+    "emb_intrinsic_dim",
+    "emb_hubness",
+    # round-11 wave 264: the iterative ppr + sweep composition
+    "graph_ppr_sweep_cut",
+    "fin_irr",
 ]
 
 
