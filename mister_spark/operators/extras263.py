@@ -440,9 +440,12 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
+    # bottom-K by (hash, vec_id) is a TakeOrdered merge — no
+    # unpartitioned window ever sees the corpus-sized frame
     panel = (
-        emb.withColumn("prn", F.row_number().over(W.orderBy(ph, "vec_id")))
-        .filter(F.col("prn") <= PANEL_K)
+        emb.withColumn("ph", ph)
+        .orderBy("ph", "vec_id")
+        .limit(PANEL_K)
         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     )
     d2 = F.aggregate(
@@ -541,9 +544,12 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
+    # bottom-K by (hash, vec_id) is a TakeOrdered merge — no
+    # unpartitioned window ever sees the corpus-sized frame
     panel = (
-        emb.withColumn("prn", F.row_number().over(W.orderBy(ph, "vec_id")))
-        .filter(F.col("prn") <= PANEL_K)
+        emb.withColumn("ph", ph)
+        .orderBy("ph", "vec_id")
+        .limit(PANEL_K)
         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     )
     d2 = F.aggregate(

@@ -1113,6 +1113,21 @@ def test_wave_228_239_plan_pins(spark):
         "stat_cuzick_trend": (3, 1),
         # wave 259
         "emb_binary_quantize": (6, 0),
+        # round-11 waves 263-266. sketch_theta_setops' three
+        # unpartitioned windows rank the MERGED bottom-k sketches
+        # (<= 2k rows each, documented bounded); the eagerly-computed
+        # ops (dd_prefix_dup, graph_ppr_sweep_cut, fin_irr) pin their
+        # post-checkpoint residue per the wave-186 precedent.
+        "dd_prefix_dup": (1, 0),
+        "sketch_theta_setops": (9, 3),
+        "emb_intrinsic_dim": (1, 0),
+        "emb_hubness": (2, 0),
+        "graph_ppr_sweep_cut": (1, 0),
+        "fin_irr": (1, 0),
+        "tx_langid_eval": (3, 0),
+        "io_variant_query": (1, 0),
+        "ds_krippendorff_alpha": (2, 0),
+        "ev_cross_elasticity": (3, 0),
     }
     for name, (sh_ceil, uw_ceil) in pins.items():
         df = registry.QUERIES[name](spark, SF)
