@@ -196,3 +196,24 @@ def test_staleness_gate_catches_a_doctored_record():
         "no sweep commit" in why
         for _, why in _stale_records({victim: {"hash_match": True}})
     )
+
+
+def test_survey_section2_matches_live_registry():
+    """SURVEY.md §2 is the judge's coverage contract: its table keys
+    must equal the live registry exactly — a wave that forgets its
+    §2 rows (or a deleted op leaving a ghost row) fails here, in the
+    same diff."""
+    import re
+
+    with open(os.path.join(ROOT, "SURVEY.md")) as f:
+        text = f.read()
+    sec2 = text.split("## §2", 1)[1].split("## §3", 1)[0]
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"^\| ([a-z0-9_]+) \|", sec2, re.M)
+    } - {"key"}  # table header rows
+    reg = set(registry.QUERIES)
+    assert keys == reg, (
+        f"survey-only: {sorted(keys - reg)[:10]}; "
+        f"registry-only: {sorted(reg - keys)[:10]}"
+    )
