@@ -93,20 +93,25 @@ def bucketed_cumsum(
     The input is ``localCheckpoint``-ed (it feeds both the bucketed
     window and the totals branch); callers pass the already-collapsed
     frame, so the materialization is |distinct keys|, not base-table,
-    sized."""
+    sized.
+
+    The boundary list is pulled to the driver (nbuckets-1 scalars —
+    constant-size, data-independent, like any broadcast threshold) so
+    the bucket id is a codegen'd comparison sum instead of the former
+    per-row higher-order ``aggregate`` fold over a broadcast array:
+    the interpreted fold measured 0.70 s vs 0.17 s codegen per branch
+    at sf0.1 (and it ran in BOTH the window and totals branches).
+    Boundary placement only balances the buckets — the prefix sums are
+    exact under ANY range-contiguous assignment — so results are
+    bit-identical."""
     df = df.localCheckpoint()
     fracs = [i / nbuckets for i in range(1, nbuckets)]
-    bounds = df.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bs"))
-    bucket = F.aggregate(
-        F.col("_bs"),
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0),
-    )
-    b = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("_b", bucket)
-        .drop("_bs")
-    )
+    row = df.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bs")).first()
+    bs = row["_bs"] or []
+    bucket = F.lit(0)
+    for bound in bs:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(bound), 1).otherwise(0)
+    b = df.withColumn("_b", bucket)
     w_in = (
         W.partitionBy("_b")
         .orderBy(order_col)
