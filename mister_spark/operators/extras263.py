@@ -381,6 +381,97 @@ def _dist2_sql(a: str, b: str) -> str:
     )
 
 
+def _panel_nn_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Exact k-NN of the fixed {PANEL_K}-point query panel against the
+    corpus, returning (qid, vec_id, d2, rn) with rn <= k — the shared
+    neighbor stage of emb_intrinsic_dim / emb_hubness.
+
+    r11 rewrite (guide §8 "decide with small rows" + §4.2): the old
+    shape broadcast the panel into a crossJoin and ran a corpus-sized
+    window (panel x N rows shuffled AND sorted — the measured
+    superlinear path: 19 s / slope 1.08 at sf1 for hubness). Now each
+    scan task computes distances and keeps its LOCAL top-k per panel
+    point inside one mapInArrow pass, so only tasks x {PANEL_K} x k
+    candidate rows ever reach the final window. Distances stay
+    bit-identical to the oracle's in-order fold: the numpy kernel
+    accumulates (x_i - y_i)^2 over dims in ascending index order —
+    the same IEEE-754 double add sequence as the former JVM
+    zip_with/aggregate fold and the DuckDB list fold — and the
+    selection key (d2, vec_id) is the window's exact sort key, so the
+    kept sets (ties included) are identical."""
+    import numpy as np
+
+    emb = cat(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ph = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("e:"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # bottom-K by (hash, vec_id) is a TakeOrdered merge; the panel is a
+    # constant-size (PANEL_K x dim) driver pull, corpus-size-independent
+    panel = (
+        emb.withColumn("ph", ph)
+        .orderBy("ph", "vec_id")
+        .limit(PANEL_K)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in panel], dtype=np.int64)
+    Q = np.array([r["qv"] for r in panel], dtype=np.float64)
+    P, dim = Q.shape
+
+    def local_topk(it):
+        import pyarrow as pa
+
+        best_d = [np.empty(0, dtype=np.float64) for _ in range(P)]
+        best_v = [np.empty(0, dtype=np.int64) for _ in range(P)]
+        for batch in it:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("v")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(len(vid), dim)
+            # ascending-dim accumulation: identical double sequence to
+            # the JVM/DuckDB left fold (exactness contract above)
+            acc = np.zeros((len(vid), P), dtype=np.float64)
+            for i in range(dim):
+                diff = X[:, i : i + 1] - Q[None, :, i]
+                acc += diff * diff
+            for p in range(P):
+                mask = vid != qids[p]
+                d2 = np.concatenate([best_d[p], acc[mask, p]])
+                vv = np.concatenate([best_v[p], vid[mask]])
+                if len(d2) > k:
+                    # all rows tied with the k-th by d2 stay in until the
+                    # exact (d2, vec_id) lexsort below cuts at k
+                    kth = np.partition(d2, k - 1)[k - 1]
+                    keep = d2 <= kth
+                    d2, vv = d2[keep], vv[keep]
+                order = np.lexsort((vv, d2))[:k]
+                best_d[p], best_v[p] = d2[order], vv[order]
+        out_q = np.repeat(qids, [len(b) for b in best_v])
+        if len(out_q):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=pa.int64()),
+                    pa.array(np.concatenate(best_v), type=pa.int64()),
+                    pa.array(np.concatenate(best_d), type=pa.float64()),
+                ],
+                names=["qid", "vec_id", "d2"],
+            )
+
+    cand = emb.mapInArrow(local_topk, "qid long, vec_id long, d2 double")
+    wq = W.partitionBy("qid").orderBy("d2", "vec_id")
+    return cand.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= k
+    )
+
+
 _PANEL_SQL = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM (
@@ -425,44 +516,15 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 ambient dims wants different IVF/PQ settings than one using
     all 64 — this is the measurement.
 
-    Scale: the panel is FIXED size, so the distance stage is
-    panel × corpus rows (linear in N) with the panel broadcast; the
-    2-NN cut is a per-query window over that frame; everything after
-    runs on ≤ {p} rows. Distances are in-order JVM folds — identical
-    double sequences in the oracle, no BLAS reassociation."""
-    emb = cat(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    ph = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("e:"), F.col("vec_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    # bottom-K by (hash, vec_id) is a TakeOrdered merge — no
-    # unpartitioned window ever sees the corpus-sized frame
-    panel = (
-        emb.withColumn("ph", ph)
-        .orderBy("ph", "vec_id")
-        .limit(PANEL_K)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d = (
-        F.broadcast(panel)
-        .crossJoin(emb)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", d2.alias("d2"))
-    )
-    wq = W.partitionBy("qid").orderBy("d2", "vec_id")
+    Scale: the panel is FIXED size, so the distance stage is one
+    mapInArrow pass over the corpus (linear in N) that keeps each
+    task's local 2-NN candidates per panel point — only tasks × panel
+    × 2 rows reach the final window (`_panel_nn_topk`; the former
+    panel × corpus shuffle+sort window measured superlinear at sf1).
+    Distances accumulate dims in ascending order — the identical
+    double sequence as the oracle's fold, no BLAS reassociation."""
     two = (
-        d.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
+        _panel_nn_topk(spark, sf_dir, 2)
         .groupBy("qid")
         .agg(
             F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("s1"),
@@ -530,41 +592,16 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual-kNN reranking must fix before retrieval quality numbers
     mean anything.
 
-    Scale: identical frame to emb_intrinsic_dim (fixed panel ×
-    corpus, broadcast panel, per-query window) — the occurrence
-    aggregate is over ≤ panel·{k} rows and the moment trick keeps the
-    zero-class implicit."""
+    Scale: identical neighbor stage to emb_intrinsic_dim
+    (`_panel_nn_topk`: per-task local top-{k} inside one mapInArrow
+    corpus pass, candidates-only window) — the occurrence aggregate is
+    over ≤ panel·{k} rows and the moment trick keeps the zero-class
+    implicit."""
     emb = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ph = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("e:"), F.col("vec_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    # bottom-K by (hash, vec_id) is a TakeOrdered merge — no
-    # unpartitioned window ever sees the corpus-sized frame
-    panel = (
-        emb.withColumn("ph", ph)
-        .orderBy("ph", "vec_id")
-        .limit(PANEL_K)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = W.partitionBy("qid").orderBy("d2", "vec_id")
     occ = (
-        F.broadcast(panel)
-        .crossJoin(emb)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= HUB_K)
+        _panel_nn_topk(spark, sf_dir, HUB_K)
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("k_occ"))
     )
