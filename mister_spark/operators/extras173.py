@@ -162,16 +162,21 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _nmf_step(W: "np.ndarray", nv: int, k: int):
-    """mapInPandas factory: ONE fused Lee-Seung iteration pass — each
-    batch's H rows take their Lee-Seung multiplicative update, yielded
-    with null partial columns, while the partition accumulates the
-    W-step partials (V^T H, H^T H, column sums) from the UPDATED H; a
-    single tagged partials row (doc_id null) flushes at partition end.
-    Same math as the former two-pass pair at half the scans/jobs."""
+def _nmf_replay(Ws: "list", nv: int, k: int):
+    """mapInPandas factory for iteration len(Ws)-1: per batch, H is
+    REPLAYED from its deterministic init through every Lee-Seung update
+    in ``Ws`` (H depends only on the doc's own rows and the W sequence,
+    so it never needs to be materialized or shipped back through Arrow
+    — guide §4: the only bytes crossing the boundary OUT are one
+    partials row per partition), and the W-step partials (V^T H,
+    H^T H, column sums) accumulate from the final updated H. The
+    replay is bit-identical to the former store-H-per-iteration chain:
+    same numpy expressions over the same batch slices in the same
+    order, with the H init computed from doc_id by the same IEEE ops
+    the former JVM expression used."""
     import numpy as np
 
-    G = W.T @ W  # k x k
+    Gs = [W.T @ W for W in Ws]  # k x k per iteration
 
     def f(batches):
         import pandas as pd
@@ -179,6 +184,7 @@ def _nmf_step(W: "np.ndarray", nv: int, k: int):
         vth = np.zeros((nv, k))
         hth = np.zeros((k, k))
         hsum = np.zeros(k)
+        j_off = np.arange(k, dtype=np.int64) * 7
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -186,30 +192,20 @@ def _nmf_step(W: "np.ndarray", nv: int, k: int):
             off = np.concatenate(([0], np.cumsum(lens)[:-1]))
             wi = np.concatenate(pdf["wi"].to_list()).astype(np.int64)
             c = np.concatenate(pdf["c"].to_list())
-            H = np.array(pdf["h"].to_list())  # m x k
-            num = np.add.reduceat(c[:, None] * W[wi], off, axis=0)
-            H = H * num / (H @ G + 1e-9)
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            # deterministic strictly-positive init (same as the former
+            # JVM transform expression, bit-for-bit: 1.0 + 0.1 * m)
+            H = 1.0 + 0.1 * ((ids[:, None] * 5 + j_off[None, :]) % 4)
+            cw = c[:, None]
+            for W, G in zip(Ws, Gs):
+                num = np.add.reduceat(cw * W[wi], off, axis=0)
+                H = H * num / (H @ G + 1e-9)
             Hrep = np.repeat(H, lens, axis=0)
-            np.add.at(vth, wi, c[:, None] * Hrep)
+            np.add.at(vth, wi, cw * Hrep)
             hth += H.T @ H
             hsum += H.sum(axis=0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "wi": pdf["wi"],
-                    "c": pdf["c"],
-                    "h": list(map(list, H)),
-                    "vth": [None] * len(pdf),
-                    "hth": [None] * len(pdf),
-                    "hsum": [None] * len(pdf),
-                }
-            )
         yield pd.DataFrame(
             {
-                "doc_id": [None],
-                "wi": [None],
-                "c": [None],
-                "h": [None],
                 "vth": [vth.ravel().tolist()],
                 "hth": [hth.ravel().tolist()],
                 "hsum": [hsum.tolist()],
@@ -340,17 +336,19 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     init (doc-id / word-index phase offsets). Emits one row per
     topic: its mass (share of total H weight) and top-3 words by W.
 
-    Scale: the sparse doc row (wi, c) and its factor h live in ONE
-    co-located frame, so after the single build shuffle each
-    iteration is ONE fused SHUFFLE-FREE vectorized pass (round-7): the
-    H step — a pure map with W and the k×k Gram broadcast in the
-    closure — and the partial aggregation of the O(cap·k) V^T H + k×k
-    H^T H the driver-side W step needs, emitted from the same
-    partition scan as one tagged row; the result is re-checkpointed
-    so lineage stays flat (superseded checkpoint blocks are reclaimed
-    by the context cleaner; a cluster run would truncate to reliable
-    checkpoints). Nothing corpus-sized ever moves after the build; the
-    final mass report reuses the fused pass's column sums."""
+    Scale: the sparse doc rows (wi, c) are checkpointed ONCE; each
+    iteration is ONE shuffle-free vectorized pass over that fixed
+    frame in which H is REPLAYED from its deterministic init through
+    the W sequence (all W's ride the closure — O(iters·cap·k) bytes,
+    model-sized) and only the O(cap·k) V^T H + k×k H^T H partials the
+    driver-side W step needs come back: one row per partition, no
+    per-iteration checkpoint, no corpus-sized Arrow output (round-11;
+    the former chain shipped wi/c/h out of Python and re-materialized
+    the whole frame every iteration). The replay recompute is
+    O(iters²·nnz·k) flops of in-task numpy — noise next to one
+    boundary crossing of the same rows. Nothing corpus-sized ever
+    moves after the build; the final mass report reuses the last
+    pass's column sums."""
     import numpy as np
 
     docs = cat(spark, sf_dir)["documents"]
@@ -372,8 +370,8 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(w, i) for i, w in enumerate(vocab)], "w string, widx int"
         )
     )
-    # one frame: sparse row + factor, checkpointed once; deterministic
-    # strictly-positive H init
+    # one fixed frame: the sparse doc rows, checkpointed once — every
+    # iteration re-reads these cached blocks; H never materializes
     vh = (
         tf.join(vmap, "w")
         .groupBy("doc_id")
@@ -381,20 +379,7 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("widx").alias("wi"),
             F.collect_list("c").alias("c"),
         )
-        .select(
-            "doc_id",
-            "wi",
-            "c",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda j: 1.0
-                + 0.1 * ((F.col("doc_id") * 5 + j * 7) % 4).cast("double"),
-            ).alias("h"),
-        )
         .localCheckpoint()
-    )
-    schema = (
-        "doc_id bigint, wi array<int>, c array<double>, h array<double>"
     )
     W = np.array(
         [
@@ -402,23 +387,16 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for wi in range(nv)
         ]
     )
+    Ws = [W]
     hsum = np.zeros(k)
-    step_schema = schema + (
-        ", vth array<double>, hth array<double>, hsum array<double>"
-    )
+    parts_schema = "vth array<double>, hth array<double>, hsum array<double>"
     for _ in range(NMF_ITERS):
-        # ONE fused pass per iteration (round-7): each partition
-        # updates its H rows AND emits its W-step partials from the
-        # just-updated values — identical math to the former
-        # H-update-then-partials pair, at half the scans/jobs. The
-        # checkpoint materializes both row kinds; the partials collect
-        # and the next iteration's input are cheap filters over it.
-        out = vh.mapInPandas(_nmf_step(W, nv, k), step_schema).localCheckpoint()
-        vh = out.filter(F.col("doc_id").isNotNull()).select(
-            "doc_id", "wi", "c", "h"
-        )
-        parts = out.filter(F.col("doc_id").isNull()).select(
-            "vth", "hth", "hsum"
+        # ONE pass per iteration: replay H through the W sequence
+        # in-task and collect only the partition partials (one row per
+        # partition, model-sized) — same math and batch order as the
+        # former store-H chain, so W and hsum are bit-identical.
+        parts = vh.mapInPandas(
+            _nmf_replay(list(Ws), nv, k), parts_schema
         ).collect()
         vth = sum(
             (np.array(p["vth"]).reshape(nv, k) for p in parts),
@@ -429,7 +407,8 @@ def tx_topic_nmf(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.zeros((k, k)),
         )
         hsum = sum((np.array(p["hsum"]) for p in parts), np.zeros(k))
-        W = W * vth / (W @ hth + 1e-9)
+        Ws.append(Ws[-1] * vth / (Ws[-1] @ hth + 1e-9))
+    W = Ws[-1]
     # hsum describes H AFTER the final H step (the partials pass reads
     # the updated frame), i.e. the H the final W was fit against
     total = float(hsum.sum())
