@@ -214,12 +214,14 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n_nodes = nodes.count()  # small driver scalar (node universe, not data)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # loop-invariant: out-weight-annotated edges, joined once instead of
+    # once per iteration (guide §2.4); nation-graph-sized, cheap to pin
+    wedges = edges.join(out_w, "src").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     src_nodes = out_w.select(F.col("src").alias("node"))
     for _ in range(PAGERANK_ITERS):
         contribs = (
-            edges.join(out_w, "src")
-            .join(ranks, F.col("src") == F.col("node"))
+            wedges.join(ranks, F.col("src") == F.col("node"))
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib"),

@@ -195,8 +195,16 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rounds are bounded by the sampled eccentricity (small-world
     graphs: ~6); every round is an edge join + min/sum aggregate on
     (src, node) rows — K x |V| state, never collected; localCheckpoint
-    cuts per-round lineage. Estimates scale up by |V|/K as usual for
-    source-sampled Brandes (Bader et al., public literature)."""
+    cuts per-round lineage. State is kept as ONE CHECKPOINTED FRAME PER
+    BFS LEVEL (round-11): the forward anti-join reads the lazy union of
+    the level checkpoints instead of re-materializing a growing visited
+    frame every round, and the backward pass writes each level's delta
+    exactly once (a row's delta is only ever set when its own level is
+    processed) instead of left-joining the per-level contributions into
+    — and re-checkpointing — the whole K x |V| frame once per level
+    (guide §1.2: same math, ~2x less materialized state per round).
+    Estimates scale up by |V|/K as usual for source-sampled Brandes
+    (Bader et al., public literature)."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = (
         e.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
@@ -210,14 +218,14 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BW_SOURCES)
         .withColumn("src", F.col("node"))
     )
-    # forward BFS: visited(src, node, dist, sigma)
-    visited = sources.select(
-        "src", "node", F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint()
-    frontier = visited
-    depth = 0
+    # forward BFS: one checkpointed (src, node, sigma) frame per level
+    levels = [
+        sources.select(
+            "src", "node", F.lit(1.0).alias("sigma")
+        ).localCheckpoint()
+    ]
     while True:
-        depth += 1
+        frontier = levels[-1]
         expanded = (
             frontier.select(
                 F.col("src").alias("f_src"),
@@ -227,9 +235,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sym, F.col("f_node") == sym["u"])
             .select("f_src", F.col("v").alias("f_dst"), "f_sigma")
         )
-        seen = visited.select(
-            F.col("src").alias("s_src"), F.col("node").alias("s_node")
-        )
+        seen = None  # lazy union of the level checkpoints
+        for lv in levels:
+            s = lv.select(
+                F.col("src").alias("s_src"), F.col("node").alias("s_node")
+            )
+            seen = s if seen is None else seen.unionByName(s)
         nxt = (
             expanded.join(
                 seen,
@@ -241,27 +252,27 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("f_src").alias("src"), F.col("f_dst").alias("node")
             )
             .agg(F.sum("f_sigma").alias("sigma"))
-            .withColumn("dist", F.lit(depth))
-            .select("src", "node", "dist", "sigma")
+            .select("src", "node", "sigma")
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    max_depth = depth - 1
-    # backward accumulation by descending depth
-    delta = visited.select(
-        "src", "node", "dist", "sigma", F.lit(0.0).alias("delta")
-    ).localCheckpoint()
+        levels.append(nxt)
+    max_depth = len(levels) - 1
+    # backward accumulation by descending depth: deltas[d] is level d's
+    # rows with their final delta (set exactly once, at step d+1 — in
+    # the old full-frame shape only dist == d-1 rows ever changed at
+    # each step, so the per-level frames reproduce it bit-for-bit)
+    deltas = [None] * (max_depth + 1)
+    deltas[max_depth] = levels[max_depth].withColumn("delta", F.lit(0.0))
     for d in range(max_depth, 0, -1):
-        lower = delta.filter(F.col("dist") == d).select(
+        lower = deltas[d].select(
             F.col("src").alias("w_src"),
             F.col("node").alias("w_node"),
             F.col("sigma").alias("w_sigma"),
             F.col("delta").alias("w_delta"),
         )
-        upper = delta.filter(F.col("dist") == d - 1).select(
+        upper = levels[d - 1].select(
             F.col("src").alias("v_src"),
             F.col("node").alias("v_node"),
             F.col("sigma").alias("v_sigma"),
@@ -284,22 +295,22 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("inc")
             )
         )
-        delta = (
-            delta.alias("d")
+        deltas[d - 1] = (
+            levels[d - 1]
             .join(contrib, ["src", "node"], "left")
             .select(
                 "src",
                 "node",
-                F.col("d.dist").alias("dist"),
-                F.col("d.sigma").alias("sigma"),
-                (F.col("d.delta") + F.coalesce("inc", F.lit(0.0))).alias(
-                    "delta"
-                ),
+                "sigma",
+                F.coalesce("inc", F.lit(0.0)).alias("delta"),
             )
             .localCheckpoint()
         )
+    alld = deltas[0]
+    for fr in deltas[1:]:
+        alld = alld.unionByName(fr)
     bc = (
-        delta.filter(F.col("node") != F.col("src"))
+        alld.filter(F.col("node") != F.col("src"))
         .groupBy("node")
         .agg(F.sum("delta").alias("betweenness"))
     )

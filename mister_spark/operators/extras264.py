@@ -127,10 +127,18 @@ def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
         )
-        .localCheckpoint()
+        .localCheckpoint()  # read by the loop (via wsym) AND the sweep's eh
     )
     deg = sym.groupBy(F.col("src").alias("dnode")).agg(
         F.count(F.lit(1)).alias("deg")
+    )
+    # degree-annotated edges, built once: the loop's scatter needs
+    # pr(src)/deg(src) per edge — same per-row arithmetic as the old
+    # r⋈deg⋈sym chain, one join fewer per iteration (guide §2.4)
+    wsym = (
+        sym.join(deg, sym.src == deg.dnode)
+        .select("src", "dst", "deg")
+        .localCheckpoint()
     )
     nodes = deg.select(F.col("dnode").alias("node")).localCheckpoint()
     seed = nodes.agg(F.min("node")).collect()[0][0]
@@ -139,8 +147,7 @@ def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     for _ in range(PPR_ITERS):
         contrib = (
-            r.join(deg, r.node == deg.dnode)
-            .join(sym, r.node == sym.src)
+            r.join(wsym, r.node == wsym.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("deg")).alias("c"),
@@ -148,8 +155,15 @@ def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        spread = nodes.join(contrib, "node", "left").select(
-            "node", F.coalesce("inflow", F.lit(0.0)).alias("inflow")
+        # materialized ONCE per round: the mass readout and the next
+        # iterate both read this checkpoint (the former shape executed
+        # the whole join pipeline twice per iteration — guide §1.2)
+        spread = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node", F.coalesce("inflow", F.lit(0.0)).alias("inflow")
+            )
+            .localCheckpoint()
         )
         mass = spread.agg(F.sum("inflow")).collect()[0][0] or 0.0
         dangling = 1.0 - float(mass)
@@ -167,7 +181,7 @@ def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0.0
                 )
             ).alias("pr"),
-        ).localCheckpoint()
+        )  # lazy projection over the checkpointed spread
     # top-K by score is a TakeOrdered merge (no global window over the
     # node frame); the rank window then runs on the ≤ K-row result
     rk = (

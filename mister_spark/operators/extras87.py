@@ -322,20 +322,27 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query behind item-to-item recommendations. {it} power
     iterations, dangling mass returned to the seed; top-{t} nodes.
 
-    Scale: per iteration one edge-join + one aggregate, with
-    localCheckpoint cutting lineage (the pagerank/components
-    precedent); state is the node-sized rank frame, mass conservation
-    is pinned in pytest."""
+    Scale: per iteration one edge-join + one aggregate over the
+    degree-annotated edge list (deg attached ONCE outside the loop, so
+    the loop body carries no second join), materialized ONCE per round
+    — the mass readout and the next iterate are both cheap reads of
+    that checkpoint, where the former shape re-executed the whole
+    join pipeline for each (guide §1.2/§2.4); state is the node-sized
+    rank frame, mass conservation is pinned in pytest."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = (
-        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(
-            e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-        .localCheckpoint()
+    sym = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
     deg = sym.groupBy(F.col("src").alias("dnode")).agg(
         F.count(F.lit(1)).alias("deg")
+    )
+    # degree-annotated edges, built once: each round's scatter needs
+    # pr(src)/deg(src) per edge — same per-row arithmetic as the old
+    # r⋈deg⋈sym chain, one join fewer per iteration
+    wsym = (
+        sym.join(deg, sym.src == deg.dnode)
+        .select("src", "dst", "deg")
+        .localCheckpoint()
     )
     nodes = deg.select(F.col("dnode").alias("node")).localCheckpoint()
     seed = nodes.agg(F.min("node")).collect()[0][0]
@@ -344,8 +351,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     for _ in range(PPR_ITERS):
         contrib = (
-            r.join(deg, r.node == deg.dnode)
-            .join(sym, r.node == sym.src)
+            r.join(wsym, r.node == wsym.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("deg")).alias("c"),
@@ -353,8 +359,12 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        spread = nodes.join(contrib, "node", "left").select(
-            "node", F.coalesce("inflow", F.lit(0.0)).alias("inflow")
+        spread = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node", F.coalesce("inflow", F.lit(0.0)).alias("inflow")
+            )
+            .localCheckpoint()
         )
         mass = spread.agg(F.sum("inflow")).collect()[0][0] or 0.0
         dangling = 1.0 - float(mass)
@@ -372,7 +382,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0.0
                 )
             ).alias("pr"),
-        ).localCheckpoint()
+        )  # lazy projection over the checkpointed spread — lineage stays flat
     return (
         r.orderBy(F.col("pr").desc(), "node")
         .limit(PPR_TOP)
