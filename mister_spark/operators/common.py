@@ -9,9 +9,26 @@ engines select the same rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from mister_spark.catalog import Catalog
+
+
+def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
+    """repartition(cols) + localCheckpoint, materialized with AQE OFF so
+    the checkpointed RDD advertises its hash partitioning. Under AQE the
+    LogicalRDD reports unknown partitioning and every downstream
+    join/aggregate on the same key re-shuffles the frame — this is what
+    makes guide §2.4's "establish the partitioning once, reuse it every
+    iteration" actually hold for loop-invariant state. AQE is restored
+    immediately (localCheckpoint is eager); every other query keeps it."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(*cols).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def rnd(col: Column, n: int) -> Column:

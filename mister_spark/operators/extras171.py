@@ -570,13 +570,21 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     k = max(SEMDEDUP_K_MIN, min(int(np.ceil(np.sqrt(n))), SEMDEDUP_K_MAX, n))
     # fit sample: deterministic hash-order cap (uniform, reproducible),
-    # re-sorted by id so Lloyd's lowest-id init is stable
-    samp = (
-        sparse.mapInPandas(
-            _semdedup_hv_iter, "vec_id long, hvec array<double>"
-        )
+    # re-sorted by id so Lloyd's lowest-id init is stable. The sample
+    # IDS are picked first on the slim vec_id column (TakeOrdered on
+    # md5), then hashed vectors are built ONLY for the sampled rows —
+    # the old shape ran the Arrow hvec pass over the whole corpus just
+    # to throw away everything past the cap (guide §1.2: don't compute
+    # things you discard; the assignment pass below rebuilds hvecs for
+    # all docs anyway)
+    sids = (
+        sparse.select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(SEMDEDUP_SAMPLE_CAP)
+    )
+    samp = (
+        sparse.join(F.broadcast(sids), "vec_id", "semi")
+        .mapInPandas(_semdedup_hv_iter, "vec_id long, hvec array<double>")
         .collect()
     )
     samp.sort(key=lambda r: r["vec_id"])

@@ -27,7 +27,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mister_spark.operators.common import cat, rnd
+from mister_spark.operators.common import cat, checkpoint_partitioned, rnd
 from mister_spark.operators.extras47 import (
     DUCK_COPURCHASE_SYM,
     _copurchase_edges,
@@ -91,19 +91,27 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative graph ops. The self-loop union folds the node's own
     color into the same aggregation, so no second self-join of the
     color frame is needed (and the oracle's recursion keeps its
-    single recursive reference)."""
+    single recursive reference). The edge list is HASH-PARTITIONED ON
+    THE JOIN KEY once, outside the loop (guide §2.4): every round's
+    join then shuffles only the node-sized color frame, not the edges,
+    and the degree init is a count over the same checkpointed frame
+    (self-loop row subtracted) instead of a second pass over the
+    co-purchase pipeline."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = e.union(
         e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     ).distinct()
-    nbr = sym.union(
-        sym.select("p1", F.col("p1").alias("p2")).distinct()
-    ).localCheckpoint()  # (v, u) incl. self loops; reused every round
+    # (v, u) incl. self loops; partitioned on the join key, reused
+    # every round
+    nbr = checkpoint_partitioned(
+        sym.union(sym.select("p1", F.col("p1").alias("p2")).distinct()),
+        "p2",
+    )
     colors = (
-        sym.groupBy(F.col("p1").alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+        nbr.groupBy(F.col("p1").alias("v"))
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("dc"))
         .select("v", F.col("dc").cast("string").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint()  # degree = neighbors excl. the self loop
     )
     rounds = [colors.withColumn("r", F.lit(0))]
     for r in range(1, WL_ROUNDS + 1):

@@ -352,6 +352,9 @@ def ds_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     picked: list[int] = []
     out = []
+    tot = 0  # telescopes: sum_p cov_p == running sum of integer gains,
+    # so the old per-round sum(cov) job was a third distributed pass
+    # per round recomputing a number the driver already has (guide §1.2)
     for rnum in range(1, FL_K + 1):
         gains = (
             sims.filter(~F.col("c").isin(picked) if picked else F.lit(True))
@@ -365,23 +368,24 @@ def ds_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = gains.orderBy(F.col("gain").desc(), "c").limit(1).collect()[0]
         picked.append(sel["c"])
-        cov = (
-            cov.join(
-                sims.filter(F.col("c") == sel["c"]).select("p", "s"),
-                "p",
-                "left",
+        tot += int(sel["gain"])
+        if rnum < FL_K:  # the final round's coverage is never read again
+            cov = (
+                cov.join(
+                    sims.filter(F.col("c") == sel["c"]).select("p", "s"),
+                    "p",
+                    "left",
+                )
+                .select(
+                    "p",
+                    F.greatest(
+                        F.col("cov"), F.coalesce(F.col("s"), F.lit(0))
+                    ).alias("cov"),
+                )
+                .localCheckpoint()  # coverage stays distributed per round
             )
-            .select(
-                "p",
-                F.greatest(
-                    F.col("cov"), F.coalesce(F.col("s"), F.lit(0))
-                ).alias("cov"),
-            )
-            .localCheckpoint()  # coverage stays distributed per round
-        )
-        tot = cov.agg(F.sum("cov")).collect()[0][0]
         out.append(
-            (rnum, int(sel["c"]), int(sel["gain"]) / 1e4, int(tot) / 1e4)
+            (rnum, int(sel["c"]), int(sel["gain"]) / 1e4, tot / 1e4)
         )
     return spark.createDataFrame(
         out,
