@@ -107,7 +107,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out equi-join (df ≤ hot cap on the full postings, and the
     prefix join's fan-out is further capped by per-doc prefix length);
     the candidate list — not the quadratic pair space — is all that
-    shuffles into the verify stage."""
+    shuffles into the verify stage. (r11 note: a one-groupBy rewrite
+    — per-doc sorted (df, sid) arrays with the prefix sliced in-row —
+    measured SLOWER at sf0.1 AND sf1 (3.2→4.4 s / 15.9→17.5 s solo
+    noop medians): two in-row sorts + an ObjectHashAggregate lose to
+    the codegen'd window + row_number here; kept the window shape.)"""
     docs = cat(spark, sf_dir)["documents"]
     # explode BEFORE any size()-filter: a pushed-down filter on the
     # shingle array inlines (re-evaluates) the trigram expression per
@@ -178,16 +182,6 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(ds: DataFrame) -> DataFrame:
-    """k=64 MinHash signatures via functions.hashing (explode + k
-    vectorized min() aggregates; see PERF.md for why not array_min)."""
-    hashed = ds.filter(F.size("sh") > 0).select(
-        "doc_id",
-        F.explode(F.transform("sh", lambda s: mh_hash60(s))).alias("h"),
-    )
-    return minhash_signatures(hashed, MINHASH_K)
-
-
 # The MinHash-LSH oracle, shared with dd_lsh_eval: the signature
 # pipeline is the universal-hash family (duck_minhash_mins — 60 md5
 # bits per shingle, Carter–Wegman permutations mod 2^31-1, exact
@@ -242,9 +236,27 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle frame is localCheckpoint-ed: it feeds the signature
     pipeline AND both sides of the exact-Jaccard verify join, so
     without the checkpoint the tokenize+shingle scan runs three times
-    (measured 4.1 s -> 2.6 s at sf0.1, the round-10 bench finding)."""
-    ds = _doc_shingles(spark, sf_dir).localCheckpoint()
-    sigs = _minhash_sigs(ds)
+    (measured 4.1 s -> 2.6 s at sf0.1, the round-10 bench finding).
+    It carries the 60-bit md5 item hashes, not the ~40-char shingle
+    strings: md5 runs once at the checkpoint, the signature explode
+    reads longs, and the verify join shuffles 8-byte arrays instead of
+    string arrays (~5x fewer exchange bytes; intersection sizes equal
+    modulo 2^-60 collision odds — the dd_exact argument, and the same
+    md5-hash identity the oracle's signature pipeline already uses)."""
+    ds = (
+        _doc_shingles(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.transform("sh", lambda s: mh_hash60(s)).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+    sigs = minhash_signatures(
+        ds.filter(F.size("sh") > 0).select(
+            "doc_id", F.explode("sh").alias("h")
+        ),
+        MINHASH_K,
+    )
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[

@@ -190,11 +190,21 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer nation, edge weight = lineitem count), the canonical
     iterative-MapReduce workload, as a fixed 5-iteration DataFrame loop.
 
-    Scale notes: ranks and out-degrees live in DataFrames keyed by node;
-    each iteration is one join + one aggregate (two shuffles) over the
-    EDGE list — never a driver-side collect. For big graphs the edge
-    list would be pre-partitioned by src so the join side stays local
-    (GraphX's partitioning strategy; see PAPERS.md GraphX, OSDI'14)."""
+    Scale notes: the only data-sized work is the edge build (lineitem
+    ⋈ orders ⋈ dims → nation-pair counts); the GRAPH is nation-sized
+    (≤ 25 nodes, ≤ 625 weighted edges), so the 5 power iterations run
+    as ONE single-row expression fold over the collected edge array
+    instead of 5 rounds of distributed join + checkpoint + dangling
+    broadcast (guide §1.2: don't pay per-job scheduling for
+    model-sized state; same replay pattern as ml_sinkhorn_ot). The
+    arrays ride as column attributes so lambda indexing is O(1), and
+    the dangling mass alternates with the rank update through
+    half-steps so each is evaluated once per round. For corpus-scale
+    graphs (node state that does NOT fit a row) the former
+    DataFrame-loop shape — edge list pre-partitioned by src, rank
+    join + aggregate per round — is the one that scales (GraphX's
+    partitioning strategy; see PAPERS.md GraphX, OSDI'14); graph_ppr
+    keeps that shape on the product graph."""
     c = cat(spark, sf_dir)
     sup = c["supplier"].select("s_suppkey", F.col("s_nationkey").alias("src"))
     cus = c["customer"].select("c_custkey", F.col("c_nationkey").alias("dst"))
@@ -206,51 +216,89 @@ def mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cus, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        # materialize once: every iteration re-reads the edge list
+    )
+    base = (
+        edges.agg(
+            F.collect_list(
+                F.struct("src", "dst", F.col("w").cast("double").alias("w"))
+            ).alias("ea")
+        )
+        # node universe (sorted distinct src ∪ dst), out-nodes, and
+        # per-out-node out-weights, all derived from the edge array
+        .withColumn(
+            "na",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(ea, e -> e.src), transform(ea, e -> e.dst))))"
+            ),
+        )
+        .withColumn(
+            "oa", F.expr("array_sort(array_distinct(transform(ea, e -> e.src)))")
+        )
+        .withColumn(
+            "ow",
+            F.expr(
+                "transform(oa, s -> aggregate(filter(ea, e -> e.src = s),"
+                " CAST(0 AS DOUBLE), (a, e) -> a + e.w))"
+            ),
+        )
+        .withColumn(
+            "hasout", F.expr("transform(na, nd -> array_contains(oa, nd))")
+        )
+        # 1-row checkpoint: CollapseProject inlines single-use derived
+        # array columns into downstream LAMBDAS, where "used once" in
+        # the plan means "re-evaluated per element access" at runtime
+        # (measured 2 s -> 75 s without the barriers); a materialized
+        # attribute cannot be inlined
         .localCheckpoint()
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select("dst")
-    ).distinct()
-    n_nodes = nodes.count()  # small driver scalar (node universe, not data)
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # loop-invariant: out-weight-annotated edges, joined once instead of
-    # once per iteration (guide §2.4); nation-graph-sized, cheap to pin
-    wedges = edges.join(out_w, "src").localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    src_nodes = out_w.select(F.col("src").alias("node"))
-    for _ in range(PAGERANK_ITERS):
-        contribs = (
-            wedges.join(ranks, F.col("src") == F.col("node"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib"),
+    one = (
+        # per-node incoming edges as (src index, w/out_w(src)) pairs —
+        # built from materialized attributes, then materialized itself
+        # before the fold for the same CollapseProject reason
+        base.withColumn(
+            "ie",
+            F.expr(
+                "transform(na, nd -> transform(filter(ea, e -> e.dst = nd),"
+                " e -> struct(array_position(na, e.src) AS si,"
+                " e.w / element_at(ow, CAST(array_position(oa, e.src)"
+                " AS INT)) AS wn)))"
+            ),
+        ).localCheckpoint()
+    )
+    n_half = 2 * PAGERANK_ITERS
+    sol = one.withColumn(
+        "uv",
+        F.expr(
+            f"""aggregate(
+  sequence(1, {n_half}),
+  named_struct('r', transform(na, x -> 1.0 / CAST(size(na) AS DOUBLE)),
+               'dang', CAST(0 AS DOUBLE)),
+  (acc, it) -> if(it % 2 = 1,
+    named_struct(
+      'r', acc.r,
+      'dang', aggregate(sequence(1, size(na)), CAST(0 AS DOUBLE),
+                (s, i) -> s + if(element_at(hasout, i),
+                                 CAST(0 AS DOUBLE),
+                                 element_at(acc.r, i)))),
+    named_struct(
+      'r', transform(sequence(1, size(na)), j ->
+             (1.0 - {DAMPING}) / CAST(size(na) AS DOUBLE)
+             + {DAMPING} * (
+                 aggregate(element_at(ie, j), CAST(0 AS DOUBLE),
+                   (s, p) -> s + element_at(acc.r, CAST(p.si AS INT))
+                               * p.wn)
+                 + acc.dang / CAST(size(na) AS DOUBLE))),
+      'dang', acc.dang)))"""
+        ),
+    )
+    return sol.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(na)), i -> struct("
+                "element_at(na, i) AS node, element_at(uv.r, i) AS rank))"
             )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("in_rank"))
-        )
-        # dangling-node mass (no out-edges) is redistributed uniformly —
-        # without this, rank mass drains every iteration
-        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .join(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    (1 - DAMPING) / n_nodes
-                    + DAMPING
-                    * (
-                        F.coalesce(F.col("in_rank"), F.lit(0.0))
-                        + F.col("dang") / n_nodes
-                    )
-                ).alias("rank"),
-            )
-            # truncate lineage: ranks feeds two branches next iteration
-            # (contribs + dangling), so the un-checkpointed plan doubles
-            # per iteration (2^iters blowup; 68s -> ~5s at sf0.001)
-            .localCheckpoint()
-        )
-    return ranks.select("node", rnd(F.col("rank"), 6).alias("rank"))
+        ).alias("z")
+    ).select(
+        F.col("z.node").alias("node"), rnd(F.col("z.rank"), 6).alias("rank")
+    )

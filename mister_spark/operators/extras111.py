@@ -190,28 +190,37 @@ def ev_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('how long until a customer becomes valuable') that averages
     obscure and approx sketches blur at the tails.
 
-    Scale: the per-customer running sum is a customer-partitioned
-    window (the sessionize exchange); crossing-day quartiles use the
-    |distinct day-values| prefix frame via `bucketed_cumsum` — exact
-    order statistics, no single-task sort."""
+    Scale: ONE orders pass — the running sum and the first-order date
+    share one customer-partitioned window, and the per-customer
+    crossing day is a conditional min in a groupBy that reuses the
+    window's partitioning (no exchange; the former shape paid a
+    second orders scan + exchange for the first-order join and a
+    third full scan for the customer count — guide §2.4). The
+    checkpointed per-customer frame is customer-sized; crossing-day
+    quartiles use the |distinct day-values| prefix frame via
+    `bucketed_cumsum` — exact order statistics, no single-task
+    sort."""
     orders = cat(spark, sf_dir)["orders"]
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    o = orders.select(
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("d"),
-        F.sum("o_totalprice").over(w).alias("cum"),
-    )
-    first_o = orders.groupBy("o_custkey").agg(
-        F.min(F.col("o_orderdate").cast("date")).alias("d0")
-    )
-    crossed = (
-        o.filter(F.col("cum") >= TTV_THRESHOLD)
-        .join(first_o, "o_custkey")
+    cust = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.sum("o_totalprice").over(w).alias("cum"),
+            F.first(F.col("o_orderdate").cast("date")).over(w).alias("d0"),
+        )
         .groupBy("o_custkey")
-        .agg(F.min(F.datediff("d", "d0")).alias("ttv_days"))
-        .localCheckpoint()
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= TTV_THRESHOLD, F.datediff("d", "d0")
+                )
+            ).alias("ttv_days")
+        )
+        .localCheckpoint()  # one row per customer: null = never crossed
     )
-    n_customers = first_o.count()
+    n_customers = cust.count()
+    crossed = cust.filter(F.col("ttv_days").isNotNull())
     g = crossed.groupBy("ttv_days").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )

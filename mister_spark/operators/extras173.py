@@ -78,7 +78,11 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one partial-agg shuffle; the corpus mean is a 1-row broadcast.
     No ranks, no windows — the gate is closed-form."""
     docs = cat(spark, sf_dir)["documents"]
-    t = docs.select("doc_id", "source", tokens().alias("ts"))
+    # tokenized once: the bigram stream is exploded from this frame by
+    # BOTH the LM-count branch and the scoring join (guide §1.2)
+    t = docs.select(
+        "doc_id", "source", tokens().alias("ts")
+    ).localCheckpoint()
     n = F.size("ts")
     pairs = F.when(
         n >= 2,
@@ -123,6 +127,9 @@ def ds_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("bigrams"),
             F.sum("micro").alias("micro_sum"),
         )
+        # doc-sized and narrow; read by the corpus mean AND the final
+        # rollup — without this the scoring join runs twice
+        .localCheckpoint()
     )
     m = sc.agg(
         (

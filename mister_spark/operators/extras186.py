@@ -179,28 +179,40 @@ def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution. The complement of tx_source_vocab_overlap at the
     phrase level, and the cheap screen run before any per-pair dedup.
 
-    Scale: one distinct-(source, shingle) collapse, one shingle-keyed
-    count of sources, one source rollup — two shuffles, integer
-    arithmetic end to end."""
+    Scale: ONE shingle-keyed exchange — collect_set(source) per
+    hashed shingle dedupes (source, shingle) map-side AND yields the
+    source-spread in the same pass (the former shape paid a distinct
+    exchange, a second by-shingle exchange, a checkpoint, and a
+    join-back of the spread) — then an explode back to (source,
+    novel-flag) rows feeding one map-side-combinable source rollup.
+    Shingles ride as xxhash64 ids so the exchange carries longs, not
+    ~40-char strings (grouping modulo 2^-64 collision odds, the
+    dd_exact argument). Integer arithmetic end to end."""
     from mister_spark.functions.text import shingles
 
     docs = cat(spark, sf_dir)["documents"]
-    sg = (
-        docs.select("source", F.explode(shingles(tokens())).alias("g"))
-        .distinct()
-        .localCheckpoint()  # read by the spread count and the rollup
+    spread = (
+        docs.select(
+            "source", F.explode(shingles(tokens())).alias("g")
+        )
+        .select("source", F.xxhash64("g").alias("sid"))
+        .groupBy("sid")
+        .agg(F.collect_set("source").alias("srcs"))
+        .select(
+            F.explode("srcs").alias("source"),
+            (F.size("srcs") == 1).cast("long").alias("novel"),
+        )
     )
-    spread = sg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("nsrc"))
-    novel = (F.col("nsrc") == 1).cast("long")
     return (
-        sg.join(spread, "g")
-        .groupBy("source")
+        spread.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
-            F.sum(novel).cast("bigint").alias("novel_ngrams"),
+            F.sum("novel").cast("bigint").alias("novel_ngrams"),
             (
                 F.floor(
-                    F.sum(novel.cast("double")) / F.count(F.lit(1)) * 10000
+                    F.sum(F.col("novel").cast("double"))
+                    / F.count(F.lit(1))
+                    * 10000
                     + 0.5
                 )
                 / 10000

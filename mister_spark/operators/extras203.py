@@ -106,23 +106,23 @@ def stat_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is ONE pass over the fact table against a 16-row
     broadcast candidate frame (map-side combinable counts); the refit
     is one more filtered moments pass. Candidate count is constant,
-    so cost is 2 scans regardless of corpus size."""
-    d = cat(spark, sf_dir)["lineitem"].select(
+    so cost is a handful of column-pruned scans regardless of corpus
+    size. Each pass scans the parquet columns it needs (x, y; the md5
+    sampling hash is computed ONLY in the TakeOrdered pass, never
+    materialized corpus-wide), and the model-sized intermediates
+    (moments row, 32-row sample, 1-row winner) are checkpointed so
+    the broadcast chains re-read one-row frames instead of re-running
+    full scans (guide §1.2/§2.3)."""
+    li = cat(spark, sf_dir)["lineitem"]
+    d = li.select(
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
-        F.md5(
-            F.concat_ws(
-                ":",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
-            )
-        ).alias("h"),
-    ).localCheckpoint()  # feeds moments, sampling, and both scan passes
+    )
     yc = F.floor(F.col("y") * 100 + 0.5).cast("bigint")
     m = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(yc).alias("syc"),
-    )
+    ).localCheckpoint()  # one row; feeds tau, votes, refit, the report
     tau = m.select(
         "n",
         (
@@ -134,9 +134,21 @@ def stat_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = (
         # TakeOrdered(32) over the hash, then a 32-row window — the
         # single-partition window runs on the sampled frame only
-        d.orderBy("h")
+        li.select(
+            F.col("l_quantity").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .orderBy("h")
         .limit(RANSAC_SAMPLES)
         .select("x", "y", F.row_number().over(W.orderBy("h")).alias("r"))
+        .localCheckpoint()  # 32 rows; feeds both candidate branches
     )
     a = samp.filter(F.col("r") % 2 == 1).select(
         ((F.col("r") + 1) / 2).cast("bigint").alias("cid"),
@@ -171,7 +183,11 @@ def stat_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid", "slope", "icept")
         .agg(F.sum(F.when(resid_ok, 1).otherwise(0)).alias("inliers"))
     )
-    best = votes.orderBy(F.col("inliers").desc(), "cid").limit(1)
+    best = (
+        votes.orderBy(F.col("inliers").desc(), "cid")
+        .limit(1)
+        .localCheckpoint()  # one row; read by refit AND the report
+    )
     refit = (
         d.crossJoin(F.broadcast(best))
         .crossJoin(F.broadcast(tau.select("tol")))

@@ -236,89 +236,105 @@ def ml_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # <= 256x256; feeds lambda, kernel, plan
     )
     lam = cost.agg((OT_LAMBDA_FRAC * F.avg("c")).alias("l"))
-    km = (
-        cost.crossJoin(F.broadcast(lam))
-        .select("i", "j", F.exp(-F.col("c") / F.col("l")).alias("kk"))
-        .localCheckpoint()  # kernel reused every scaling round
-    )
     tot0 = idx.filter(F.col("g") == 0).agg(F.sum("mass").alias("t"))
     tot1 = idx.filter(F.col("g") == 1).agg(F.sum("mass").alias("t"))
-    aa = (
+    # everything past the cost matrix is codebook-sized (<= 256 x 256),
+    # so the {it} scaling rounds run as ONE single-row expression fold
+    # instead of {it} distributed join+checkpoint jobs (guide §1.2:
+    # don't pay cluster scheduling for model-sized state). The dense
+    # matrices ride as array columns — column attributes, so lambda
+    # bodies index them O(1) without the element_at-in-lambda
+    # re-evaluation trap (PERF.md) — and the recursion alternates
+    # u/vv half-steps through an aggregate() so each half-step is
+    # evaluated exactly once.
+    avrow = (
         idx.filter(F.col("g") == 0)
         .crossJoin(F.broadcast(tot0))
         .select("i", (F.col("mass").cast("double") / F.col("t")).alias("w"))
-        .localCheckpoint()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "w"))).alias("a0"))
+        .select(F.transform("a0", lambda x: x["w"]).alias("av"))
     )
-    bb = (
+    bvrow = (
         idx.filter(F.col("g") == 1)
         .crossJoin(F.broadcast(tot1))
+        .select("i", (F.col("mass").cast("double") / F.col("t")).alias("w"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "w"))).alias("b0"))
+        .select(F.transform("b0", lambda x: x["w"]).alias("bv"))
+    )
+    cmrow = (
+        cost.groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("r"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "r"))).alias("rr"))
         .select(
-            F.col("i").alias("j"),
-            (F.col("mass").cast("double") / F.col("t")).alias("w"),
+            F.transform(
+                "rr", lambda x: F.transform(x["r"], lambda y: y["c"])
+            ).alias("cm")
         )
-        .localCheckpoint()
     )
-    vv = bb.select("j", F.lit(1.0).alias("vv"))
-    for _ in range(OT_ITERS):
-        kv = (
-            km.join(F.broadcast(vv), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("kk") * F.col("vv")).alias("kvs"))
-        )
-        u = kv.join(F.broadcast(aa), "i").select(
-            "i", (F.col("w") / F.col("kvs")).alias("u")
-        )
-        kt = (
-            km.join(F.broadcast(u), "i")
-            .groupBy("j")
-            .agg(F.sum(F.col("kk") * F.col("u")).alias("kts"))
-        )
-        vv = (
-            kt.join(F.broadcast(bb), "j")
-            .select("j", (F.col("w") / F.col("kts")).alias("vv"))
-            .localCheckpoint()  # cut the per-round lineage
-        )
-    kv = (
-        km.join(F.broadcast(vv), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("kk") * F.col("vv")).alias("kvs"))
-    )
-    u = kv.join(F.broadcast(aa), "i").select(
-        "i", (F.col("w") / F.col("kvs")).alias("u")
-    )
-    plan = (
-        km.join(F.broadcast(u), "i")
-        .join(F.broadcast(vv), "j")
-        .join(cost, ["i", "j"])
-        .select(
-            "i",
-            "j",
-            (F.col("u") * F.col("kk") * F.col("vv")).alias("pi"),
-            "c",
-        )
-        .localCheckpoint()  # feeds the cost sum + marginal check
-    )
-    ot = plan.agg(F.sum(F.col("pi") * F.col("c")).alias("ot"))
-    merr = (
-        plan.groupBy("j")
-        .agg(F.sum("pi").alias("cs"))
-        .join(F.broadcast(bb), "j")
-        .agg(F.sum(F.abs(F.col("cs") - F.col("w"))).alias("merr"))
-    )
-    nb0 = aa.agg(F.count(F.lit(1)).alias("b0"))
-    nb1 = bb.agg(F.count(F.lit(1)).alias("b1"))
-    return (
-        nb0.crossJoin(F.broadcast(nb1))
+    # 2*iters+1 half-steps: odd = u from vv, even = vv from u; the
+    # final extra odd step is the loop-exit u the transport plan uses
+    n_half = 2 * OT_ITERS + 1
+    sol = (
+        cmrow.crossJoin(F.broadcast(avrow))
+        .crossJoin(F.broadcast(bvrow))
         .crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(ot))
-        .crossJoin(F.broadcast(merr))
-        .select(
-            F.col("b0").cast("bigint").alias("n_buckets_src"),
-            F.col("b1").cast("bigint").alias("n_buckets_dst"),
-            rnd(F.col("l"), 6).alias("lambda_reg"),
-            rnd(F.col("ot"), 6).alias("ot_cost"),
-            rnd(F.col("merr"), 6).alias("marginal_err"),
+        .withColumn(
+            "km",
+            F.expr("transform(cm, row -> transform(row, c -> exp(-c / l)))"),
         )
+        .withColumn(
+            "uv",
+            F.expr(
+                f"""aggregate(
+  sequence(1, {n_half}),
+  named_struct('u', transform(av, x -> CAST(0 AS DOUBLE)),
+               'vv', transform(bv, x -> CAST(1 AS DOUBLE))),
+  (acc, it) -> if(it % 2 = 1,
+    named_struct(
+      'u', transform(sequence(1, size(av)), i ->
+             element_at(av, i) /
+             aggregate(sequence(1, size(bv)), CAST(0 AS DOUBLE),
+               (s, j) -> s + element_at(element_at(km, i), j)
+                           * element_at(acc.vv, j))),
+      'vv', acc.vv),
+    named_struct(
+      'u', acc.u,
+      'vv', transform(sequence(1, size(bv)), j ->
+              element_at(bv, j) /
+              aggregate(sequence(1, size(av)), CAST(0 AS DOUBLE),
+                (s, i) -> s + element_at(element_at(km, i), j)
+                            * element_at(acc.u, i))))))"""
+            ),
+        )
+        .withColumn(
+            "ot",
+            F.expr(
+                """aggregate(sequence(1, size(av)), CAST(0 AS DOUBLE),
+  (s, i) -> s + element_at(uv.u, i) *
+    aggregate(sequence(1, size(bv)), CAST(0 AS DOUBLE),
+      (t, j) -> t + element_at(element_at(km, i), j)
+                  * element_at(uv.vv, j)
+                  * element_at(element_at(cm, i), j)))"""
+            ),
+        )
+        .withColumn(
+            "merr",
+            F.expr(
+                """aggregate(sequence(1, size(bv)), CAST(0 AS DOUBLE),
+  (s, j) -> s + abs(element_at(uv.vv, j) *
+    aggregate(sequence(1, size(av)), CAST(0 AS DOUBLE),
+      (t, i) -> t + element_at(uv.u, i)
+                  * element_at(element_at(km, i), j))
+    - element_at(bv, j)))"""
+            ),
+        )
+    )
+    return sol.select(
+        F.size("av").cast("bigint").alias("n_buckets_src"),
+        F.size("bv").cast("bigint").alias("n_buckets_dst"),
+        rnd(F.col("l"), 6).alias("lambda_reg"),
+        rnd(F.col("ot"), 6).alias("ot_cost"),
+        rnd(F.col("merr"), 6).alias("marginal_err"),
     )
 
 

@@ -263,61 +263,104 @@ def tx_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup rerank or attribution pass is actually hunting.
 
     Scale: per-doc n-gram COUNT MAPS (keyed by xxhash64 of the gram)
-    are each one tokenize pass + one doc-keyed shuffle, and the clip
-    becomes a JVM fold over the hypothesis's keys — candidate-pair-
-    local, so no per-(pair, gram) rows ever shuffle (the old shape's
-    pairs⋈grams joins were the dominant cost after the embedded
-    near-dup pipeline; sf1 A/B identical output, PERF.md r11). The
-    top-{t} cut is a TakeOrdered on the rounded score with full
-    tiebreaks."""
+    are built IN-ROW — sort the hashed gram array once, then a
+    run-length pass over the sorted array yields the same (hash ->
+    count) map with ZERO token-level shuffles — and only for docs that
+    appear in a verified pair (broadcast semi-join of the document
+    scan against the checkpointed pair ids, legal here because the
+    pair list is already materialized; the corpus-wide count-map
+    passes were 4 exchanges of every doc's grams). The clip is a JVM
+    fold over the hypothesis's keys — candidate-pair-local, so no
+    per-(pair, gram) rows ever shuffle. The top-{t} cut is a
+    TakeOrdered on the rounded score with full tiebreaks."""
     pairs = (
         dd_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()  # verified near-dup pairs only
     )
-    toks = cat(spark, sf_dir)["documents"].select(
-        "doc_id", tokens().alias("tk")
-    ).localCheckpoint()
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
 
-    def count_maps(grams: DataFrame) -> DataFrame:
-        return (
-            grams.select("doc_id", F.xxhash64("w").alias("k"))
-            .groupBy("doc_id", "k")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("k", "c"))
-                ).alias("m")
+    # (hash -> count) map from a sorted hash array s via run-length
+    # encoding: i is a run start iff i = 1 or s[i] != s[i-1] (IF, not
+    # OR, so ANSI element_at(s, 0) can never evaluate); run j covers
+    # [st[j], next start). The starts array is LET-BOUND as a lambda
+    # variable through a single-element transform — referencing its
+    # expression directly inside the entries lambda would re-evaluate
+    # the whole filter per element (no CSE across lambda boundaries,
+    # and CollapseProject inlines single-use projection aliases into
+    # lambdas — PERF.md). Empty arrays are guarded because
+    # sequence(1, 0) is a DESCENDING range, not an empty one.
+    def _runs_map(s: str) -> Column:
+        starts = (
+            f"filter(sequence(1, size({s})), i -> if(i = 1, true,"
+            f" element_at({s}, i) != element_at({s}, i - 1)))"
+        )
+        return F.when(
+            F.size(F.col(s)) > 0,
+            F.element_at(
+                F.expr(
+                    f"transform(array({starts}), st -> map_from_entries("
+                    f"transform(sequence(1, size(st)), j -> struct("
+                    f"element_at({s}, element_at(st, j)) AS k,"
+                    f" CAST(if(j = size(st), size({s}) + 1,"
+                    f" element_at(st, j + 1)) - element_at(st, j)"
+                    f" AS BIGINT) AS c))))"
+                ),
+                1,
+            ),
+        ).otherwise(
+            F.map_from_arrays(
+                F.array().cast("array<bigint>"),
+                F.array().cast("array<bigint>"),
             )
         )
 
-    uni = count_maps(toks.select("doc_id", F.explode("tk").alias("w")))
-    bi = count_maps(
-        toks.select("doc_id", F.explode(bigrams(F.col("tk"))).alias("w"))
-    )
-    lens = toks.select(
-        "doc_id", F.size("tk").alias("l1"),
-        F.greatest(F.size("tk") - 1, F.lit(0)).alias("l2"),
+    dm = (
+        cat(spark, sf_dir)["documents"]
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .select("doc_id", tokens().alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").alias("l1"),
+            F.greatest(F.size("tk") - 1, F.lit(0)).alias("l2"),
+            F.array_sort(
+                F.transform(F.col("tk"), lambda x: F.xxhash64(x))
+            ).alias("s1"),
+            F.array_sort(
+                F.transform(bigrams(F.col("tk")), lambda x: F.xxhash64(x))
+            ).alias("s2"),
+        )
+        # the old shape's unigram INNER joins dropped token-less docs
+        .filter(F.col("l1") >= 1)
+        .select(
+            "doc_id", "l1", "l2",
+            _runs_map("s1").alias("m1"),
+            _runs_map("s2").alias("m2"),
+        )
+        .localCheckpoint()  # pair-participating docs only; read twice
     )
     sc0 = (
         pairs.join(
-            uni.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("ub")),
+            F.broadcast(
+                dm.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("m1").alias("ub"), F.col("m2").alias("vb"),
+                    F.col("l1").alias("lb1"), F.col("l2").alias("lb2"),
+                )
+            ),
             "doc_b",
         )
         .join(
-            uni.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ua")),
+            F.broadcast(
+                dm.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("m1").alias("ua"), F.col("m2").alias("va"),
+                    F.col("l1").alias("la1"),
+                )
+            ),
             "doc_a",
-        )
-        .join(
-            bi.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("vb")),
-            "doc_b",
-            "left",
-        )
-        .join(
-            bi.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("va")),
-            "doc_a",
-            "left",
         )
         .withColumn(
             "clip1",
@@ -337,17 +380,8 @@ def tx_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    la = lens.select(
-        F.col("doc_id").alias("doc_a"), F.col("l1").alias("la1")
-    )
-    lb = lens.select(
-        F.col("doc_id").alias("doc_b"), F.col("l1").alias("lb1"),
-        F.col("l2").alias("lb2"),
-    )
     sc = (
-        sc0.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
-        .select(
+        sc0.select(
             "doc_a", "doc_b",
             (F.col("clip1").cast("double") / F.col("lb1")).alias("prec1"),
             (

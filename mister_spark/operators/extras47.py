@@ -37,12 +37,30 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _baskets(spark, sf_dir)
-    x = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    y = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    # one order-keyed aggregation builds the capped basket ARRAY
+    # (collect_set dedupes map-side; sorted slice = the window cap's
+    # 16 smallest partkeys), and the p1 < p2 pairs are enumerated
+    # JVM-side from the sorted array — the former shape paid a
+    # distinct exchange + a window exchange/sort + a basket self-join
+    # for the same ≤ C(16,2) pairs per order (guide §2.3/§2.4; the
+    # ml_apriori_itemsets pattern)
+    li = cat(spark, sf_dir)["lineitem"]
+    ba = li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")), 1, COP_BASKET_CAP
+        ).alias("ps")
+    )
+    pairs = ba.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("e")
+    )
     return (
-        x.join(y, "o")
-        .filter(F.col("p1") < F.col("p2"))
+        pairs.select("e.p1", "e.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         .filter(F.col("w") >= COP_SUPPORT)

@@ -124,9 +124,17 @@ def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", tokens().alias("toks")
     ).filter(F.size("toks") >= 3)
-    tri = t.select(
-        "doc_id", "source", F.explode(trigrams(F.col("toks"))).alias("g")
-    ).dropDuplicates(["doc_id", "g"])
+    tri = (
+        t.select(
+            "doc_id", "source", F.explode(trigrams(F.col("toks"))).alias("g")
+        )
+        .dropDuplicates(["doc_id", "g"])
+        # read by 4 branches (bench set, bloom bits, eval grams, the
+        # per-doc rollup join): without the checkpoint the tokenize +
+        # trigram + dedup pipeline re-executes per branch (guide §1.2;
+        # the dd_minhash_lsh checkpoint finding)
+        .localCheckpoint()
+    )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bg = tri.filter(is_bench).select("g").distinct()
     bh = bg.select("g", _ghash_col(F.col("g")).alias("h"))
