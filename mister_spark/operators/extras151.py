@@ -197,23 +197,14 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # unit-normalize with the oracle's exact fold: left-fold sum of
     # squares, sqrt, clamp at 1e-12 — bitwise identical per element.
-    # The norm is materialized as a COLUMN first: higher-order-function
-    # lambdas re-evaluate captured expressions per element (no CSE
-    # across the lambda boundary), so dividing by the aggregate inline
-    # would re-run the whole fold d times per row
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("v", lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
+    # The norm must be LET-BOUND (functions.vectors.unit): spelling it
+    # as a withColumn does NOT protect it — CollapseProject inlines the
+    # single-use column into the division lambda, where it re-runs the
+    # whole fold once per element (verified in the optimized plan)
+    from mister_spark.functions.vectors import unit as vunit
+
     un = (
-        emb.withColumn("nrm", F.greatest(nrm, F.lit(1e-12)))
-        .select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
-        )
+        emb.select("vec_id", vunit(F.col("v")).alias("u"))
         .localCheckpoint()
     )
     # the two O(1) driver scalars: the probe's unit vector and the
@@ -252,9 +243,11 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     # one pass: exact similarity + per-bit-width quantized similarity.
-    # Each bit width materializes its quantized vector and ITS norm as
-    # columns before the normalize-divide (same no-CSE-in-lambda rule
-    # as above — inlining the norm fold would cost O(d^2) per row)
+    # Each bit width materializes its quantized vector as a column
+    # (used twice — norm fold + division — so CollapseProject cannot
+    # duplicate it) and unit-normalizes through the let-bound helper
+    # (the former qn{bits} norm COLUMNS were single-use and inlined
+    # into the division lambdas at O(d^2) per row)
     step = un
     qprobes = {}
     for bits in QZ_BITS:
@@ -272,30 +265,15 @@ def ml_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         qprobes[bits] = _unit(_qz(qrow, scale, lev))
-        qcol, ncol_ = f"qv{bits}", f"qn{bits}"
-        step = step.withColumn(qcol, _mk_qv())
-        step = step.withColumn(
-            ncol_,
-            F.greatest(
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(qcol, lambda y: y * y),
-                        F.lit(0.0),
-                        lambda a, y: a + y,
-                    )
-                ),
-                F.lit(1e-12),
-            ),
-        )
-    def _div_by(norm_name: str):
-        # factory keeps the lambda single-arg (a 2-arg lambda would be
-        # interpreted as (element, index) by F.transform)
-        return lambda x: x / F.col(norm_name)
+        step = step.withColumn(f"qv{bits}", _mk_qv())
 
     cols = [F.col("vec_id"), _dot("u", F.lit(qrow)).alias("sx")]
     for bits in QZ_BITS:
-        qn = F.transform(f"qv{bits}", _div_by(f"qn{bits}"))
-        cols.append(_dot(qn, F.lit(qprobes[bits])).alias(f"s{bits}"))
+        cols.append(
+            _dot(vunit(F.col(f"qv{bits}")), F.lit(qprobes[bits])).alias(
+                f"s{bits}"
+            )
+        )
     sims = step.select(*cols).localCheckpoint()
 
     def grid_top(col: str) -> set[int]:

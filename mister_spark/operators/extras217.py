@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from mister_spark.functions.vectors import dot as vdot, norm as vnorm
+from mister_spark.functions.vectors import dot as vdot, unit as vunit
 from mister_spark.operators.common import cat, rnd
 from mister_spark.registry import query
 
@@ -300,13 +300,9 @@ def ds_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         cat(spark, sf_dir)["embeddings"]
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .select(
-            "vec_id",
-            F.transform(
-                "v",
-                lambda x: x / F.greatest(vnorm(F.col("v")), F.lit(1e-12)),
-            ).alias("u"),
-        )
+        # norm-once unit vectors: see functions.vectors.unit (norm
+        # spelled inside the division lambda re-evaluates per element)
+        .select("vec_id", vunit(F.col("v")).alias("u"))
         .localCheckpoint()  # unit vectors; feeds mean, cands, sims
     )
     dim = len(emb.select("u").first()["u"])
@@ -315,9 +311,7 @@ def ds_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.avg(F.col("u")[i]) for i in range(dim)]
         ).alias("m")
     )
-    mu = F.transform(
-        "m", lambda x: x / F.greatest(vnorm(F.col("m")), F.lit(1e-12))
-    )
+    mu = vunit(F.col("m"))
     cand = (
         emb.crossJoin(F.broadcast(mean.select(mu.alias("mu"))))
         .select(

@@ -25,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mister_spark.functions.special import normal_sf, normal_sf_sql
-from mister_spark.functions.vectors import dot as vdot, norm as vnorm
 from mister_spark.operators.common import cat, rnd
 from mister_spark.operators.extras32 import CAL_POS_LABEL_LT
 from mister_spark.registry import query
@@ -114,22 +113,23 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
-    def unit(col):
-        return F.transform(
-            col, lambda x: x / F.greatest(vnorm(col), F.lit(1e-12))
-        )
+    # norm-once cosine per prefix: see functions.vectors.unit_cos
+    # (the naive transform(v, x -> x / norm(v)) re-evaluates the norm
+    # per element — O(d^2) per row, and this op pays it once per
+    # prefix width)
+    from mister_spark.functions.vectors import unit_cos
 
     scored = (
         base.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            rnd(vdot(unit(F.col("v")), unit(F.col("qv"))), 4).alias("cf"),
+            rnd(unit_cos(F.col("v"), F.col("qv")), 4).alias("cf"),
             *[
                 rnd(
-                    vdot(
-                        unit(F.slice(F.col("v"), 1, d)),
-                        unit(F.slice(F.col("qv"), 1, d)),
+                    unit_cos(
+                        F.slice(F.col("v"), 1, d),
+                        F.slice(F.col("qv"), 1, d),
                     ),
                     4,
                 ).alias(f"c{d}")

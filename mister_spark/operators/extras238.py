@@ -124,21 +124,17 @@ def ds_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"), F.col("label").alias("y0")
     )
 
-    def unit(col):
-        from mister_spark.functions.vectors import norm as vnorm
-
-        return F.transform(
-            col, lambda x: x / F.greatest(vnorm(col), F.lit(1e-12))
-        )
-
-    from mister_spark.functions.vectors import dot as vdot
+    # norm-once cosine: see functions.vectors.unit_cos (the naive
+    # transform(v, x -> x / norm(v)) re-evaluates the norm per
+    # element — O(d^2) per row; measured 10-13 -> 4-7 s at sf1)
+    from mister_spark.functions.vectors import unit_cos
 
     sc = (
         base.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            rnd(vdot(unit(F.col("v")), unit(F.col("qv"))), 4).alias("c"),
+            rnd(unit_cos(F.col("v"), F.col("qv")), 4).alias("c"),
             F.when(F.col("label") == F.col("y0"), 1).otherwise(0).alias("m"),
         )
         .localCheckpoint()
