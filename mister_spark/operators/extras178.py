@@ -212,10 +212,14 @@ def ds_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     would become approx_percentile at corpus scale (same gate,
     sketched threshold)."""
     docs = cat(spark, sf_dir)["documents"]
+    # tokenized ONCE: the distinct-token arrays feed the vocab count
+    # AND the presence join — without the checkpoint the tokenize +
+    # array_distinct pipeline re-executes per branch (guide §1.2)
+    td = docs.select(
+        "doc_id", F.array_distinct(tokens()).alias("ts")
+    ).localCheckpoint()
     # presence, not counts: one row per (doc, distinct term)
-    tf = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens())).alias("w")
-    )
+    tf = td.select("doc_id", F.explode("ts").alias("w"))
     vocab = sorted(
         r["w"]
         for r in tf.groupBy("w")

@@ -110,7 +110,22 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = cat(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    packed = e.select("vec_id", "v", _spark_pack(F.col("v")).alias("code"))
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # norms ride as columns BELOW the panel cross join (projects are
+    # not collapsed across a join), so each side's norm fold runs once
+    # per vector instead of once per (panel x corpus) pair — the dot
+    # is the only per-pair fold left (guide §1.2); same multiply, same
+    # rounding, so the cosine grid is unchanged
+    packed = e.select(
+        "vec_id", "v", _spark_pack(F.col("v")).alias("code"),
+        nrm(F.col("v")).alias("nv"),
+    )
     q = (
         packed.filter(
             (F.col("vec_id") % BQ_QMOD == 0)
@@ -120,6 +135,7 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
             F.col("code").alias("qcode"),
+            F.col("nv").alias("nq"),
         )
     )
     dot = F.aggregate(
@@ -127,15 +143,8 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     cs = F.floor(
-        dot / (nrm(F.col("qv")) * nrm(F.col("v"))) * 1000000000 + F.lit(0.5)
+        dot / (F.col("nq") * F.col("nv")) * 1000000000 + F.lit(0.5)
     ) / 1000000000
     pairs = (
         F.broadcast(q)
