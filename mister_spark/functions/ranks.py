@@ -103,7 +103,21 @@ def bucketed_cumsum(
     at sf0.1 (and it ran in BOTH the window and totals branches).
     Boundary placement only balances the buckets — the prefix sums are
     exact under ANY range-contiguous assignment — so results are
-    bit-identical."""
+    bit-identical.
+
+    Round-12 note: both alternatives to the eager boundary job were
+    implemented, measured (interleaved A/Bs, sf0.1) and REJECTED:
+    (a) fully lazy boundaries as 63 scalar columns in a broadcast 1-row
+    frame attached by crossJoin — the BroadcastNestedLoopJoin blocks
+    exchange reuse, so the percentile subtree and join ran once per
+    branch (stat_ks_test 2.4→9.0 s); (b) fusing the boundary job into
+    the materialization via lazy ``persist()`` + percentile ``first()``
+    (one job instead of checkpoint+first) — the columnar cache build
+    plus three decoded reads cost more than the checkpoint job on every
+    caller tried (stat_ks_test 1.06→1.42 s, sketch_ddsketch
+    2.0→2.7 s). The two small driver-blocking jobs ARE the minimum
+    measured here; at scale they are constant-time barriers while the
+    codegen'd bucket id saves data-proportional work."""
     df = df.localCheckpoint()
     fracs = [i / nbuckets for i in range(1, nbuckets)]
     row = df.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bs")).first()

@@ -72,7 +72,7 @@ def main() -> None:
             dest = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "plans",
-                "r11",
+                "r12",
                 f"{name}_{plans_tag}.txt",
             )
             with open(dest, "w") as f:
