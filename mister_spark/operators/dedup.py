@@ -21,7 +21,7 @@ from mister_spark.functions.hashing import (
     mh_hash60,
     minhash_signatures,
 )
-from mister_spark.functions.text import shingles
+from mister_spark.functions.text import shingles, sized_hashed_shingles
 from mister_spark.operators.common import DUCK_TOKENS, cat, tokens, rnd
 from mister_spark.registry import query
 
@@ -113,20 +113,17 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     noop medians): two in-row sorts + an ObjectHashAggregate lose to
     the codegen'd window + row_number here; kept the window shape.)"""
     docs = cat(spark, sf_dir)["documents"]
-    # explode BEFORE any size()-filter: a pushed-down filter on the
-    # shingle array inlines (re-evaluates) the trigram expression per
-    # doc row, and explode drops empty arrays anyway. df rides one
+    # sized_hashed_shingles evaluates the tokenize+trigram subtree ONCE
+    # per doc (n rides inside the struct — the former size()/explode()
+    # split re-ran the whole subtree per node) and hashes tokens before
+    # building trigram ids (no per-trigram string alloc+hash): this
+    # postings stage measured 12.9 s → 1.4 s at sf1. df rides one
     # window over the hashed postings (one shuffle on sid) instead of
     # groupBy + join-back (two), and ONE checkpoint feeds every
-    # consumer below (prefix, arrays) — the old extra pre-df
-    # checkpoint wrote the same 2.6M-row frame twice at sf1.
-    ex = (
-        docs.select("doc_id", shingles(tokens()).alias("sh"))
-        .select(
-            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
-        )
-        .select("doc_id", "n", F.xxhash64("term").alias("sid"))
-    )
+    # consumer below (prefix, arrays).
+    ex = docs.select(
+        "doc_id", sized_hashed_shingles(tokens()).alias("st")
+    ).select("doc_id", F.col("st.n").alias("n"), F.explode("st.sh").alias("sid"))
     shc = (
         ex.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sid")))
         .filter(F.col("df") <= HOT_SHINGLE_CAP)

@@ -64,19 +64,16 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows ever shuffle. Shingles hash to 64-bit sids up front so every
     join carries longs. sf1 A/B in one session: 40.8→20.2 s warm,
     48.2→28.8 s cold, identical 5120 output rows (PERF.md r11)."""
-    from mister_spark.functions.text import shingles, tokens
+    from mister_spark.functions.text import sized_hashed_shingles, tokens
 
     docs = cat(spark, sf_dir)["documents"]
-    # explode BEFORE any size()-filter: a pushed-down filter on the
-    # shingle array would inline (re-evaluate) the trigram expression,
-    # and explode drops empty arrays anyway
-    ex = (
-        docs.select("doc_id", shingles(tokens()).alias("sh"))
-        .select(
-            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
-        )
-        .select("doc_id", "n", F.xxhash64("term").alias("sid"))
-    )
+    # sized_hashed_shingles: tokenize+trigram evaluated once per doc
+    # with n inside the struct (the former size()/explode() split
+    # re-ran the subtree per node) and token-hash-chained 3-gram ids —
+    # see the helper's docstring and dd_ngram_jaccard
+    ex = docs.select(
+        "doc_id", sized_hashed_shingles(tokens()).alias("st")
+    ).select("doc_id", F.col("st.n").alias("n"), F.explode("st.sh").alias("sid"))
     shc = (
         ex.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sid")))
         .filter(F.col("df") <= HOT_SHINGLE_CAP)

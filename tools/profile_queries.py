@@ -66,9 +66,24 @@ def main() -> None:
             "runs": [round(r, 3) for r in runs],
         }
         if plans_tag:
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                fn(spark, sf_dir).explain("formatted")
+            # Capture the plan with localCheckpoint patched to identity
+            # so the dump shows the FULL pre-materialization pipeline
+            # instead of `Scan ExistingRDD` stubs (r11 verdict item 6:
+            # post-checkpoint dumps have zero evidentiary value).
+            # Timing above always uses the real checkpoints.
+            try:
+                from pyspark.sql.classic.dataframe import DataFrame as _DF
+            except ImportError:  # pre-4.0
+                from pyspark.sql import DataFrame as _DF
+
+            _real = _DF.localCheckpoint
+            _DF.localCheckpoint = lambda self, eager=True: self
+            try:
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    fn(spark, sf_dir).explain("formatted")
+            finally:
+                _DF.localCheckpoint = _real
             dest = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "plans",
