@@ -79,6 +79,16 @@ def _trigram_ids(ha: Column) -> Column:
     )
 
 
+def hashed_shingles(toks: Column) -> Column:
+    """Distinct 3-gram ids (array<bigint>) built from hashed tokens —
+    the array-only sibling of ``sized_hashed_shingles`` for consumers
+    that explode without needing the per-doc count. Same equivalence
+    argument (ids match xxhash64-of-string grouping modulo 2^-64
+    collision odds); same single-evaluation let-binding."""
+    ha = F.transform(toks, lambda x: F.xxhash64(x))
+    return let1(ha, lambda a: _trigram_ids(a))
+
+
 def sized_hashed_shingles(toks: Column) -> Column:
     """``struct<n int, sh array<bigint>>``: per-doc distinct 3-gram
     count and the 64-bit shingle ids, each subexpression evaluated

@@ -497,7 +497,10 @@ def dd_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dd_ngram_jaccard(spark, sf_dir).localCheckpoint()
     ds = _doc_shingles(spark, sf_dir)
-    hashed = ds.filter(F.size("sh") > 0).select(
+    # no size(sh) > 0 gate: explode drops empty arrays anyway, and the
+    # pushed-down filter would inline (re-evaluate) the whole
+    # tokenize+trigram subtree a second time per doc
+    hashed = ds.select(
         "doc_id",
         F.explode(F.transform("sh", lambda s: mh_hash60(s))).alias("h"),
     )

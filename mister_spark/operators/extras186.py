@@ -188,14 +188,16 @@ def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles ride as xxhash64 ids so the exchange carries longs, not
     ~40-char strings (grouping modulo 2^-64 collision odds, the
     dd_exact argument). Integer arithmetic end to end."""
-    from mister_spark.functions.text import shingles
+    from mister_spark.functions.text import hashed_shingles
 
     docs = cat(spark, sf_dir)["documents"]
+    # hashed_shingles: 3-gram ids from hashed tokens (no per-shingle
+    # string alloc + string hash — same grouping modulo 2^-64 collision
+    # odds as the former xxhash64(string))
     spread = (
         docs.select(
-            "source", F.explode(shingles(tokens())).alias("g")
+            "source", F.explode(hashed_shingles(tokens())).alias("sid")
         )
-        .select("source", F.xxhash64("g").alias("sid"))
         .groupBy("sid")
         .agg(F.collect_set("source").alias("srcs"))
         .select(

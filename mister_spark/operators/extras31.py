@@ -210,13 +210,18 @@ def dd_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(pair, term) rows ever shuffle. sf1: 49.0 s -> ~15 s cold
     (the old per-term verify join alone was 39.7 s; the map fold does
     the same exact int64 sums in ~1 s — see PERF.md r11)."""
-    from mister_spark.functions.text import shingles
+    from mister_spark.functions.text import hashed_shingles
 
     docs = cat(spark, sf_dir)["documents"]
     t = docs.select("doc_id", tokens().alias("toks")).filter(F.size("toks") >= 3)
-    sh = t.select(
-        "doc_id", F.explode(shingles(F.col("toks"))).alias("term")
-    ).select("doc_id", F.xxhash64("term").alias("sid"))
+    # hashed_shingles: token-hash-chained 3-gram ids, let-bound so the
+    # tokenize+trigram subtree evaluates once per doc, with no 40-char
+    # string alloc + string hash per shingle (see the helper's
+    # docstring); explode drops the <3-token docs' empty arrays, so the
+    # size gate is only needed on the doc-count branch
+    sh = docs.select(
+        "doc_id", F.explode(hashed_shingles(tokens())).alias("sid")
+    )
     nd = t.agg(F.count(F.lit(1)).cast("double").alias("n"))
     wgt = (
         sh.withColumn(
