@@ -478,7 +478,7 @@ def main() -> None:
     # whole-stage-codegen workload whose median-of-5 is quiet enough to
     # arbitrate host-vs-code drift (subset_over_canary_big).
     print(
-        json.dumps(
+        summary_line(
             {
                 "metric": "bench_summary",
                 "value": value,
@@ -493,9 +493,27 @@ def main() -> None:
                 ),
                 "detail": "BENCH_detail.json",
                 "sf": sf,
-            }
+            },
+            times,
         )
     )
+
+
+def summary_line(summary: dict, times: dict) -> str:
+    """Serialize the final bench_summary line, carrying the per-query
+    medians (additive ``queries`` key, round-11 verdict item 9: the
+    driver's PERF comparison parses only this line, so per_query came
+    back empty every round). The driver keeps the LAST 2000 stdout
+    chars; if the line with the per-query dict would not fit whole in
+    that tail, drop the dict rather than ship an unparseable line (the
+    round-7 blindness). Values ride at 2 decimals — comparison
+    granularity, half the bytes of the detail line's 3."""
+    with_q = dict(summary)
+    with_q["queries"] = {k: round(v, 2) for k, v in times.items()}
+    compact = json.dumps(with_q, separators=(",", ":"))
+    if len(compact) <= 1950:
+        return compact
+    return json.dumps(summary)
 
 
 if __name__ == "__main__":

@@ -40,11 +40,14 @@ def test_bench_final_line_is_compact_summary(spark, tmp_path):
         __import__("os").environ.update(saved_env)
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     last = lines[-1]
-    # must survive a 2000-char tail capture with plenty of margin even
-    # at the full 68-query set (the summary is O(1) in query count)
-    assert len(last) < 1000, len(last)
+    # must survive a 2000-char tail capture whole; summary_line() drops
+    # the per-query dict rather than overflow (guard tested below)
+    assert len(last) <= 1950, len(last)
     doc = json.loads(last)
     assert doc["metric"] == "bench_summary"
+    # round-11 verdict item 9: the summary line the driver parses now
+    # carries the per-query medians (2-decimal) when they fit
+    assert set(doc["queries"]) == {"q1_pricing_summary", "mr_wordcount"}
     for field in (
         "value",
         "baseline_subset_total",
@@ -68,3 +71,34 @@ def test_bench_final_line_is_compact_summary(spark, tmp_path):
     assert on_disk["queries"] == detailed["queries"]
     # the big canary ships alongside the r08-pinned small one
     assert doc["canary_big_sec"] > doc["canary_sec"]
+
+
+def test_summary_line_drops_queries_rather_than_overflow():
+    """The driver keeps only the last 2000 stdout chars; an overlong
+    final line is unparseable from the tail (round-7 blindness). The
+    per-query dict is additive best-effort: at the real 68-query set it
+    fits; with an absurd set it must be dropped, never truncated."""
+    import bench
+
+    base = {
+        "metric": "bench_summary",
+        "value": 1.0,
+        "unit": "sec",
+        "n_queries": 68,
+        "baseline_subset_total": 1.0,
+        "canary_sec": 0.2,
+        "subset_over_canary": 5.0,
+        "canary_big_sec": 1.6,
+        "subset_over_canary_big": 0.6,
+        "detail": "BENCH_detail.json",
+        "sf": 0.1,
+    }
+    small = {f"q{i}": 0.123 for i in range(68)}
+    line = bench.summary_line(base, small)
+    assert len(line) <= 1950
+    assert set(json.loads(line)["queries"]) == set(small)
+    huge = {f"very_long_query_name_number_{i:04d}": 1.234 for i in range(200)}
+    line = bench.summary_line(base, huge)
+    assert len(line) <= 1950
+    doc = json.loads(line)
+    assert doc["metric"] == "bench_summary" and "queries" not in doc
