@@ -9,9 +9,19 @@ engines select the same rows.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mister_spark.catalog import Catalog
+
+# checkpoint_partitioned flips a session-global conf for the duration of
+# one eager materialization; the lock keeps two concurrent callers from
+# interleaving their flip/restore and leaving AQE off (round-11 verdict
+# item 5). A concurrent UNRELATED query compiled inside the window still
+# sees AQE off — acceptable (plans stay correct, only adaptivity is
+# lost for that one compile) and unavoidable without per-plan conf.
+_AQE_FLIP_LOCK = threading.Lock()
 
 
 def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
@@ -21,14 +31,17 @@ def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
     join/aggregate on the same key re-shuffles the frame — this is what
     makes guide §2.4's "establish the partitioning once, reuse it every
     iteration" actually hold for loop-invariant state. AQE is restored
-    immediately (localCheckpoint is eager); every other query keeps it."""
+    immediately (localCheckpoint is eager); every other query keeps it.
+    (localCheckpoint routes to reliable .checkpoint() under
+    MISTER_SPARK_RELIABLE_CHECKPOINT — see mister_spark.session.)"""
     spark = df.sparkSession
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.repartition(*cols).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+    with _AQE_FLIP_LOCK:
+        old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.repartition(*cols).localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def rnd(col: Column, n: int) -> Column:

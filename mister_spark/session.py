@@ -10,8 +10,54 @@ UDF paths, UTC timestamps for cross-engine determinism). Only
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_RELIABLE_PATCHED = False
+
+
+def reliable_checkpoint_requested() -> bool:
+    return os.environ.get("MISTER_SPARK_RELIABLE_CHECKPOINT", "") not in (
+        "",
+        "0",
+        "false",
+    )
+
+
+def install_reliable_checkpoint(spark: SparkSession) -> None:
+    """Cluster-safety switch (round-11 verdict item 5): route every
+    ``DataFrame.localCheckpoint()`` in the engine through reliable
+    ``.checkpoint()`` instead.
+
+    ``localCheckpoint`` stores blocks as non-replicated executor state —
+    the right default on local[N] (no network, no executor loss) but on
+    a 1000-executor cluster one lost executor invalidates the lineage-
+    truncated frame and fails the query. With
+    ``MISTER_SPARK_RELIABLE_CHECKPOINT=1`` the blocks go to the
+    fault-tolerant checkpoint dir (``MISTER_SPARK_CHECKPOINT_DIR``,
+    which should be cluster-visible storage — HDFS/object store — in
+    production; defaults to a local temp dir so the switch is testable
+    anywhere). Patching the classic DataFrame method is deliberate: the
+    engine has ~500 materialization sites and they must all follow the
+    switch, not just the ones routed through a helper."""
+    global _RELIABLE_PATCHED
+    sc = spark.sparkContext
+    if not sc._jsc.sc().getCheckpointDir().isDefined():
+        sc.setCheckpointDir(
+            os.environ.get("MISTER_SPARK_CHECKPOINT_DIR")
+            or os.path.join(tempfile.gettempdir(), "mister_spark_ckpt")
+        )
+    if _RELIABLE_PATCHED:
+        return
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+    def _reliable_local_checkpoint(self, eager: bool = True):
+        return _ClassicDF.checkpoint(self, eager=eager)
+
+    _reliable_local_checkpoint._mister_spark_reliable = True  # type: ignore[attr-defined]
+    _ClassicDF.localCheckpoint = _reliable_local_checkpoint  # type: ignore[method-assign]
+    _RELIABLE_PATCHED = True
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
@@ -65,4 +111,6 @@ def get_session(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if reliable_checkpoint_requested():
+        install_reliable_checkpoint(spark)
     return spark
