@@ -44,6 +44,23 @@ def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
             spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Raise the parallelism of an expression-heavy stage when the
+    input scan has fewer splits than the cluster has slots (guide §6
+    input split size / §2.5 input skew). documents.parquet at bench SFs
+    is a single small file → 1-2 scan tasks, so tokenize/shingle
+    expression work — the dominant cost of every text operator — runs
+    on 2 of 32 cores. One cheap round-robin shuffle of the raw rows
+    unlocks the full cluster. Scale-adaptive by construction: at real
+    scale the scan has >= defaultParallelism splits and this is a
+    no-op (no repartition node is even added)."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def rnd(col: Column, n: int) -> Column:
     """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n.
 
